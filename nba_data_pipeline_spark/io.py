@@ -1,0 +1,55 @@
+"""Table IO: the engine's contract starts at landed data (parquet) and ends
+at partitioned sinks, mirroring the reference's landed-JSON trees
+(Cleaning_Glass_#1.py:455-495, nba_props_scraper.py:824-860 — see SURVEY §2
+SNK1-SNK6) but Spark-native: columnar parquet in, ``partitionBy`` out.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one landed table. Plain parquet scan → Catalyst gets pushdown +
+    pruning for free; callers must select/filter declaratively."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every landed table as a temp view so SQL-form queries can
+    name them exactly as the DuckDB oracle does."""
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned_json(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """SNK1/SNK2-style partitioned document sink (reference:
+    Cleaning_Glass_#1.py:479-489 folder tree) as a native partitioned write."""
+    df.write.mode(mode).partitionBy(*partition_cols).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,467 @@
+"""Layer-B analytics queries (SURVEY §2.6 A1-A14, §7.0 flagship).
+
+These are the numbers the reference pipeline exists to produce/consume —
+rolling averages (Dunkest_DV_ Extractor.py:92-98), hit-rates over last-N
+(README_NBA_SCRAPER.md:89-93), on/off conditional aggregation
+(Cleaning_Glass_#1.py:110-120), grouped counts and validation aggregates —
+expressed on the driver's TPC-H-ish tables so a DuckDB oracle can verify
+value-for-value. All floating aggregates follow the exact-arithmetic
+discipline in ``plans/exact.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.plans.exact import davg, dsum, sql_davg, sql_dsum
+from nba_data_pipeline_spark.plans.registry import query
+
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY §7.0): hit-rate over last-N — the reference's signature
+# semantic (A10, README_NBA_SCRAPER.md:89-93 "failed to exceed 3.5 … 80%")
+# restated per supplier over lineitem⋈orders.
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = """
+WITH joined AS (
+  SELECT l.l_suppkey, l.l_quantity, o.o_orderdate, l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), rolled AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(l_quantity) OVER w AS rolling_avg_qty,
+         CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS hit_rate,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY o_orderdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM joined
+  WINDOW w AS (PARTITION BY l_suppkey
+               ORDER BY o_orderdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT s.s_suppkey, s.s_name, r.rolling_avg_qty, r.hit_rate,
+       CAST(RANK() OVER (ORDER BY r.hit_rate DESC, s.s_suppkey) AS INT) AS hit_rank
+FROM rolled r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rn = 1
+ORDER BY hit_rank
+"""
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier ("player"): rolling 10-order avg quantity and the share
+    of the last 10 lineitems exceeding qty 25 ("prop line"), ranked.
+
+    Scan → equi-join (J6) → ordered window frame (A9/A10) → latest-per-key
+    (W4) → broadcast dim join (J2) → rank (W2). All built-in, whole-stage
+    codegen; the fact-fact join shuffles on orderkey, the dim join broadcasts.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey", "l_quantity", "o_orderdate", "l_orderkey", "l_linenumber"
+    )
+    frame = (
+        W.partitionBy("l_suppkey")
+        .orderBy("o_orderdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-9, 0)
+    )
+    latest = W.partitionBy("l_suppkey").orderBy(
+        F.desc("o_orderdate"), F.desc("l_orderkey"), F.desc("l_linenumber")
+    )
+    hit = F.when(F.col("l_quantity") > 25, 1).otherwise(0)
+    rolled = (
+        joined.withColumn(
+            "rolling_avg_qty",
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(frame).cast("double")
+            / F.count("l_quantity").over(frame),
+        )
+        .withColumn(
+            "hit_rate",
+            F.sum(hit).over(frame).cast("double") / F.count(F.lit(1)).over(frame),
+        )
+        .withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        rolled.join(F.broadcast(supplier), rolled.l_suppkey == supplier.s_suppkey)
+        .withColumn(
+            "hit_rank",
+            F.rank().over(W.orderBy(F.desc("hit_rate"), F.asc("s_suppkey"))).cast("int"),
+        )
+        .select("s_suppkey", "s_name", "rolling_avg_qty", "hit_rate", "hit_rank")
+        .orderBy("hit_rank")
+    )
+
+
+query("flagship_hitrate_last10", oracle=FLAGSHIP_ORACLE)(flagship)
+
+
+# ---------------------------------------------------------------------------
+# A12: derived-efficiency arithmetic aggregation (four-factors style,
+# Cleaning_Glass_#1.py:71-81) — TPC-H Q1-shaped pricing summary.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a12_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       {sql_dsum("l_extendedprice")} AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2))) * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+       {sql_davg("l_quantity")} AS avg_qty,
+       {sql_davg("l_extendedprice")} AS avg_price,
+       {sql_davg("l_discount", "DECIMAL(8,2)")} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def a12_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped arithmetic aggregation — the four-factors/efficiency shape
+    (reference consumes these pre-computed; Cleaning_Glass_#1.py:71-81).
+    Partial (map-side) aggregation + single shuffle on the group keys."""
+    li = read_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    tax = F.col("l_tax").cast("decimal(8,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", "decimal(8,2)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9: rolling last-N averages (Dunkest_DV_ Extractor.py:92-98 last_3/5/10).
+# ---------------------------------------------------------------------------
+
+_A9_AVG = (
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER {w} AS DOUBLE)"
+    " / COUNT(o_totalprice) OVER {w}"
+)
+
+
+@query(
+    "a9_rolling_averages",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       {_A9_AVG.format(w="w3")} AS last3_avg,
+       {_A9_AVG.format(w="w5")} AS last5_avg,
+       {_A9_AVG.format(w="w10")} AS last10_avg,
+       {_A9_AVG.format(w="wall")} AS season_avg
+FROM orders
+WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       w5 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       w10 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+       wall AS (PARTITION BY o_custkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def a9_rolling_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_3 / last_5 / last_10 / season averages per key — the exact stat
+    family the reference scrapes pre-computed (Dunkest_DV_ Extractor.py:92-98).
+    One shuffle on o_custkey; all four frames reuse the same sort."""
+    orders = read_table(spark, sf_dir, "orders")
+    base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec_price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def roll(frame):
+        return F.sum(dec_price).over(frame).cast("double") / F.count("o_totalprice").over(
+            frame
+        )
+
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        roll(base.rowsBetween(-2, 0)).alias("last3_avg"),
+        roll(base.rowsBetween(-4, 0)).alias("last5_avg"),
+        roll(base.rowsBetween(-9, 0)).alias("last10_avg"),
+        roll(W.partitionBy("o_custkey")).alias("season_avg"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# A11: on/off conditional aggregation (Cleaning_Glass_#1.py:110-120,756-757).
+# ---------------------------------------------------------------------------
+
+_ON = "CASE WHEN l_returnflag = 'R' THEN l_extendedprice END"
+_OFF = "CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END"
+
+
+@query(
+    "a11_onoff_split",
+    oracle=f"""
+SELECT l_suppkey,
+       {sql_davg(_ON)} AS on_avg_price,
+       {sql_davg(_OFF)} AS off_avg_price,
+       COALESCE({sql_davg(_ON)}, 0) - COALESCE({sql_davg(_OFF)}, 0) AS on_off_diff
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+""",
+)
+def a11_onoff_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On/off split: a conditional-aggregation pivot on a boolean dimension —
+    team-with-player-on vs off (Cleaning_Glass_#1.py:110-120) restated as
+    returned-vs-not lineitems per supplier. Single hash aggregate, no join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    on_col = F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))
+    off_col = F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice"))
+    on_avg = davg(on_col)
+    off_avg = davg(off_col)
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            on_avg.alias("on_avg_price"),
+            off_avg.alias("off_avg_price"),
+            (F.coalesce(on_avg, F.lit(0.0)) - F.coalesce(off_avg, F.lit(0.0))).alias(
+                "on_off_diff"
+            ),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13: grouping sets / rollup — replaces the reference's N separate scrapes
+# per granularity (ctg_export_league.py:56-93).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a13_rollup_revenue",
+    oracle=f"""
+SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+       COALESCE(n.n_name, 'ALL') AS nation_name,
+       {sql_dsum("o.o_totalprice")} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY region_name, nation_name
+""",
+)
+def a13_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregate in ONE pass (rollup) where the reference
+    runs separate per-team/league scrapes (ctg_export_league.py:56-93).
+    Dims broadcast; single shuffle for the rollup aggregate."""
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = read_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/A3: distinct-count validation + count metadata
+# (DEFENSEVSPOSTION.PY:524-541 "exactly 30 teams"; nba_insights_scraper.py:525-532).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a5_completeness_counts",
+    oracle="""
+SELECT n.n_name AS nation_name,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT c.c_mktsegment) = 5 AS BOOLEAN) AS is_complete
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def a5_completeness_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count completeness validation (the 30-teams rule,
+    DEFENSEVSPOSTION.PY:524-541) as an aggregate assertion query."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.countDistinct("c_mktsegment") == 5).alias("is_complete"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: CASE-routing into market buckets (nba_props_scraper.py:454-477).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a6_market_buckets",
+    oracle=f"""
+SELECT CASE
+         WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+         WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+         ELSE 'low'
+       END AS market,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS total_value
+FROM orders
+GROUP BY market, o_orderstatus
+ORDER BY market, o_orderstatus
+""",
+)
+def a6_market_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorization buckets: CASE-like routing into markets
+    (nba_props_scraper.py:454-477 moneyline/spread/total/...) then grouped
+    counts — a single when/otherwise column feeding the aggregate."""
+    o = read_table(spark, sf_dir, "orders")
+    market = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+        .alias("market")
+    )
+    return (
+        o.groupBy(market, F.col("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_value"),
+        )
+        .orderBy("market", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/O4: argmax — table with most rows / newest file (Cleaning_Glass_#1.py:405-414).
+# Expressed as row_number over a total order (DuckDB 1.0's max_by lacks
+# composite tiebreak keys).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a7_argmax_order",
+    oracle="""
+SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+ORDER BY o_custkey
+""",
+)
+def a7_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group (max-rows table selection,
+    Cleaning_Glass_#1.py:405-414) with a deterministic tiebreak."""
+    o = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_orderkey"),
+            F.col("o_totalprice").alias("best_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: group-collect per player (nba_props_scraper.py:671-676) — sorted,
+# string-joined so the hash is order-stable across engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_group_collect",
+    oracle="""
+SELECT c_mktsegment,
+       STRING_AGG(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def a1_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by-key collect (props-per-player, nba_props_scraper.py:671-676):
+    collect_set → sorted → joined string for an engine-stable digest."""
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14: approx distinct — the 100 TB-scale variant of A5. No SQL oracle
+# (HLL sketches differ across engines); driver records rows-only.
+# ---------------------------------------------------------------------------
+
+
+@query("a14_approx_distinct", oracle=None)
+def a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct per group — the sketch-based form of A5 that
+    stays cheap at 100 TB (no exact distinct shuffle)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
