@@ -1,0 +1,157 @@
+"""Scalar extraction/cleaning expression library (SURVEY §2.4 X1-X21).
+
+Each helper returns a pyspark Column built ONLY from built-in JVM-side
+functions (regexp_*, when/otherwise, date/time) so the hot path stays inside
+whole-stage codegen — these replace the reference's row-at-a-time Python
+parsers (nba_props_scraper.py:733-822, nba_insights_scraper.py:350-516,
+hardrock_scraper.py:381-451) with vectorized expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- X1: American-odds extraction (nba_props_scraper.py:757) --------------
+
+ODDS_PATTERN = r"[+-]\d{3,4}"
+
+
+def extract_odds_all(c: Column) -> Column:
+    """All American-odds tokens (±3-4 digits) in a text blob → array<string>."""
+    return F.regexp_extract_all(c, F.lit(ODDS_PATTERN), 0)
+
+
+def extract_first_odds(c: Column) -> Column:
+    """First odds token → int (null if absent)."""
+    return F.try_cast(F.nullif(F.regexp_extract(c, ODDS_PATTERN, 0), F.lit("")), "int")
+
+
+# --- X2: line/points extraction (nba_props_scraper.py:746-754) ------------
+
+
+def extract_prop_line(c: Column) -> Column:
+    """'O 25.5' / 'U 7' style first, else a standalone half-point number."""
+    ou = F.regexp_extract(c, r"[OU]\s*(\d+\.?\d*)", 1)
+    half = F.regexp_extract(c, r"(\d+\.5)", 1)
+    return F.try_cast(F.nullif(F.coalesce(F.nullif(ou, F.lit("")), half), F.lit("")), "double")
+
+
+# --- X3: matchup parse (nba_insights_scraper.py:397-404) ------------------
+
+
+def extract_matchup(c: Column) -> tuple[Column, Column, Column]:
+    """'UTA @ LAC' / 'UTA vs LAC' → (away, home, 'AWAY @ HOME')."""
+    away = F.regexp_extract(c, r"([A-Z]{3})\s*(?:@|vs\.?)\s*([A-Z]{3})", 1)
+    home = F.regexp_extract(c, r"([A-Z]{3})\s*(?:@|vs\.?)\s*([A-Z]{3})", 2)
+    matchup = F.when(
+        (away != "") & (home != ""), F.concat_ws(" @ ", away, home)
+    ).otherwise(F.lit(None))
+    return away, home, matchup
+
+
+# --- X7: hit-rate percent (nba_insights_scraper.py:467-471) ---------------
+
+
+def extract_hit_rate_pct(c: Column) -> Column:
+    return F.try_cast(F.nullif(F.regexp_extract(c, r"(\d{1,3})%", 1), F.lit("")), "int")
+
+
+# --- X8: sportsbook detect (nba_insights_scraper.py:481-484) --------------
+
+SPORTSBOOKS = ("fanduel", "draftkings", "betmgm", "caesars", "espn bet",
+               "hard rock", "bet365", "underdog")
+
+
+def detect_sportsbook(c: Column) -> Column:
+    lc = F.lower(c)
+    expr = F.lit(None).cast("string")
+    for book in reversed(SPORTSBOOKS):
+        expr = F.when(lc.contains(book), F.lit(book)).otherwise(expr)
+    return expr
+
+
+# --- X9: whitespace normalize (DEFENSEVSPOSTION.PY:155-156) ---------------
+
+
+def norm_ws(c: Column) -> Column:
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# --- X10: trailing record-paren strip (DEFENSEVSPOSTION.PY:174-175) -------
+
+
+def strip_record_paren(c: Column) -> Column:
+    return F.regexp_replace(c, r"\s*\([^)]*\)\s*$", "")
+
+
+# --- X13: filename sanitization (nba_props_scraper.py:862-872) ------------
+
+
+def sanitize_filename(c: Column, max_len: int = 80) -> Column:
+    cleaned = F.regexp_replace(c, r'[<>:"/\\|?*]', "_")
+    collapsed = F.regexp_replace(cleaned, r"_+", "_")
+    return F.substring(F.regexp_replace(collapsed, r"^_|_$", ""), 1, max_len)
+
+
+# --- X14: country fixups (Basketball_Refrence_alltables.py:167-170) -------
+
+
+def fix_country(c: Column) -> Column:
+    return F.trim(F.regexp_replace(c, r"\b(\w+)\s+\1\b", r"\1"))
+
+
+# --- X15/X16: date parse/format/relative ----------------------------------
+
+
+def format_date_mdY(c: Column) -> Column:
+    """pd.to_datetime(...).strftime('%m/%d/%Y') equivalent."""
+    return F.date_format(c, "MM/dd/yyyy")
+
+
+def resolve_relative_date(c: Column) -> Column:
+    """'today'/'tomorrow'/ISO string → date (nba_props_scraper.py:94-102)."""
+    lc = F.lower(F.trim(c))
+    return (
+        F.when(lc == "today", F.current_date())
+        .when(lc == "tomorrow", F.date_add(F.current_date(), 1))
+        .otherwise(F.to_date(c))
+    )
+
+
+# --- X19: MD5 surrogate key (nba_insights_scraper.py:508-510) -------------
+
+
+def md5_key(*cols: Column | str, length: int = 12) -> Column:
+    return F.substring(F.md5(F.concat_ws("_", *cols)), 1, length)
+
+
+# --- X20: betting-header parse (lineup_scraper.py:71-78) ------------------
+
+
+def extract_spread(c: Column) -> tuple[Column, Column]:
+    fav = F.nullif(F.regexp_extract(c, r"([A-Z]{3}) by (\d+\.?\d*)", 1), F.lit(""))
+    spread = F.try_cast(
+        F.nullif(F.regexp_extract(c, r"([A-Z]{3}) by (\d+\.?\d*)", 2), F.lit("")), "double"
+    )
+    return fav, spread
+
+
+def extract_over_under(c: Column) -> Column:
+    return F.try_cast(
+        F.nullif(F.regexp_extract(c, r"o/u\s*(\d+\.?\d*)", 1), F.lit("")), "double"
+    )
+
+
+# --- X21: American-odds implied probability (hardrock_scraper.py:497-503) -
+
+
+def implied_probability(odds: Column) -> Column:
+    """±American odds → implied probability in [0,1]."""
+    o = odds.cast("double")
+    return F.when(o > 0, 100.0 / (o + 100.0)).otherwise(-o / (-o + 100.0))
+
+
+def vig(over_odds: Column, under_odds: Column) -> Column:
+    """Book vig: sum of implied probabilities minus 1."""
+    return implied_probability(over_odds) + implied_probability(under_odds) - 1.0

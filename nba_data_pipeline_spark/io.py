@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -30,7 +30,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one landed table. Plain parquet scan → Catalyst gets pushdown +
-    pruning for free; callers must select/filter declaratively."""
+    pruning for free; callers must select/filter declaratively.
+
+    ``events`` lands with nanosecond parquet timestamps, which Spark's
+    vectorized reader rejects; read them as long and truncate to micros
+    (integer ``div`` — rounding would disagree with readers that truncate,
+    e.g. DuckDB).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

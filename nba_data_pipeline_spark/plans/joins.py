@@ -1,1 +1,246 @@
-"""Filled in by build plan."""
+"""Join/lookup queries (SURVEY §2.5 J1-J8).
+
+The reference correlates datasets only via dict lookups and containment
+matching; the engine supplies real relational joins (Layer B): broadcast dim
+enrichment (J1/J2), anti-join completeness (J3), containment theta join
+(J4), fact⋈fact equi-join (J6), as-of/latest-snapshot join (J7), semi/anti
+selection (J8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.plans.exact import dsum, sql_dsum
+from nba_data_pipeline_spark.plans.registry import query
+
+
+@query(
+    "j6_customer_revenue_topk",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       {sql_dsum("l.l_extendedprice")} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 100
+""",
+)
+def j6_customer_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact⋈dim equi-join chain (J6 — the stats⋈props unification the
+    reference's projection model implies, README.md:2) + top-k. lineitem
+    shuffles once on orderkey; the aggregate reuses the join partitioning
+    where AQE allows; top-k is a TakeOrdered, not a full sort."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            dsum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "j1_dim_enrichment",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name, r.r_name AS region_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+ORDER BY s.s_suppkey
+""",
+)
+def j1_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast LUT enrichment (J1/J2 — TEAMS/TEAM_ALIASES dict lookups,
+    Cleaning_Glass_#1.py:36-67, DEFENSEVSPOSTION.PY:83-116): both dims
+    broadcast, zero shuffles."""
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "j3_anti_join_missing",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+ORDER BY c.c_custkey
+""",
+)
+def j3_anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join completeness check (J3 — missing-teams detection,
+    DEFENSEVSPOSTION.PY:535-537): customers with zero orders."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti").orderBy("c_custkey")
+    )
+
+
+@query(
+    "j8_semi_join_selection",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+SEMI JOIN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON o.o_custkey = c.c_custkey
+ORDER BY c.c_custkey
+""",
+)
+def j8_semi_join_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join selection (J8/F4 — team-membership filters,
+    nba_insights_scraper.py:730-734): customers with ≥1 urgent order."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").orderBy("c_custkey")
+
+
+@query(
+    "j4_containment_match",
+    oracle="""
+WITH kw(keyword) AS (VALUES ('spark'), ('join'), ('window'), ('stream'), ('vector'))
+SELECT k.keyword, COUNT(*) AS n_docs, MIN(d.doc_id) AS first_doc
+FROM documents d JOIN kw k ON contains(d.text, k.keyword)
+GROUP BY k.keyword
+ORDER BY k.keyword
+""",
+)
+def j4_containment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment theta join (J4 — 'team1 in text and team2 in text'
+    re-matching, nba_props_scraper.py:1029-1053): broadcast-nested-loop of a
+    tiny keyword dim against document text. The dim broadcasts, so the scan
+    side streams once — the only sane shape for theta joins at scale."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kw = spark.createDataFrame(
+        [("spark",), ("join",), ("window",), ("stream",), ("vector",)], ["keyword"]
+    )
+    return (
+        d.join(F.broadcast(kw), F.col("text").contains(F.col("keyword")))
+        .groupBy("keyword")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("keyword")
+    )
+
+
+@query(
+    "j7_asof_latest_event",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_orderdate, o_custkey % 150 AS user_id FROM orders
+), ranked AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.user_id, e.event_id, e.event_type, e.value,
+         ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM o JOIN events e ON e.user_id = o.user_id AND e.ts <= o.o_orderdate
+)
+SELECT o_orderkey, user_id, event_id AS asof_event_id,
+       event_type AS asof_event_type, value AS asof_value
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def j7_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J7 — latest scrape ≤ game date, nba_props_scraper.py:837-840):
+    for each order, the user's most recent event at or before the order date.
+    Implemented as range-join + latest-per-key window; the events side is
+    small enough to broadcast here, and at 100 TB the same plan works
+    bucketed by user_id (or via Spark's range-join optimization)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", (F.col("o_custkey") % 150).alias("user_id")
+    )
+    e = read_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    joined = o.join(
+        e.withColumnRenamed("user_id", "e_user_id"),
+        (F.col("user_id") == F.col("e_user_id")) & (F.col("ts") <= F.col("o_orderdate")),
+    )
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "user_id",
+            F.col("event_id").alias("asof_event_id"),
+            F.col("event_type").alias("asof_event_type"),
+            F.col("value").alias("asof_value"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "u1_union_dedupe",
+    oracle="""
+WITH unioned AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+)
+SELECT custkey, COUNT(*) AS n_sources
+FROM unioned GROUP BY custkey
+ORDER BY custkey
+""",
+)
+def u1_union_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-strategy union with dedupe (U1/U2 — the 4-strategy match
+    discovery merged via seen-set, nba_props_scraper.py:174-305): union the
+    strategies, then aggregate instead of a driver-side seen-set."""
+    o = read_table(spark, sf_dir, "orders")
+    s1 = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    s2 = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("custkey"))
+    return (
+        s1.unionByName(s2)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "u3_except_missing",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation
+EXCEPT
+SELECT n.n_nationkey, n.n_name
+FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+ORDER BY n_nationkey
+""",
+)
+def u3_except_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference completeness (U3 — DEFENSEVSPOSTION.PY:535-537):
+    nations with no suppliers, via EXCEPT."""
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = read_table(spark, sf_dir, "supplier").select("s_nationkey")
+    present = n.join(s, n.n_nationkey == s.s_nationkey).select("n_nationkey", "n_name")
+    return n.exceptAll(present).distinct().orderBy("n_nationkey")

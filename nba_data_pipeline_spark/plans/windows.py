@@ -1,1 +1,175 @@
-"""Filled in by build plan."""
+"""Window-function queries (SURVEY §2.7 W1-W4, A10 variants).
+
+Ranking (DvP tables are rank-ordered team lists), streak/gaps-and-islands
+("in N straight games", nba_insights_scraper.py:424), latest-per-key dedupe
+(newest download per key, ctg_export_league.py:300-307), and ordinal
+disambiguation (the LA rule, DEFENSEVSPOSTION.PY:177-184).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.plans.exact import dsum, sql_dsum
+from nba_data_pipeline_spark.plans.registry import query
+
+
+@query(
+    "w2_rank_within_group",
+    oracle=f"""
+WITH rev AS (
+  SELECT s.s_suppkey, s.s_name, s.s_nationkey,
+         {sql_dsum("l.l_extendedprice")} AS revenue
+  FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_suppkey, s.s_name, s.s_nationkey
+)
+SELECT n.n_name AS nation_name, rev.s_suppkey, rev.s_name, rev.revenue,
+       CAST(RANK() OVER (PARTITION BY n.n_name
+                         ORDER BY rev.revenue DESC, rev.s_suppkey) AS INT) AS rev_rank,
+       CAST(DENSE_RANK() OVER (PARTITION BY n.n_name
+                               ORDER BY rev.revenue DESC, rev.s_suppkey) AS INT) AS rev_dense_rank
+FROM rev JOIN nation n ON rev.s_nationkey = n.n_nationkey
+ORDER BY nation_name, rev_rank
+""",
+)
+def w2_rank_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank/dense_rank within partition (W2 — DvP rank-ordered team lists,
+    DEFENSEVSPOSTION.PY:20-24): supplier revenue ranked within nation."""
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name", "s_nationkey")
+        .agg(dsum("l_extendedprice").alias("revenue"))
+    )
+    w = W.partitionBy("nation_name").orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    return (
+        rev.join(F.broadcast(n), rev.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation_name"), "s_suppkey", "s_name", "revenue"
+        )
+        .withColumn("rev_rank", F.rank().over(w).cast("int"))
+        .withColumn("rev_dense_rank", F.dense_rank().over(w).cast("int"))
+        .orderBy("nation_name", "rev_rank")
+    )
+
+
+@query(
+    "w3_longest_streak",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN value > 5.0 THEN 1 ELSE 0 END AS hit,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), islands AS (
+  SELECT user_id, hit,
+         rn - ROW_NUMBER() OVER (PARTITION BY user_id, hit ORDER BY rn) AS grp
+  FROM flagged
+), streaks AS (
+  SELECT user_id, COUNT(*) AS streak_len
+  FROM islands WHERE hit = 1
+  GROUP BY user_id, grp
+)
+SELECT user_id, MAX(streak_len) AS longest_streak, COUNT(*) AS n_streaks
+FROM streaks GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def w3_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streak detection (W3 — 'in N straight games',
+    nba_insights_scraper.py:424) via gaps-and-islands: two row_numbers whose
+    difference is constant within a run. One shuffle on user_id; both
+    windows and the final aggregate reuse that partitioning."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    rn_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("value") > 5.0, 1).otherwise(0).alias("hit"),
+    ).withColumn("rn", F.row_number().over(rn_all))
+    rn_hit = W.partitionBy("user_id", "hit").orderBy("rn")
+    islands = flagged.withColumn("grp", F.col("rn") - F.row_number().over(rn_hit))
+    streaks = (
+        islands.filter(F.col("hit") == 1)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.max("streak_len").alias("longest_streak"), F.count(F.lit(1)).alias("n_streaks"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "w4_latest_per_key",
+    oracle="""
+SELECT user_id, event_id AS latest_event_id, event_type AS latest_event_type,
+       value AS latest_value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def w4_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot-per-key dedupe (W4 — newest download per key,
+    ctg_export_league.py:300-307; overwrite-per-date sink semantics)."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_event_type"),
+            F.col("value").alias("latest_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "w1_ordinal_disambiguation",
+    oracle="""
+SELECT user_id, event_id, ord,
+       CASE WHEN ord = 1 THEN 'first' WHEN ord = 2 THEN 'second' ELSE 'later' END
+           AS arrival_label
+FROM (
+  SELECT user_id, event_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS ord
+  FROM events WHERE event_type = 'signup'
+)
+WHERE ord <= 3
+ORDER BY user_id, ord
+""",
+)
+def w1_ordinal_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-appearance disambiguation (W1 — the stateful LA rule, first
+    'LOS ANGELES' → Lakers, second → Clippers, DEFENSEVSPOSTION.PY:177-184):
+    an explicit ingestion order column + row_number makes the reference's
+    DOM-order-dependent rule deterministic under distributed execution."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_id", "ts")
+        .withColumn("ord", F.row_number().over(w).cast("int"))
+        .drop("ts")
+        .filter(F.col("ord") <= 3)
+        .withColumn(
+            "arrival_label",
+            F.when(F.col("ord") == 1, "first")
+            .when(F.col("ord") == 2, "second")
+            .otherwise("later"),
+        )
+        .orderBy("user_id", "ord")
+    )
