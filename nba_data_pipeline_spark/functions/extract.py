@@ -24,7 +24,7 @@ def extract_odds_all(c: Column) -> Column:
 
 def extract_first_odds(c: Column) -> Column:
     """First odds token → int (null if absent)."""
-    return F.try_cast(F.nullif(F.regexp_extract(c, ODDS_PATTERN, 0), F.lit("")), "int")
+    return F.nullif(F.regexp_extract(c, ODDS_PATTERN, 0), F.lit("")).try_cast("int")
 
 
 # --- X2: line/points extraction (nba_props_scraper.py:746-754) ------------
@@ -34,7 +34,7 @@ def extract_prop_line(c: Column) -> Column:
     """'O 25.5' / 'U 7' style first, else a standalone half-point number."""
     ou = F.regexp_extract(c, r"[OU]\s*(\d+\.?\d*)", 1)
     half = F.regexp_extract(c, r"(\d+\.5)", 1)
-    return F.try_cast(F.nullif(F.coalesce(F.nullif(ou, F.lit("")), half), F.lit("")), "double")
+    return F.nullif(F.coalesce(F.nullif(ou, F.lit("")), half), F.lit("")).try_cast("double")
 
 
 # --- X3: matchup parse (nba_insights_scraper.py:397-404) ------------------
@@ -54,7 +54,7 @@ def extract_matchup(c: Column) -> tuple[Column, Column, Column]:
 
 
 def extract_hit_rate_pct(c: Column) -> Column:
-    return F.try_cast(F.nullif(F.regexp_extract(c, r"(\d{1,3})%", 1), F.lit("")), "int")
+    return F.nullif(F.regexp_extract(c, r"(\d{1,3})%", 1), F.lit("")).try_cast("int")
 
 
 # --- X8: sportsbook detect (nba_insights_scraper.py:481-484) --------------
@@ -131,16 +131,16 @@ def md5_key(*cols: Column | str, length: int = 12) -> Column:
 
 def extract_spread(c: Column) -> tuple[Column, Column]:
     fav = F.nullif(F.regexp_extract(c, r"([A-Z]{3}) by (\d+\.?\d*)", 1), F.lit(""))
-    spread = F.try_cast(
-        F.nullif(F.regexp_extract(c, r"([A-Z]{3}) by (\d+\.?\d*)", 2), F.lit("")), "double"
-    )
+    spread = F.nullif(
+        F.regexp_extract(c, r"([A-Z]{3}) by (\d+\.?\d*)", 2), F.lit("")
+    ).try_cast("double")
     return fav, spread
 
 
 def extract_over_under(c: Column) -> Column:
-    return F.try_cast(
-        F.nullif(F.regexp_extract(c, r"o/u\s*(\d+\.?\d*)", 1), F.lit("")), "double"
-    )
+    return F.nullif(
+        F.regexp_extract(c, r"o/u\s*(\d+\.?\d*)", 1), F.lit("")
+    ).try_cast("double")
 
 
 # --- X21: American-odds implied probability (hardrock_scraper.py:497-503) -

@@ -1,0 +1,102 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (n-gram/stopword heuristic), quality scoring, token counting,
+document fingerprinting. All built from JVM-side expressions (split /
+filter / regexp) — no Python in the hot path — so they stream through
+whole-stage codegen at 100 TB.
+
+These extend the reference's text handling (line parsing, keyword
+predicates — run_scraper.py:97-101, nba_props_scraper.py:633-645) to the
+LLM-data-pipeline operator set called for by the project north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Stopword lists for the language-ID heuristic. Deterministic and tiny on
+# purpose: the operator's contract is a reproducible score, not NLP accuracy.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "y", "es", "que", "los", "un"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就"),
+}
+
+WS_TOKEN_PATTERN = r"\s+"
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[.!?,;:]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (after trim so no boundary empties)."""
+    return F.split(F.trim(text), WS_TOKEN_PATTERN)
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count via the pre-tokenizer regex — the cheap proxy for
+    'how many LLM tokens is this document'."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = LANG_STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(ws_tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def predict_lang(text: Column) -> Column:
+    """Stopword-scoring language ID with a deterministic tie-break (langs
+    compared in sorted order; first max wins)."""
+    langs = sorted(LANG_STOPWORDS)
+    scores = {lang: stopword_hits(text, lang) for lang in langs}
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        better = scores[lang] > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return best
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features + a composite score —
+    all exact-integer counts divided pairwise, so cross-engine stable."""
+    n_chars = F.length(text)
+    n_tokens = token_count_ws(text)
+    n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), 0))
+    n_stop = stopword_hits(text, "en")
+    avg_token_len = n_nonspace.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_token_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+    }
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the sorted distinct token set — invariant
+    to word order and duplication, the cheap exact-near-dup key."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(ws_tokens(text))), " "))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as strings; [] when the doc has fewer than k tokens.
+    Built with sequence+transform (JVM-side), no explode needed."""
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )

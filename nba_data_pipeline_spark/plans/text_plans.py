@@ -1,1 +1,258 @@
-"""Filled in by build plan."""
+"""Text-analysis + extraction catalog queries (SURVEY §2.4 X*, north-star
+text ops) over the ``documents`` and ``orders`` tables.
+
+The extraction suite constructs betting-shaped text deterministically from
+integer columns, then recovers the typed fields with the §2.4 expression
+library — the same parse the reference does row-at-a-time in Python
+(nba_props_scraper.py:733-822), here fully vectorized and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.functions.extract import (
+    detect_sportsbook,
+    extract_first_odds,
+    extract_hit_rate_pct,
+    extract_prop_line,
+    implied_probability,
+)
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.textops import (
+    LANG_STOPWORDS,
+    doc_fingerprint,
+    predict_lang,
+    quality_features,
+    token_count_bpe,
+    token_count_ws,
+)
+from nba_data_pipeline_spark.plans.registry import query
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter({_TOKS}, t -> t IN ({words})))"
+
+
+@query(
+    "ta_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       n_chars
+FROM documents
+ORDER BY doc_id
+""",
+)
+def ta_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish pre-tokenizer regex) — the
+    document-budget primitive for LLM data pipelines."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@query(
+    "ta_quality_scores",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_TOKS}) AS n_tokens,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len({_TOKS}) AS avg_token_len,
+       CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+       CAST({_sql_stop_hits("en")} AS DOUBLE) / len({_TOKS}) AS stopword_ratio
+FROM documents
+ORDER BY doc_id
+""",
+)
+def ta_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features (length / punctuation / stopword ratios) — exact
+    integer counts divided pairwise, cross-engine stable."""
+    d = read_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+_LANGS = sorted(LANG_STOPWORDS)
+_SQL_SCORES = ",\n       ".join(f"{_sql_stop_hits(lang)} AS s_{lang}" for lang in _LANGS)
+_SQL_BEST = "CASE " + " ".join(
+    f"WHEN s_{lang} = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN '{lang}'"
+    for lang in _LANGS
+) + " END"
+
+
+@query(
+    "ta_language_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_SQL_SCORES}
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang, {_SQL_BEST} AS predicted_lang,
+       CAST({_SQL_BEST} = lang AS BOOLEAN) AS lang_match
+FROM scored
+ORDER BY doc_id
+""",
+)
+def ta_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword scoring with a deterministic first-max
+    tie-break, compared against the dataset's label column."""
+    d = read_table(spark, sf_dir, "documents")
+    pred = predict_lang(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("lang_match"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "ta_fingerprint_groups",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+FROM fp GROUP BY fingerprint
+ORDER BY fingerprint
+""",
+)
+def ta_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set —
+    word-order/duplication-invariant near-dup key, grouped."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+        .orderBy("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1/X2/X7/X8/X19 extraction suite + X21 odds math on constructed prop text.
+# ---------------------------------------------------------------------------
+
+_SQL_TEXT = (
+    "concat('Player#', CAST(o_custkey AS VARCHAR), ' Over ', "
+    "CAST(o_orderkey % 40 AS VARCHAR), '.5 Points at ', "
+    "CASE WHEN o_orderkey % 2 = 0 THEN '-' ELSE '+' END, "
+    "CAST(100 + o_orderkey % 300 AS VARCHAR), ' on FanDuel ', "
+    "CAST(o_orderkey % 101 AS VARCHAR), '%')"
+)
+
+
+def _spark_prop_text() -> F.Column:
+    return F.concat(
+        F.lit("Player#"),
+        F.col("o_custkey").cast("string"),
+        F.lit(" Over "),
+        (F.col("o_orderkey") % 40).cast("string"),
+        F.lit(".5 Points at "),
+        F.when(F.col("o_orderkey") % 2 == 0, "-").otherwise("+"),
+        (100 + F.col("o_orderkey") % 300).cast("string"),
+        F.lit(" on FanDuel "),
+        (F.col("o_orderkey") % 101).cast("string"),
+        F.lit("%"),
+    )
+
+
+@query(
+    "x_prop_extraction",
+    oracle=f"""
+WITH raw AS (SELECT o_orderkey, {_SQL_TEXT} AS content FROM orders)
+SELECT o_orderkey,
+       TRY_CAST(NULLIF(regexp_extract(content, '(\\d+\\.5)', 1), '') AS DOUBLE) AS prop_line,
+       TRY_CAST(NULLIF(regexp_extract(content, '[+-]\\d{{3,4}}', 0), '') AS INT) AS odds,
+       TRY_CAST(NULLIF(regexp_extract(content, '(\\d{{1,3}})%', 1), '') AS INT) AS hit_rate_pct,
+       CASE WHEN contains(lower(content), 'fanduel') THEN 'fanduel' END AS sportsbook,
+       substring(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), content)), 1, 12) AS surrogate_id
+FROM raw
+ORDER BY o_orderkey
+""",
+)
+def x_prop_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-field extraction (X1 odds, X2 line, X7 hit-rate, X8 book,
+    X19 md5 surrogate) from prop-shaped text — the reference's Python
+    parsers (nba_props_scraper.py:733-822) as pure regexp expressions."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = o.withColumn("content", _spark_prop_text())
+    return raw.select(
+        "o_orderkey",
+        extract_prop_line(F.col("content")).alias("prop_line"),
+        extract_first_odds(F.col("content")).alias("odds"),
+        extract_hit_rate_pct(F.col("content")).alias("hit_rate_pct"),
+        detect_sportsbook(F.col("content")).alias("sportsbook"),
+        F.substring(
+            F.md5(F.concat_ws("_", F.col("o_orderkey").cast("string"), F.col("content"))),
+            1,
+            12,
+        ).alias("surrogate_id"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "x21_odds_math",
+    oracle="""
+WITH odds AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN -(100 + o_orderkey % 300)
+              ELSE (100 + o_orderkey % 300) END AS over_odds,
+         CASE WHEN o_orderkey % 2 = 0 THEN (105 + o_orderkey % 250)
+              ELSE -(105 + o_orderkey % 250) END AS under_odds
+  FROM orders
+)
+SELECT o_orderkey, over_odds, under_odds,
+       CASE WHEN over_odds > 0 THEN 100.0 / (over_odds + 100.0)
+            ELSE -over_odds / (-over_odds + 100.0) END AS over_prob,
+       CASE WHEN under_odds > 0 THEN 100.0 / (under_odds + 100.0)
+            ELSE -under_odds / (-under_odds + 100.0) END AS under_prob,
+       (CASE WHEN over_odds > 0 THEN 100.0 / (over_odds + 100.0)
+             ELSE -over_odds / (-over_odds + 100.0) END
+        + CASE WHEN under_odds > 0 THEN 100.0 / (under_odds + 100.0)
+               ELSE -under_odds / (-under_odds + 100.0) END - 1.0) AS vig
+FROM odds
+ORDER BY o_orderkey
+""",
+)
+def x21_odds_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American-odds math (X21, hardrock_scraper.py:497-503): implied
+    probability per side + book vig, pure double arithmetic."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    over = F.when(
+        F.col("o_orderkey") % 2 == 0, -(100 + F.col("o_orderkey") % 300)
+    ).otherwise(100 + F.col("o_orderkey") % 300)
+    under = F.when(
+        F.col("o_orderkey") % 2 == 0, 105 + F.col("o_orderkey") % 250
+    ).otherwise(-(105 + F.col("o_orderkey") % 250))
+    df = o.withColumn("over_odds", over).withColumn("under_odds", under)
+    over_p = implied_probability(F.col("over_odds"))
+    under_p = implied_probability(F.col("under_odds"))
+    return df.select(
+        "o_orderkey",
+        "over_odds",
+        "under_odds",
+        over_p.alias("over_prob"),
+        under_p.alias("under_prob"),
+        (over_p + under_p - 1.0).alias("vig"),
+    ).orderBy("o_orderkey")
