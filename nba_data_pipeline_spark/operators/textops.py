@@ -95,7 +95,10 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     Built with sequence+transform (JVM-side), no explode needed."""
     toks = ws_tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # guard: sequence(1, 0) would be DESCENDING [1,0], not empty
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),

@@ -1,1 +1,245 @@
-"""Filled in by build plan."""
+"""Dedup catalog queries (SURVEY §2.10 D1-D5): exact first-wins, prefix-key
+dedupe, n-gram Jaccard pairs, MinHash+LSH candidate generation, SimHash
+signatures. All md5-keyed so the DuckDB oracle reproduces every hash
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.dedup import (
+    jaccard_pairs,
+    keep_first,
+    lsh_band_keys,
+    minhash_signature,
+    shingle_sets,
+    simhash16,
+)
+from nba_data_pipeline_spark.operators.textops import ws_tokens
+from nba_data_pipeline_spark.plans.registry import query
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+)
+_SQL_SH_REL = f"""
+  WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM t),
+  sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "d1_first_wins_dedup",
+    oracle="""
+SELECT l_orderkey, l_suppkey AS first_suppkey, l_quantity AS first_quantity,
+       n_lines
+FROM (
+  SELECT l_orderkey, l_suppkey, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_suppkey, l_partkey) AS rn,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+  FROM lineitem
+) WHERE rn = 1
+ORDER BY l_orderkey
+""",
+)
+def d1_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: first-wins dedupe by identifier (nba_props_scraper.py:295-302
+    seen-set) as row_number over an explicit arrival order."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", "l_quantity"
+    )
+    from pyspark.sql import Window as W
+
+    counted = li.withColumn(
+        "n_lines", F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
+    )
+    return (
+        keep_first(counted, ["l_orderkey"], ["l_linenumber", "l_suppkey", "l_partkey"])
+        .select(
+            "l_orderkey",
+            F.col("l_suppkey").alias("first_suppkey"),
+            F.col("l_quantity").alias("first_quantity"),
+            "n_lines",
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "d2_prefix_dedup",
+    oracle="""
+SELECT substring(text, 1, 80) AS prefix_key, COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_doc
+FROM documents
+GROUP BY prefix_key
+ORDER BY prefix_key
+""",
+)
+def d2_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: content-prefix dedupe key (first 80 chars, run_scraper.py:124-134):
+    group on the prefix, keep the lowest id."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.substring("text", 1, 80).alias("prefix_key"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+        .orderBy("prefix_key")
+    )
+
+
+@query(
+    "d5_ngram_jaccard_topk",
+    oracle=f"""
+{_SQL_SH_REL},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
+FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT 50
+""",
+)
+def d5_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5a: exact n-gram (3-word-shingle) Jaccard — top-50 most-similar doc
+    pairs. Candidates come from the shingle equi-join (pairs sharing ≥1
+    shingle), never all-pairs; at 100 TB add the frequent-shingle skew
+    filter (operators/dedup.py)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_sets(d)
+    return (
+        jaccard_pairs(sh)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(50)
+    )
+
+
+_NUM_HASHES = 12
+_ROWS_PER_BAND = 3
+_SQL_SIG = ",\n    ".join(
+    f"MIN(md5(concat('{i}:', shingle))) AS mh_{i}" for i in range(_NUM_HASHES)
+)
+_SQL_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_idx, "
+    f"md5(concat_ws('|', mh_{3*b}, mh_{3*b+1}, mh_{3*b+2})) AS band_key FROM sig"
+    for b in range(_NUM_HASHES // _ROWS_PER_BAND)
+)
+
+
+@query(
+    "d5_minhash_lsh_pairs",
+    oracle=f"""
+{_SQL_SH_REL},
+sig AS (
+  SELECT doc_id, {_SQL_SIG}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_SQL_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) AS jaccard
+FROM cand c
+JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.4
+ORDER BY c.id_a, c.id_b
+""",
+)
+def d5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5b: MinHash+LSH near-dup detection — 12 md5 minhashes, 4 bands × 3
+    rows; candidates from the band-key equi-join, then exact-Jaccard
+    verification at ≥0.4. This is the 100 TB shape: signature computation is
+    a single pass, candidate generation is an equi-join on short keys, and
+    the expensive verify runs only on candidates."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_sets(d)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(_NUM_HASHES)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{3*b+j}") for j in range(_ROWS_PER_BAND)])
+            ).alias("band_key"),
+        )
+        for b in range(_NUM_HASHES // _ROWS_PER_BAND)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = jaccard_pairs(sh, min_jaccard=0.4).select("id_a", "id_b", "jaccard")
+    return cand.join(verified, ["id_a", "id_b"]).orderBy("id_a", "id_b")
+
+
+_SQL_SIMHASH_BITS = " || ".join(
+    f"(CASE WHEN SUM(CASE WHEN substring(md5(tok), {b}, 1) >= '8' THEN 1 ELSE -1 END) > 0 "
+    f"THEN '1' ELSE '0' END)"
+    for b in range(1, 17)
+)
+
+
+@query(
+    "d5_simhash_signatures",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+sig AS (
+  SELECT doc_id, {_SQL_SIMHASH_BITS} AS simhash16
+  FROM tok GROUP BY doc_id
+)
+SELECT simhash16, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+FROM sig GROUP BY simhash16
+ORDER BY simhash16
+""",
+)
+def d5_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5c: SimHash — 16-bit majority signature over distinct-token md5
+    nibbles; identical signatures = near-dup buckets. One explode + one
+    aggregate; bit arithmetic stays JVM-side."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok")
+    )
+    bit_cols = [
+        F.when(F.sum(simhash16(F.col("tok"), b)) > 0, "1").otherwise("0")
+        for b in range(1, 17)
+    ]
+    sig = tok.groupBy("doc_id").agg(F.concat(*bit_cols).alias("simhash16"))
+    return (
+        sig.groupBy("simhash16")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+        .orderBy("simhash16")
+    )

@@ -64,8 +64,9 @@ def compare(name: str, spark_df, duck_rel) -> list[str]:
     sset = sorted(tuple(canon(v) for v in row) for row in srows)
     dset = sorted(tuple(canon(v) for v in row) for row in drows)
     if sset != dset:
-        diff_s = [r for r in sset if r not in set(map(tuple, dset))][:3]
-        diff_d = [r for r in dset if r not in set(map(tuple, sset))][:3]
+        dseen, sseen = set(dset), set(sset)
+        diff_s = [r for r in sset if r not in dseen][:3]
+        diff_d = [r for r in dset if r not in sseen][:3]
         problems.append(f"values differ; spark-only={diff_s} duck-only={diff_d}")
     return problems
 
