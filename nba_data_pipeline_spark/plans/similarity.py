@@ -1,1 +1,170 @@
-"""Filled in by build plan."""
+"""Similarity-search catalog queries over the ``embeddings`` table.
+
+Brute-force cosine top-k (the correctness baseline), hyperplane-LSH
+near-dup blocking, and IVF-style cell-probed search (the scale paths).
+All dot products use the engine-stable double fold, so DuckDB verifies
+every similarity value bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.similarity import (
+    cosine,
+    dot,
+    lsh_bucket,
+    sql_hyperplane_weights,
+)
+from nba_data_pipeline_spark.plans.registry import query
+
+DIM = 64
+_SQL_COS = (
+    "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+    "sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT e FROM v WHERE vec_id = 0)
+SELECT a.vec_id, a.label,
+       list_dot_product(a.e, b.e) /
+           (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cosine_sim
+FROM v a, q b
+WHERE a.vec_id <> 0
+ORDER BY cosine_sim DESC, a.vec_id
+LIMIT 10
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a query vector — the exact baseline
+    every ANN variant is measured against. The query vector broadcasts; the
+    scan side streams once; top-k is TakeOrdered (no global sort)."""
+    v = read_table(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qvec")).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+_NUM_PLANES = 4
+_SQL_BUCKET_BITS = " || ".join(
+    f"(CASE WHEN list_dot_product(e, {sql_hyperplane_weights(h)}) > 0 "
+    "THEN '1' ELSE '0' END)"
+    for h in range(_NUM_PLANES)
+)
+
+
+@query(
+    "sim_lsh_neardup_pairs",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+b AS (SELECT vec_id, e, {_SQL_BUCKET_BITS} AS bucket FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+       {_SQL_COS} AS cosine_sim
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_SQL_COS} >= 0.25
+ORDER BY id_a, id_b
+""",
+)
+def sim_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane LSH: 4 deterministic ±1 hyperplanes
+    → 16 buckets; candidate pairs share a bucket (equi-join, no all-pairs);
+    exact cosine ≥ 0.25 verifies. The 100 TB shape — bucket cardinality
+    controls the join fan-out."""
+    v = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = v.withColumn("bucket", lsh_bucket(F.col("embedding"), _NUM_PLANES, DIM))
+    a = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "bucket")
+    cos = cosine(F.col("e_a"), F.col("e_b"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= 0.25)
+        .select("id_a", "id_b", "bucket", "cosine_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_NUM_CENTROIDS = 8
+
+
+@query(
+    "sim_ivf_probe1",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_NUM_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, label, e, cid FROM (
+    SELECT a.vec_id, a.label, a.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.e, c.ce) /
+                      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+                      DESC, c.cid
+           ) AS rn
+    FROM v a, cent c
+  ) WHERE rn = 1
+),
+qcell AS (SELECT cid FROM assigned WHERE vec_id = 0),
+q AS (SELECT e FROM v WHERE vec_id = 0)
+SELECT a.vec_id, a.label, a.cid AS cell,
+       {_SQL_COS} AS cosine_sim
+FROM assigned a, q b
+WHERE a.cid = (SELECT cid FROM qcell) AND a.vec_id <> 0
+ORDER BY cosine_sim DESC, a.vec_id
+LIMIT 5
+""",
+)
+def sim_ivf_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with nprobe=1: the first 8 vectors act as deterministic
+    centroids; every vector is assigned to its max-cosine centroid; the
+    search scans only the query's cell. At scale: centroids broadcast,
+    assignment is one pass, cells are the partitioning key."""
+    v = read_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    cent = (
+        v.filter(F.col("vec_id") < _NUM_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    from pyspark.sql import Window as W
+
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "sim", cosine(F.col("embedding"), F.col("cvec"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+    qcell = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("cid").alias("qcid"), F.col("embedding").alias("qvec")
+    )
+    return (
+        assigned.crossJoin(F.broadcast(qcell))
+        .filter((F.col("cid") == F.col("qcid")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").alias("cell"),
+            cosine(F.col("embedding"), F.col("qvec")).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(5)
+    )
