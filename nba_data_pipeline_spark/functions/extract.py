@@ -98,7 +98,9 @@ def sanitize_filename(c: Column, max_len: int = 80) -> Column:
 
 
 def fix_country(c: Column) -> Column:
-    return F.trim(F.regexp_replace(c, r"\b(\w+)\s+\1\b", r"\1"))
+    """Literal 'us US'/'US US' → 'US' fixups + trim, as the reference does."""
+    t = F.trim(c)
+    return F.when(t.isin("us US", "US US"), F.lit("US")).otherwise(t)
 
 
 # --- X15/X16: date parse/format/relative ----------------------------------

@@ -49,7 +49,7 @@ def flatten_header(parts: tuple[str, ...] | list[str], sep: str = "_") -> str:
 def canonical_name(name: str, sep: str = "_") -> str:
     """N2: canonical column rename — longest-token-first token map, '%' →
     '_pct', whitespace → sep (Basketball_Refrence_alltables.py:104-131)."""
-    out = name.strip()
+    out = re.sub(r"Unnamed:?\s*\S+\s*", "", name).strip() or "col"
     for token in sorted(CANONICAL_TOKENS, key=len, reverse=True):
         if token in out:
             out = out.replace(token, CANONICAL_TOKENS[token])
@@ -107,11 +107,11 @@ def coerce_numeric(df: DataFrame, cols: list[str] | None = None, threshold: floa
     aggs = []
     for c in string_cols:
         aggs.append(F.count(F.col(c)).alias(f"__n_{c}"))
-        aggs.append(F.count(F.try_cast(F.col(c), "double")).alias(f"__p_{c}"))
+        aggs.append(F.count(F.col(c).try_cast("double")).alias(f"__p_{c}"))
     stats = df.agg(*aggs).collect()[0]
     out = df
     for c in string_cols:
         n, p = stats[f"__n_{c}"], stats[f"__p_{c}"]
         if n > 0 and p >= threshold * n:
-            out = out.withColumn(c, F.try_cast(F.col(c), "double"))
+            out = out.withColumn(c, F.col(c).try_cast("double"))
     return out

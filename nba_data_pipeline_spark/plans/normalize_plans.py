@@ -1,1 +1,96 @@
-"""Filled in by build plan."""
+"""Normalization-pipeline catalog queries (SURVEY §2.2 N1-N4, §2.3 F1,
+§2.4 X17): drive the schema-repair library end-to-end on a deliberately
+pathological projection of ``lineitem`` — flattened-MultiIndex names,
+``Unnamed`` placeholders, duplicate names, in-band header-repeat rows, and a
+mixed-parse numeric column around the ≥50% boundary — and verify the cleaned
+result against plain SQL that names the expected output columns directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.normalize import (
+    coerce_numeric,
+    drop_header_repeats,
+    normalize_columns,
+)
+from nba_data_pipeline_spark.plans.exact import sql_dsum
+from nba_data_pipeline_spark.plans.registry import query
+
+
+def _pathological(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem disguised as a scraped table: messy headers, stringly-typed
+    stats, an in-band header row per 500 rows, and a numeric column whose
+    parse rate sits above the keep-cast threshold."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.when(F.col("l_linenumber") % 500 == 0, F.lit("Player"))
+        .otherwise(F.concat(F.lit("P"), F.col("l_suppkey").cast("string")))
+        .alias("Unnamed: 0_level_0 Player"),
+        F.col("l_quantity").cast("string").alias("Per Game PTS"),
+        F.col("l_extendedprice").cast("string").alias("Per Game PTS"),
+        F.when(F.col("l_partkey") % 4 == 0, F.lit("—"))
+        .otherwise(F.col("l_discount").cast("string"))
+        .alias("FG%"),
+        F.col("l_returnflag").alias("Shooting FG%"),
+    )
+
+
+@query(
+    "n_normalize_pipeline",
+    oracle=f"""
+WITH raw AS (
+  SELECT CASE WHEN l_linenumber % 500 = 0 THEN 'Player'
+              ELSE concat('P', CAST(l_suppkey AS VARCHAR)) END AS "Player",
+         CAST(l_quantity AS VARCHAR) AS pts_1,
+         CAST(l_extendedprice AS VARCHAR) AS pts_2,
+         CASE WHEN l_partkey % 4 = 0 THEN '—'
+              ELSE CAST(l_discount AS VARCHAR) END AS fg_pct,
+         l_returnflag AS shooting_fg_pct
+  FROM lineitem
+), cleaned AS (
+  SELECT * FROM raw WHERE "Player" <> 'Player'
+)
+SELECT "Player" AS Player,
+       {sql_dsum("TRY_CAST(pts_1 AS DOUBLE)")} AS sum_pts,
+       CAST(SUM(CAST(TRY_CAST(pts_2 AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(TRY_CAST(pts_2 AS DOUBLE)) AS avg_pts_dup,
+       CAST(SUM(CAST(TRY_CAST(fg_pct AS DOUBLE) AS DECIMAL(8,2))) AS DOUBLE)
+           / COUNT(TRY_CAST(fg_pct AS DOUBLE)) AS avg_fg_pct,
+       COUNT(*) AS n_rows
+FROM cleaned
+GROUP BY Player
+ORDER BY Player
+""",
+)
+def n_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 flatten + N2 canonical rename + N3 duplicate suffixing + F1
+    header-repeat drop + X17 threshold coercion, then an aggregate over the
+    repaired table. The rename passes are analysis-time only (zero jobs);
+    coercion adds exactly one stats pass
+    (Basketball_Refrence_alltables.py:76-186 end-to-end)."""
+    messy = _pathological(spark, sf_dir)
+    # N1-N3: 'Unnamed: 0_level_0 Player'->'Player', 'Per Game PTS' twice ->
+    # 'Per_Game_PTS','Per_Game_PTS_1', 'FG%'->'FG_pct', 'Shooting FG%'->...
+    named = normalize_columns(messy)
+    cleaned = drop_header_repeats(named, "Player")
+    typed = coerce_numeric(cleaned)  # PTS cols + FG_pct parse ≥ 50% → double
+    price_dec = F.col("Per_Game_PTS_1").cast("decimal(18,2)")
+    return (
+        typed.groupBy("Player")
+        .agg(
+            F.sum(F.col("Per_Game_PTS").cast("decimal(18,2)")).cast("double").alias("sum_pts"),
+            (F.sum(price_dec).cast("double") / F.count("Per_Game_PTS_1")).alias(
+                "avg_pts_dup"
+            ),
+            (
+                F.sum(F.col("FG_pct").cast("decimal(8,2)")).cast("double")
+                / F.count("FG_pct")
+            ).alias("avg_fg_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("Player")
+    )

@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         normalize_plans,
         similarity,
+        streaming_plans,
         text_plans,
         windows,
     )

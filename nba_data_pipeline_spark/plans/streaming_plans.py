@@ -1,0 +1,120 @@
+"""Event-time windowing catalog queries (SURVEY §2.11 S6).
+
+The reference has no true streams — only polling loops over pre-aggregated
+"Last 7/15/30" calendar slices (DEFENSEVSPOSTION.PY:66). Here the engine
+gets real event-time windows over ``events``: tumbling, sliding, and
+session. These run in batch mode (same operators Structured Streaming
+executes incrementally — see nba_data_pipeline_spark/streaming/ for the
+readStream path with watermarks), so DuckDB can verify them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.plans.exact import sql_dsum
+from nba_data_pipeline_spark.plans.registry import query
+
+
+@query(
+    "s6_tumbling_windows",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "DECIMAL(18,2)")} AS total_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+)
+def s6_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows — the streaming-native group-by
+    (window(ts, '1 day') ≡ incremental state in readStream mode)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "s6_sliding_windows",
+    oracle=f"""
+WITH contrib AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, value FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY AS window_start, value
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events,
+       {sql_dsum("value", "DECIMAL(18,2)")} AS total_value
+FROM contrib
+GROUP BY window_start
+HAVING window_start > TIMESTAMP '2023-12-31 00:00:00'
+ORDER BY window_start
+""",
+)
+def s6_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2-day length, 1-day slide): every event lands in two
+    windows; expressed with window(ts, '2 days', '1 day'). The oracle
+    mirrors via the two shifted day-truncations. Window identity = its
+    START; the earliest partial window is excluded on both sides to keep
+    the comparison well-defined."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .filter(F.col("window_start") > F.lit("2023-12-31 00:00:00").cast("timestamp"))
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "s6_session_windows",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def s6_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via session_window() — the
+    stateful streaming operator, verified in batch against a
+    gaps-and-islands oracle."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+        .orderBy("user_id", "session_start")
+    )

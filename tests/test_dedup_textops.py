@@ -1,0 +1,87 @@
+"""Unit tests: dedup operators + text ops on tiny controlled docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.operators.dedup import (
+    jaccard_pairs,
+    keep_first,
+    shingle_sets,
+)
+from nba_data_pipeline_spark.operators.textops import (
+    doc_fingerprint,
+    predict_lang,
+    token_count_bpe,
+    token_count_ws,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+            (4, "ab"),  # fewer than 3 tokens -> no shingles
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_word_shingles_edges(docs):
+    out = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")).collect()}
+    assert out[1][0] == "the quick brown"
+    assert len(out[1]) == 7
+    assert out[4] == []
+
+
+def test_jaccard_pairs(docs):
+    sh = shingle_sets(docs)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(sh).collect()}
+    # docs 1,2 share 6 of 7 shingles each -> jaccard 6/8
+    assert abs(pairs[(1, 2)] - 6 / 8) < 1e-12
+    assert (1, 3) not in pairs
+
+
+def test_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k", 3, "c"), ("k", 1, "a"), ("k", 2, "b"), ("j", 9, "z")],
+        ["key", "ord", "val"],
+    )
+    out = {r.key: r.val for r in keep_first(df, ["key"], ["ord"]).collect()}
+    assert out == {"k": "a", "j": "z"}
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta alpha")], ["doc_id", "text"]
+    )
+    fps = [r.fp for r in df.select(doc_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_token_counts(docs):
+    row = docs.filter(F.col("doc_id") == 1).select(
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert row.ws == 9
+    assert row.bpe == 9
+
+
+def test_predict_lang_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "der hund und die katze ist"),
+         (3, "el perro y la casa es que")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", predict_lang(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"

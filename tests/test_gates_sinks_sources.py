@@ -1,0 +1,105 @@
+"""Completeness gates (S5/A5), partitioned sinks (SNK1), HTML/CSV sources
+(SRC1/SRC2/SRC7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nba_data_pipeline_spark.io import write_partitioned_json
+from nba_data_pipeline_spark.operators.gates import (
+    CompletenessError,
+    check_cell_presence,
+    check_group_completeness,
+    gated_write_parquet,
+)
+from nba_data_pipeline_spark.sources.csv_source import read_csv_clean
+from nba_data_pipeline_spark.sources.html_table import (
+    best_table,
+    html_corpus_tables,
+    html_table_to_df,
+    parse_html_tables,
+)
+
+HTML = """
+<html><body>
+<table><tr><th>Team</th><th>PTS</th></tr>
+<tr><td>Chicago</td><td>110</td></tr><tr><td>Boston</td><td>98</td></tr></table>
+<!-- <table><tr><th>Hidden</th></tr><tr><td>x</td></tr><tr><td>y</td></tr>
+<tr><td>z</td></tr></table> -->
+</body></html>
+"""
+
+
+def test_parse_html_tables_includes_comments():
+    tables = parse_html_tables(HTML)
+    assert len(tables) == 2
+    headers, rows = best_table(tables)
+    assert headers == ["Hidden"]  # 3 rows beats 2
+    assert len(rows) == 3
+
+
+def test_html_table_to_df(spark):
+    df = html_table_to_df(spark, HTML, table_index=0)
+    assert df.columns == ["Team", "PTS"]
+    assert {r.Team for r in df.collect()} == {"Chicago", "Boston"}
+
+
+def test_html_corpus_distributed(spark):
+    corpus = spark.createDataFrame([("u1", HTML), ("u2", HTML)], ["url", "html"])
+    out = html_corpus_tables(corpus)
+    assert out.count() == 2 * (2 + 3)
+    assert out.filter("table_idx = 1").count() == 6
+
+
+def test_csv_bom_and_trim(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text('﻿Team, Wins\n Chicago , 41\nBoston,50\n', encoding="utf-8")
+    df = read_csv_clean(spark, str(p))
+    assert df.columns[0] == "Team"
+    rows = {r.Team: r.Wins for r in df.collect()}
+    assert rows["Chicago"] == "41"
+
+
+def test_group_completeness_gate(spark):
+    ok_df = spark.createDataFrame(
+        [(p, t) for p in ("PG", "SG") for t in ("A", "B", "C")], ["position", "team"]
+    )
+    assert check_group_completeness(ok_df, ["position"], "team", 3).ok
+    bad = check_group_completeness(ok_df.filter("team <> 'C' OR position <> 'SG'"),
+                                   ["position"], "team", 3)
+    assert not bad.ok
+    assert bad.failures[0]["position"] == "SG"
+
+
+def test_cell_presence_gate(spark):
+    df = spark.createDataFrame([("PG", "Last 7"), ("SG", "Last 7")], ["pos", "tf"])
+    expected = [("PG", "Last 7"), ("SG", "Last 7"), ("C", "Last 7")]
+    rep = check_cell_presence(df, ["pos", "tf"], expected)
+    assert not rep.ok
+    assert {"pos": "C", "tf": "Last 7"} in rep.failures
+
+
+def test_gated_write_blocks_partial(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("PG", "A", 1), ("PG", "B", 2), ("SG", "A", 3)], ["position", "team", "v"]
+    )
+    with pytest.raises(CompletenessError):
+        gated_write_parquet(
+            df, str(tmp_path / "out"), ["position"], ["position"], "team", 2
+        )
+    assert not (tmp_path / "out").exists()
+    ok = df.union(spark.createDataFrame([("SG", "B", 4)], df.schema))
+    gated_write_parquet(ok, str(tmp_path / "out"), ["position"], ["position"], "team", 2)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
+
+
+def test_partitioned_json_sink(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("CHI", "stats", "2024-01-01", 1), ("BOS", "stats", "2024-01-01", 2)],
+        ["team", "page", "scrape_date", "v"],
+    )
+    path = str(tmp_path / "tree")
+    write_partitioned_json(df, path, ["team", "page"])
+    assert (tmp_path / "tree" / "team=CHI" / "page=stats").exists()
+    back = spark.read.json(path)
+    assert back.count() == 2

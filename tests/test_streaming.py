@@ -1,0 +1,68 @@
+"""Structured Streaming tests (SURVEY §2.11 S1-S3): file-source micro-batch
+ingest with availableNow (scroll-until-stable), arrival dedupe with
+watermark, incremental resume via checkpoint (skip-if-exists F8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from nba_data_pipeline_spark.streaming.polling import (
+    dedupe_on_arrival,
+    read_file_stream,
+    run_available_now,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "land"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+
+def test_available_now_processes_then_stops(spark, dirs):
+    import datetime as dt
+
+    land, sink, ckpt = dirs
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    _write_batch(spark, land, [(1, t0, "a"), (2, t0, "b")])
+
+    sdf = read_file_stream(spark, land, SCHEMA)
+    run_available_now(sdf, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 2
+
+    # second landing + rerun resumes from checkpoint: only new rows appended
+    _write_batch(spark, land, [(3, t0, "c")])
+    run_available_now(read_file_stream(spark, land, SCHEMA), sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+    assert {r.event_id for r in out.collect()} == {1, 2, 3}
+
+
+def test_arrival_dedupe_with_watermark(spark, dirs):
+    import datetime as dt
+
+    land, sink, ckpt = dirs
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # duplicate event_ids landing within the watermark window
+    _write_batch(
+        spark,
+        land,
+        [(1, t0, "a"), (1, t0, "dup"), (2, t0, "b"), (2, t0, "dup"), (3, t0, "c")],
+    )
+    sdf = dedupe_on_arrival(read_file_stream(spark, land, SCHEMA), ["event_id"], "ts")
+    run_available_now(sdf, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+    assert {r.event_id for r in out.collect()} == {1, 2, 3}
