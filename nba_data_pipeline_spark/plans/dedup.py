@@ -173,7 +173,12 @@ def d5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single pass, candidate generation is an equi-join on short keys, and
     the expensive verify runs only on candidates."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingle_sets(d)
+    from nba_data_pipeline_spark.operators.textops import word_shingles
+
+    docs = d.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"))).alias("sh_arr")
+    )
+    sh = docs.select("doc_id", F.explode("sh_arr").alias("shingle"))
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
@@ -200,8 +205,23 @@ def d5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    verified = jaccard_pairs(sh, min_jaccard=0.4).select("id_a", "id_b", "jaccard")
-    return cand.join(verified, ["id_a", "id_b"]).orderBy("id_a", "id_b")
+    # Verify ONLY the candidates: join their shingle arrays and compute the
+    # exact Jaccard with array_intersect — no second all-pairs shingle join.
+    # (The SQL oracle computes inter via the generic join; values identical.)
+    with_a = cand.join(
+        docs.select(F.col("doc_id").alias("id_a"), F.col("sh_arr").alias("sh_a")), "id_a"
+    )
+    with_b = with_a.join(
+        docs.select(F.col("doc_id").alias("id_b"), F.col("sh_arr").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        with_b.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= 0.4)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
 
 
 _SQL_SIMHASH_BITS = " || ".join(

@@ -88,10 +88,21 @@ def sim_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine ≥ 0.25 verifies. The 100 TB shape — bucket cardinality
     controls the join fan-out."""
     v = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    b = v.withColumn("bucket", lsh_bucket(F.col("embedding"), _NUM_PLANES, DIM))
-    a = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "bucket")
-    c = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "bucket")
-    cos = cosine(F.col("e_a"), F.col("e_b"))
+    # Precompute each vector's norm BEFORE the bucket join: every candidate
+    # pair then costs one dot-fold instead of three. sqrt(dot(e,e)) here is
+    # the same expression the oracle uses, so values stay bit-identical.
+    b = v.withColumn("bucket", lsh_bucket(F.col("embedding"), _NUM_PLANES, DIM)).withColumn(
+        "norm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"), "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"), "bucket",
+    )
+    cos = dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
