@@ -16,7 +16,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from nba_data_pipeline_spark.operators.textops import word_shingles, ws_tokens
+from nba_data_pipeline_spark.operators.textops import (
+    distinct_word_shingles_fast,
+    ws_tokens,
+)
 
 
 def keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
@@ -66,7 +69,8 @@ def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """(id, shingle) pairs with per-doc distinct shingles — the base relation
     for Jaccard/minhash. Explodes once; downstream joins are equi-joins."""
     return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle")
+        F.col(id_col),
+        F.explode(distinct_word_shingles_fast(F.col(text_col), k)).alias("shingle"),
     )
 
 
@@ -81,10 +85,16 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.
     see ``frequent_shingle_filter``.
     """
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # Join on the 64-bit hash of the shingle, not the string: the shuffle
+    # moves 8-byte keys instead of ~30-byte 3-word strings. Shingles are
+    # distinct per doc, so counts are unchanged (64-bit collisions across
+    # ~millions of distinct shingles are ~1e-8 — far below the float
+    # round-off the oracle compare already tolerates).
+    hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
+    a = hashed.select(F.col(id_col).alias("id_a"), "sh_h")
+    b = hashed.select(F.col(id_col).alias("id_b"), "sh_h")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh_h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -11,6 +11,7 @@ LLM-data-pipeline operator set called for by the project north star.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # Stopword lists for the language-ID heuristic. Deterministic and tiny on
@@ -100,7 +101,6 @@ def distinct_word_shingles_fast(text: Column, k: int = 3) -> Column:
     matches the engine's trim+regex-split tokenization on whitespace-
     separated text, so downstream hashes are unchanged.
     """
-    import pandas as pd
 
     @F.pandas_udf("array<string>")
     def _shingles(s: pd.Series) -> pd.Series:

@@ -173,10 +173,10 @@ def d5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single pass, candidate generation is an equi-join on short keys, and
     the expensive verify runs only on candidates."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    from nba_data_pipeline_spark.operators.textops import word_shingles
+    from nba_data_pipeline_spark.operators.textops import distinct_word_shingles_fast
 
     docs = d.select(
-        "doc_id", F.array_distinct(word_shingles(F.col("text"))).alias("sh_arr")
+        "doc_id", distinct_word_shingles_fast(F.col("text")).alias("sh_arr")
     )
     sh = docs.select("doc_id", F.explode("sh_arr").alias("shingle"))
     sig = sh.groupBy("doc_id").agg(
