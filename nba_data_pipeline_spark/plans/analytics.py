@@ -465,3 +465,113 @@ def a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "a2_group_fanout_manifest",
+    oracle="""
+SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+)
+def a2_group_fanout_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: group-by-key fan-out manifest (nba_insights_scraper.py:549-556 —
+    insights grouped per team before per-team save). The groupBy result IS
+    the write.partitionBy layout: one row per output partition."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "a3_count_metadata",
+    oracle="""
+SELECT COUNT(*) AS total_orders,
+       COUNT(DISTINCT o_custkey) AS total_customers,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+""",
+)
+def a3_count_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: run-metadata counts (nba_insights_scraper.py:525-532:
+    total_insights / total_players / teams_covered) — one global aggregate
+    row; countDistinct is the exact form, a14 shows the approx variant."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.countDistinct("o_custkey").alias("total_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@query(
+    "a4_sum_group_sizes",
+    oracle="""
+WITH g AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS sz
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus, COUNT(*) AS n_groups, SUM(sz) AS total_rows
+FROM g GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def a4_sum_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: sum over group sizes (DEFENSEVSPOSTION.PY:567-571 —
+    total_records = sum(len(teams))): two-level aggregate; the partial
+    (map-side) combine makes the second level nearly free."""
+    o = read_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        g.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.sum("sz").alias("total_rows"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "a8_status_rollup",
+    oracle="""
+WITH routed AS (
+  SELECT CASE o_orderstatus WHEN 'F' THEN 'done'
+                            WHEN 'O' THEN 'pending'
+                            ELSE 'in_progress' END AS status
+  FROM orders
+)
+SELECT status, COUNT(*) AS n,
+       ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 4) AS pct
+FROM routed GROUP BY status
+ORDER BY status
+""",
+)
+def a8_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: run-status roll-up (get_basketball_stats_all_teams_Version6.py:
+    334-354 — done/skipped/not_found/errors manifest): CASE routing +
+    groupBy count + share-of-total via an unpartitioned window over the
+    tiny aggregated result (3 rows — safe single partition)."""
+    from pyspark.sql import Window as W
+
+    o = read_table(spark, sf_dir, "orders")
+    routed = o.select(
+        F.when(F.col("o_orderstatus") == "F", "done")
+        .when(F.col("o_orderstatus") == "O", "pending")
+        .otherwise("in_progress")
+        .alias("status")
+    )
+    counts = routed.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "status",
+        "n",
+        F.round(100.0 * F.col("n") / F.sum("n").over(W.partitionBy()), 4).alias("pct"),
+    ).orderBy("status")

@@ -263,3 +263,47 @@ def d5_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
         .orderBy("simhash16")
     )
+
+
+@query(
+    "d3_full_row_distinct",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus, l_tax, l_quantity
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus, l_tax, l_quantity
+""",
+)
+def d3_full_row_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: whole-record containment dedupe (nba_props_scraper.py:666-680 —
+    `if prop_data not in all_props`, O(n²) in the reference) as a hash
+    DISTINCT over the full projection: O(n) with map-side partial dedup."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_tax", "l_quantity")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus", "l_tax", "l_quantity")
+    )
+
+
+@query(
+    "d4_content_hash_dedup",
+    oracle="""
+WITH keyed AS (SELECT doc_id, md5(text) AS content_id FROM documents)
+SELECT content_id, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc
+FROM keyed GROUP BY content_id
+HAVING COUNT(*) > 1
+ORDER BY content_id
+""",
+)
+def d4_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: content-hash identity dedupe (nba_insights_scraper.py:508-510 —
+    the md5 surrogate id doubles as the dedup key). Groups of exact-dup
+    documents surface as content_ids with n_docs > 1."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_id"))
+        .groupBy("content_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("content_id")
+    )

@@ -244,3 +244,46 @@ def u3_except_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier").select("s_nationkey")
     present = n.join(s, n.n_nationkey == s.s_nationkey).select("n_nationkey", "n_name")
     return n.exceptAll(present).distinct().orderBy("n_nationkey")
+
+
+@query(
+    "u2_multistrategy_union",
+    oracle="""
+WITH s1 AS (SELECT o_orderkey, 1 AS strategy FROM orders WHERE o_totalprice > 400000),
+s2 AS (SELECT o_orderkey, 2 AS strategy FROM orders WHERE o_orderpriority = '1-URGENT'),
+s3 AS (SELECT o_orderkey, 3 AS strategy FROM orders WHERE o_orderstatus = 'P'),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+r AS (SELECT o_orderkey, strategy,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY strategy) AS rn
+      FROM u)
+SELECT o_orderkey, strategy AS found_by FROM r WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def u2_multistrategy_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: multi-strategy discovery union with first-wins dedupe
+    (nba_props_scraper.py:174-305 — 4 match-discovery strategies merged
+    through a seen-set). Strategy priority becomes an explicit rank so the
+    distributed result is deterministic."""
+    from pyspark.sql import Window as W
+
+    o = read_table(spark, sf_dir, "orders")
+    strategies = [
+        o.filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+        .withColumn("strategy", F.lit(1)),
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .withColumn("strategy", F.lit(2)),
+        o.filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey")
+        .withColumn("strategy", F.lit(3)),
+    ]
+    u = strategies[0].unionByName(strategies[1]).unionByName(strategies[2])
+    w = W.partitionBy("o_orderkey").orderBy("strategy")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", F.col("strategy").alias("found_by"))
+        .orderBy("o_orderkey")
+    )

@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
     from nba_data_pipeline_spark.plans import (  # noqa: F401
         analytics,
         dedup,
+        filters,
         joins,
         normalize_plans,
         similarity,

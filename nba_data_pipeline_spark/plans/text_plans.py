@@ -256,3 +256,104 @@ def x21_odds_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         under_p.alias("under_prob"),
         (over_p + under_p - 1.0).alias("vig"),
     ).orderBy("o_orderkey")
+
+
+_SQL_MATCHUP_RAW = (
+    "concat('  T', CAST(o_orderkey % 30 AS VARCHAR), '   @   T', "
+    "CAST(o_custkey % 30 AS VARCHAR), '  (', CAST(o_orderkey % 20 AS VARCHAR), "
+    "'-', CAST(o_custkey % 20 AS VARCHAR), ')  ')"
+)
+
+
+@query(
+    "x_matchup_cleanup",
+    oracle=f"""
+WITH raw AS (
+  SELECT o_orderkey, o_orderdate, {_SQL_MATCHUP_RAW} AS raw_text FROM orders
+), cleaned AS (
+  SELECT o_orderkey, o_orderdate,
+         trim(regexp_replace(raw_text, '\\s+', ' ', 'g')) AS clean_text
+  FROM raw
+), stripped AS (
+  SELECT o_orderkey, o_orderdate, clean_text,
+         regexp_replace(clean_text, '\\s*\\([^)]*\\)\\s*$', '') AS matchup
+  FROM cleaned
+)
+SELECT o_orderkey, clean_text, matchup,
+       regexp_extract(matchup, '^(\\S+) @ (\\S+)$', 1) AS away_team,
+       regexp_extract(matchup, '^(\\S+) @ (\\S+)$', 2) AS home_team,
+       strftime(o_orderdate, '%m/%d/%Y') AS game_date_us
+FROM stripped
+ORDER BY o_orderkey
+""",
+)
+def x_matchup_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 whitespace normalize + X10 record-paren strip + X3 matchup parse +
+    X15 date format in one pass — the reference's per-row cleanup chain
+    (DEFENSEVSPOSTION.PY:155-175, nba_insights_scraper.py:397-404,
+    Basketball_Refrence_alltables.py:165-166) as pure codegen expressions."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    raw = F.concat(
+        F.lit("  T"),
+        (F.col("o_orderkey") % 30).cast("string"),
+        F.lit("   @   T"),
+        (F.col("o_custkey") % 30).cast("string"),
+        F.lit("  ("),
+        (F.col("o_orderkey") % 20).cast("string"),
+        F.lit("-"),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.lit(")  "),
+    )
+    clean = F.trim(F.regexp_replace(raw, r"\s+", " "))
+    matchup = F.regexp_replace(clean, r"\s*\([^)]*\)\s*$", "")
+    shape = r"^(\S+) @ (\S+)$"
+    return o.select(
+        "o_orderkey",
+        clean.alias("clean_text"),
+        matchup.alias("matchup"),
+        F.regexp_extract(matchup, shape, 1).alias("away_team"),
+        F.regexp_extract(matchup, shape, 2).alias("home_team"),
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("game_date_us"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "x18_event_mining",
+    oracle="""
+WITH raw AS (
+  SELECT concat('visit /event/E', CAST(o_orderkey % 50 AS VARCHAR),
+                ' and /event/E', CAST(o_custkey % 50 AS VARCHAR),
+                ' today') AS page FROM orders
+), mined AS (
+  SELECT unnest(regexp_extract_all(page, '/event/([A-Za-z0-9-]+)', 1)) AS event_code
+  FROM raw
+)
+SELECT event_code, COUNT(*) AS n_mentions,
+       concat('/event/', event_code) AS event_url
+FROM mined GROUP BY event_code
+ORDER BY event_code
+""",
+)
+def x18_event_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: event-id mining (nba_props_scraper.py:236-249 — regex findall
+    over page source, set-dedupe, URL construction): regexp_extract_all +
+    explode + groupBy; the driver-side set becomes a distributed agg."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    page = F.concat(
+        F.lit("visit /event/E"),
+        (F.col("o_orderkey") % 50).cast("string"),
+        F.lit(" and /event/E"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(" today"),
+    )
+    mined = o.select(
+        F.explode(
+            F.regexp_extract_all(page, F.lit(r"/event/([A-Za-z0-9-]+)"), 1)
+        ).alias("event_code")
+    )
+    return (
+        mined.groupBy("event_code")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .withColumn("event_url", F.concat(F.lit("/event/"), F.col("event_code")))
+        .orderBy("event_code")
+    )
