@@ -73,9 +73,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "l_orderkey", "l_linenumber")
         .rowsBetween(-9, 0)
     )
-    latest = W.partitionBy("l_suppkey").orderBy(
-        F.desc("o_orderdate"), F.desc("l_orderkey"), F.desc("l_linenumber")
-    )
+    # Same ascending sort order for every window: 'latest row per supplier'
+    # is rn_asc == count-over-partition, so the plan needs ONE sort per
+    # partition instead of an ascending sort plus a descending re-sort.
+    asc = W.partitionBy("l_suppkey").orderBy("o_orderdate", "l_orderkey", "l_linenumber")
     hit = F.when(F.col("l_quantity") > 25, 1).otherwise(0)
     rolled = (
         joined.withColumn(
@@ -87,8 +88,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hit_rate",
             F.sum(hit).over(frame).cast("double") / F.count(F.lit(1)).over(frame),
         )
-        .withColumn("rn", F.row_number().over(latest))
-        .filter(F.col("rn") == 1)
+        .withColumn("rn", F.row_number().over(asc))
+        .withColumn("n_rows", F.count(F.lit(1)).over(W.partitionBy("l_suppkey")))
+        .filter(F.col("rn") == F.col("n_rows"))
     )
     return (
         rolled.join(F.broadcast(supplier), rolled.l_suppkey == supplier.s_suppkey)

@@ -1,0 +1,114 @@
+"""Multimodal catalog queries: decode/feature-extract, resize planning, and
+frame sampling over binary media columns (north-star multimodal family).
+
+The decode is the deterministic fake from ``operators/multimodal`` (codec
+libs are absent by design), which makes every value pure integer/md5
+arithmetic on the payload bytes — so a DuckDB oracle reproduces the whole
+mapInPandas pipeline bit-for-bit and the correctness gate covers the real
+thing that matters here: the Spark-side schema, batch shape, and fan-out
+plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.multimodal import (
+    decode_features,
+    media_catalog,
+    resize_plan,
+    sample_frames,
+)
+from nba_data_pipeline_spark.plans.registry import query
+
+_SQL_MEDIA = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n,
+         text
+  FROM documents
+"""
+
+
+@query(
+    "mm_decode_features",
+    oracle=f"""
+WITH media AS ({_SQL_MEDIA})
+SELECT doc_id, media_type, n AS n_bytes,
+       CAST(CASE WHEN media_type IN ('image','video') THEN 16 + n % 64 ELSE 0 END AS INT) AS width,
+       CAST(CASE WHEN media_type IN ('image','video') THEN 16 + (n * 7) % 64 ELSE 0 END AS INT) AS height,
+       CAST(CASE WHEN media_type = 'image' THEN 1
+                 WHEN media_type = 'video' THEN 1 + n % 24
+                 ELSE 0 END AS INT) AS n_frames,
+       CASE WHEN media_type IN ('audio','video') THEN n ELSE 0 END AS duration_ms,
+       md5(text) AS feat_hash
+FROM media
+ORDER BY doc_id
+""",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature extraction: binary payload column →
+    typed feature row via Arrow-batched mapInPandas (decode stubbed with a
+    deterministic fake; the plumbing — schema, binary Arrow transfer, batch
+    iteration — is the production path)."""
+    d = read_table(spark, sf_dir, "documents")
+    media = media_catalog(d)
+    return decode_features(media).orderBy("doc_id")
+
+
+@query(
+    "mm_resize_plan",
+    oracle=f"""
+WITH media AS ({_SQL_MEDIA}),
+feats AS (
+  SELECT doc_id,
+         CAST(16 + n % 64 AS INT) AS width,
+         CAST(16 + (n * 7) % 64 AS INT) AS height
+  FROM media WHERE media_type = 'image'
+)
+SELECT doc_id, width, height,
+       CAST(FLOOR(width * LEAST(32, GREATEST(width, height))
+                  / GREATEST(width, height, 1)) AS INT) AS out_width,
+       CAST(FLOOR(height * LEAST(32, GREATEST(width, height))
+                  / GREATEST(width, height, 1)) AS INT) AS out_height
+FROM feats
+ORDER BY doc_id
+""",
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for image media: clamp the long side to 32 px
+    preserving aspect ratio — the metadata half of a media-resize operator,
+    kept as exact integer arithmetic."""
+    d = read_table(spark, sf_dir, "documents")
+    feats = decode_features(media_catalog(d)).filter(F.col("media_type") == "image")
+    return (
+        resize_plan(feats, max_dim=32)
+        .select("doc_id", "width", "height", "out_width", "out_height")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+WITH media AS ({_SQL_MEDIA}),
+vids AS (
+  SELECT doc_id, text, 1 + n % 24 AS n_frames
+  FROM media WHERE media_type = 'video'
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, n_frames - 1, 4)) AS INT) AS frame_idx,
+       md5(concat(text, ':', CAST(unnest(generate_series(0, n_frames - 1, 4)) AS VARCHAR))) AS frame_hash
+FROM vids
+ORDER BY doc_id, frame_idx
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video → every 4th frame): the one-row-in/N-rows-out
+    UDTF shape via mapInPandas, with oracle-reproducible frame hashes."""
+    d = read_table(spark, sf_dir, "documents")
+    return sample_frames(media_catalog(d), stride=4).orderBy("doc_id", "frame_idx")

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         filters,
         joins,
+        multimodal_plans,
         normalize_plans,
         similarity,
         streaming_plans,
