@@ -157,3 +157,109 @@ def implied_probability(odds: Column) -> Column:
 def vig(over_odds: Column, under_odds: Column) -> Column:
     """Book vig: sum of implied probabilities minus 1."""
     return implied_probability(over_odds) + implied_probability(under_odds) - 1.0
+
+
+# --- X4: multi-pattern game-time parse (nba_insights_scraper.py:407-417) ---
+
+TIME12_PATTERN = r"(\d{1,2}):(\d{2})\s*(AM|PM)"
+MDTIME_PATTERN = r"(\d{1,2})/(\d{1,2})\s+(\d{1,2}):(\d{2})\s*(AM|PM)"
+ISO_PATTERN = r"(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2})"
+
+
+def _hour24(h12: Column, ampm: Column) -> Column:
+    return (h12 % 12) + F.when(ampm == "PM", 12).otherwise(0)
+
+
+def parse_game_time(
+    c: Column, anchor_year: int = 2024, anchor_month: int = 6, anchor_day: int = 1
+) -> Column:
+    """Game-time resolution across the reference's alternative shapes —
+    'Today 7:30 PM', '12/25 7:30 PM', ISO '2024-03-05 19:30' — tried in
+    order via coalesce. Relative 'Today' resolves against an injected
+    anchor date (determinism rule §7.3: never the wall clock). The value is
+    built through a canonical 'yyyy-MM-dd HH:mm' string so the parse is
+    format-table-free and oracle-reproducible."""
+    iso = F.when(
+        F.nullif(F.regexp_extract(c, ISO_PATTERN, 1), F.lit("")).isNotNull(),
+        F.format_string(
+            "%04d-%02d-%02d %02d:%02d",
+            F.regexp_extract(c, ISO_PATTERN, 1).cast("int"),
+            F.regexp_extract(c, ISO_PATTERN, 2).cast("int"),
+            F.regexp_extract(c, ISO_PATTERN, 3).cast("int"),
+            F.regexp_extract(c, ISO_PATTERN, 4).cast("int"),
+            F.regexp_extract(c, ISO_PATTERN, 5).cast("int"),
+        ),
+    )
+    md = F.when(
+        F.nullif(F.regexp_extract(c, MDTIME_PATTERN, 1), F.lit("")).isNotNull(),
+        F.format_string(
+            "%04d-%02d-%02d %02d:%02d",
+            F.lit(anchor_year),
+            F.regexp_extract(c, MDTIME_PATTERN, 1).cast("int"),
+            F.regexp_extract(c, MDTIME_PATTERN, 2).cast("int"),
+            _hour24(
+                F.regexp_extract(c, MDTIME_PATTERN, 3).cast("int"),
+                F.regexp_extract(c, MDTIME_PATTERN, 5),
+            ),
+            F.regexp_extract(c, MDTIME_PATTERN, 4).cast("int"),
+        ),
+    )
+    today = F.when(
+        c.contains("Today")
+        & F.nullif(F.regexp_extract(c, TIME12_PATTERN, 1), F.lit("")).isNotNull(),
+        F.format_string(
+            "%04d-%02d-%02d %02d:%02d",
+            F.lit(anchor_year),
+            F.lit(anchor_month),
+            F.lit(anchor_day),
+            _hour24(
+                F.regexp_extract(c, TIME12_PATTERN, 1).cast("int"),
+                F.regexp_extract(c, TIME12_PATTERN, 3),
+            ),
+            F.regexp_extract(c, TIME12_PATTERN, 2).cast("int"),
+        ),
+    )
+    return F.to_timestamp(F.coalesce(iso, md, today), "yyyy-MM-dd HH:mm")
+
+
+# --- X5: context-window extraction (nba_insights_scraper.py:420-442) ------
+
+
+def extract_context_window(c: Column, pattern: str, before: int = 20, after: int = 30) -> Column:
+    """±N-char context around the first match of ``pattern``: locate the
+    matched text, then substring a window [pos-before, len(match)+before+
+    after] clamped to the string start — the reference's perf-pattern
+    snippet extraction as two scalar expressions."""
+    m = F.nullif(F.regexp_extract(c, pattern, 0), F.lit(""))
+    pos = F.instr(c, m)
+    start = F.greatest(pos - before, F.lit(1))
+    return F.when(
+        m.isNotNull(), F.substring(c, start, F.length(m) + before + after)
+    )
+
+
+# --- X6: prop outcome/line/type alternative-shape parse -------------------
+#     (nba_insights_scraper.py:445-464)
+
+_SHAPE_OU_FIRST = r"^(Over|Under)\s+(\d+\.?\d*)\s+(\w+)"
+_SHAPE_STAT_FIRST = r"^(\w+)\s+(Over|Under)\s+(\d+\.?\d*)"
+
+
+def parse_prop_outcome(c: Column) -> tuple[Column, Column, Column]:
+    """(outcome, prop_line, prop_type) from either '(Over|Under) line stat'
+    or 'stat (Over|Under) line' — alternatives tried as a when/otherwise
+    chain, unparsed rows yield nulls (reference returns {} on no match)."""
+    ou1 = F.nullif(F.regexp_extract(c, _SHAPE_OU_FIRST, 1), F.lit(""))
+    ou2 = F.nullif(F.regexp_extract(c, _SHAPE_STAT_FIRST, 2), F.lit(""))
+    outcome = F.coalesce(ou1, ou2)
+    line = F.when(
+        ou1.isNotNull(), F.regexp_extract(c, _SHAPE_OU_FIRST, 2)
+    ).otherwise(F.regexp_extract(c, _SHAPE_STAT_FIRST, 3)).try_cast("double")
+    ptype = F.lower(
+        F.when(ou1.isNotNull(), F.regexp_extract(c, _SHAPE_OU_FIRST, 3)).otherwise(
+            F.regexp_extract(c, _SHAPE_STAT_FIRST, 1)
+        )
+    )
+    return outcome, F.when(outcome.isNotNull(), line), F.when(
+        outcome.isNotNull(), F.nullif(ptype, F.lit(""))
+    )

@@ -357,3 +357,232 @@ def x18_event_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("event_url", F.concat(F.lit("/event/"), F.col("event_code")))
         .orderBy("event_code")
     )
+
+
+_SQL_GAME_TEXT = """
+  SELECT o_orderkey,
+         1 + o_orderkey % 12 AS h12,
+         o_orderkey % 60 AS mm,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'PM' ELSE 'AM' END AS ampm,
+         1 + o_orderkey % 12 AS mon,
+         1 + o_orderkey % 28 AS day,
+         o_orderkey % 24 AS h24
+  FROM orders
+"""
+
+
+@query(
+    "x4_game_time",
+    oracle=f"""
+WITH c AS ({_SQL_GAME_TEXT})
+SELECT o_orderkey,
+       CASE o_orderkey % 3
+         WHEN 0 THEN make_timestamp(2024, 6, 1, (h12 % 12) + CASE WHEN ampm = 'PM' THEN 12 ELSE 0 END, mm, 0.0)
+         WHEN 1 THEN make_timestamp(2024, mon, day, (h12 % 12) + 12, mm, 0.0)
+         ELSE make_timestamp(2024, mon, day, h24, mm, 0.0)
+       END AS game_ts
+FROM c
+ORDER BY o_orderkey
+""",
+)
+def x4_game_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: multi-pattern game-time parse (nba_insights_scraper.py:407-417 —
+    'Today 10:30 PM' / '12/25 7:30 PM' / ISO) via coalesce over pattern
+    alternatives. The oracle reconstructs ground truth from the integer
+    components, so this validates the whole regex path end-to-end."""
+    from nba_data_pipeline_spark.functions.extract import parse_game_time
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    h12 = (1 + k % 12).cast("int")
+    mm = F.lpad((k % 60).cast("string"), 2, "0")
+    ampm = F.when(k % 2 == 0, "PM").otherwise("AM")
+    mon = F.lpad((1 + k % 12).cast("string"), 2, "0")
+    day = F.lpad((1 + k % 28).cast("string"), 2, "0")
+    h24 = F.lpad((k % 24).cast("string"), 2, "0")
+    text = (
+        F.when(k % 3 == 0, F.concat(F.lit("Tip-off Today "), h12, F.lit(":"), mm, F.lit(" "), ampm))
+        .when(k % 3 == 1, F.concat((1 + k % 12).cast("string"), F.lit("/"), (1 + k % 28).cast("string"), F.lit(" "), h12, F.lit(":"), mm, F.lit(" PM")))
+        .otherwise(F.concat(F.lit("2024-"), mon, F.lit("-"), day, F.lit(" "), h24, F.lit(":"), mm))
+    )
+    return o.select(
+        "o_orderkey", parse_game_time(text).alias("game_ts")
+    ).orderBy("o_orderkey")
+
+
+_STATS = ["points", "assists", "rebounds"]
+_SQL_STATS = "['points', 'assists', 'rebounds']"
+
+
+@query(
+    "x56_insight_parse",
+    oracle=f"""
+WITH raw AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 3
+           WHEN 0 THEN concat('Over ', CAST(o_orderkey % 40 AS VARCHAR), '.5 ',
+                              {_SQL_STATS}[o_orderkey % 3 + 1])
+           WHEN 1 THEN concat({_SQL_STATS}[o_orderkey % 3 + 1], ' Under ',
+                              CAST(o_orderkey % 40 AS VARCHAR), '.5')
+           ELSE 'no prop in this text'
+         END AS headline,
+         concat('Longer bio text where the player scored ',
+                CAST(o_orderkey % 50 AS VARCHAR),
+                ' points in the last game and kept going after that') AS bio
+  FROM orders
+), parsed AS (
+  SELECT o_orderkey, headline, bio,
+         NULLIF(regexp_extract(headline, '^(Over|Under)\\s+(\\d+\\.?\\d*)\\s+(\\w+)', 1), '') AS ou1,
+         NULLIF(regexp_extract(headline, '^(\\w+)\\s+(Over|Under)\\s+(\\d+\\.?\\d*)', 2), '') AS ou2
+  FROM raw
+)
+SELECT o_orderkey,
+       COALESCE(ou1, ou2) AS outcome,
+       CASE WHEN COALESCE(ou1, ou2) IS NOT NULL THEN
+         TRY_CAST(CASE WHEN ou1 IS NOT NULL
+                       THEN regexp_extract(headline, '^(Over|Under)\\s+(\\d+\\.?\\d*)\\s+(\\w+)', 2)
+                       ELSE regexp_extract(headline, '^(\\w+)\\s+(Over|Under)\\s+(\\d+\\.?\\d*)', 3) END
+                  AS DOUBLE) END AS prop_line,
+       CASE WHEN COALESCE(ou1, ou2) IS NOT NULL THEN
+         NULLIF(lower(CASE WHEN ou1 IS NOT NULL
+                           THEN regexp_extract(headline, '^(Over|Under)\\s+(\\d+\\.?\\d*)\\s+(\\w+)', 3)
+                           ELSE regexp_extract(headline, '^(\\w+)\\s+(Over|Under)\\s+(\\d+\\.?\\d*)', 1) END), '') END AS prop_type,
+       CASE WHEN NULLIF(regexp_extract(bio, 'scored \\d+ points', 0), '') IS NOT NULL THEN
+         substring(bio,
+                   GREATEST(strpos(bio, regexp_extract(bio, 'scored \\d+ points', 0)) - 20, 1),
+                   length(regexp_extract(bio, 'scored \\d+ points', 0)) + 70) END AS context_snippet
+FROM parsed
+ORDER BY o_orderkey
+""",
+)
+def x56_insight_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 alternative-shape prop parse + X5 ±N-char context-window snippet
+    (nba_insights_scraper.py:420-464) on constructed insight text; unparsed
+    shapes yield null fields like the reference's empty dict."""
+    from nba_data_pipeline_spark.functions.extract import (
+        extract_context_window,
+        parse_prop_outcome,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    stat = F.element_at(F.array(*[F.lit(s) for s in _STATS]), (k % 3 + 1).cast("int"))
+    line_txt = F.concat((k % 40).cast("string"), F.lit(".5"))
+    headline = (
+        F.when(k % 3 == 0, F.concat(F.lit("Over "), line_txt, F.lit(" "), stat))
+        .when(k % 3 == 1, F.concat(stat, F.lit(" Under "), line_txt))
+        .otherwise(F.lit("no prop in this text"))
+    )
+    bio = F.concat(
+        F.lit("Longer bio text where the player scored "),
+        (k % 50).cast("string"),
+        F.lit(" points in the last game and kept going after that"),
+    )
+    raw = o.withColumn("headline", headline).withColumn("bio", bio)
+    outcome, prop_line, prop_type = parse_prop_outcome(F.col("headline"))
+    return raw.select(
+        "o_orderkey",
+        outcome.alias("outcome"),
+        prop_line.alias("prop_line"),
+        prop_type.alias("prop_type"),
+        extract_context_window(F.col("bio"), r"scored \d+ points", 20, 50).alias(
+            "context_snippet"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "x12_team_mentions",
+    oracle="""
+WITH texts AS (
+  SELECT o_orderkey,
+         concat('NATION_', CAST(o_orderkey % 25 AS VARCHAR), ' hosts NATION_',
+                CAST((o_orderkey * 7) % 25 AS VARCHAR), ' tonight') AS line
+  FROM orders
+), hits AS (
+  SELECT t.o_orderkey, n.n_name
+  FROM texts t JOIN nation n
+    ON contains(concat(' ', t.line, ' '), concat(' ', n.n_name, ' '))
+)
+SELECT o_orderkey, string_agg(n_name, ' vs ' ORDER BY n_name) AS matchup,
+       COUNT(*) AS n_teams
+FROM hits GROUP BY o_orderkey
+ORDER BY o_orderkey
+""",
+)
+def x12_team_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: team-names-from-text heuristic (nba_props_scraper.py:313-351 —
+    scan lines for team indicators, emit 'A vs B'): containment theta-join
+    against the broadcast dim with space-padding so NATION_1 can't match
+    inside NATION_17, then per-line sorted aggregation."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    n = read_table(spark, sf_dir, "nation").select("n_name")
+    line = F.concat(
+        F.lit("NATION_"),
+        (F.col("o_orderkey") % 25).cast("string"),
+        F.lit(" hosts NATION_"),
+        ((F.col("o_orderkey") * 7) % 25).cast("string"),
+        F.lit(" tonight"),
+    )
+    texts = o.withColumn("line", line)
+    padded = F.concat(F.lit(" "), F.col("line"), F.lit(" "))
+    hits = texts.join(
+        F.broadcast(n), padded.contains(F.concat(F.lit(" "), F.col("n_name"), F.lit(" ")))
+    )
+    return (
+        hits.groupBy("o_orderkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), " vs ").alias("matchup"),
+            F.count(F.lit(1)).alias("n_teams"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "ud4_llm_prompt",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       concat('Analyze ', CAST(n_orders AS VARCHAR), ' orders for customer ',
+              CAST(o_custkey AS VARCHAR), ' and summarize betting-relevant trends.') AS prompt,
+       to_json(struct_pack(customer := o_custkey, n_orders := n_orders,
+                           total_cents := total_cents)) AS envelope
+FROM g
+ORDER BY o_custkey
+""",
+)
+def ud4_llm_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4: LLM-analysis prompt generation (hardrock_scraper.py:453-506 —
+    grouped data → prompt string + JSON envelope). format/concat builds the
+    prompt; to_json(struct) builds the machine-readable envelope. Monetary
+    totals ride as exact integer cents so the JSON is byte-stable across
+    engines (no double serialization in strings)."""
+    o = read_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+    return g.select(
+        "o_custkey",
+        F.concat(
+            F.lit("Analyze "),
+            F.col("n_orders").cast("string"),
+            F.lit(" orders for customer "),
+            F.col("o_custkey").cast("string"),
+            F.lit(" and summarize betting-relevant trends."),
+        ).alias("prompt"),
+        F.to_json(
+            F.struct(
+                F.col("o_custkey").alias("customer"),
+                F.col("n_orders").alias("n_orders"),
+                F.col("total_cents").alias("total_cents"),
+            )
+        ).alias("envelope"),
+    ).orderBy("o_custkey")
