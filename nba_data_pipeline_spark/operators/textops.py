@@ -65,6 +65,32 @@ def predict_lang(text: Column) -> Column:
     return best
 
 
+def predict_lang_fast(text: Column) -> Column:
+    """Arrow-vectorized language ID — identical semantics to
+    ``predict_lang`` (stopword occurrence counts, first-max over langs in
+    sorted order) but one tokenization pass per document instead of one
+    regex split per (lang × stopword) filter, which is what makes the
+    pure-expression form O(40×) slower on long documents."""
+    langs = sorted(LANG_STOPWORDS)
+    stop_sets = {lang: frozenset(LANG_STOPWORDS[lang]) for lang in langs}
+
+    @F.pandas_udf("string")
+    def _predict(s: pd.Series) -> pd.Series:
+        def f(t: str) -> str:
+            toks = (t or "").split()
+            best_lang, best_score = langs[0], -1
+            for lang in langs:
+                ss = stop_sets[lang]
+                score = sum(1 for tok in toks if tok in ss)
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            return best_lang
+
+        return s.map(f)
+
+    return _predict(text)
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio features + a composite score —
     all exact-integer counts divided pairwise, so cross-engine stable."""

@@ -23,7 +23,7 @@ from nba_data_pipeline_spark.io import read_table
 from nba_data_pipeline_spark.operators.textops import (
     LANG_STOPWORDS,
     doc_fingerprint,
-    predict_lang,
+    predict_lang_fast,
     quality_features,
     token_count_bpe,
     token_count_ws,
@@ -115,7 +115,7 @@ def ta_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword scoring with a deterministic first-max
     tie-break, compared against the dataset's label column."""
     d = read_table(spark, sf_dir, "documents")
-    pred = predict_lang(F.col("text"))
+    pred = predict_lang_fast(F.col("text"))
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
