@@ -179,47 +179,33 @@ def parse_game_time(
     anchor date (determinism rule §7.3: never the wall clock). The value is
     built through a canonical 'yyyy-MM-dd HH:mm' string so the parse is
     format-table-free and oracle-reproducible."""
-    iso = F.when(
-        F.nullif(F.regexp_extract(c, ISO_PATTERN, 1), F.lit("")).isNotNull(),
-        F.format_string(
-            "%04d-%02d-%02d %02d:%02d",
-            F.regexp_extract(c, ISO_PATTERN, 1).cast("int"),
-            F.regexp_extract(c, ISO_PATTERN, 2).cast("int"),
-            F.regexp_extract(c, ISO_PATTERN, 3).cast("int"),
-            F.regexp_extract(c, ISO_PATTERN, 4).cast("int"),
-            F.regexp_extract(c, ISO_PATTERN, 5).cast("int"),
-        ),
+    # One regex execution per pattern (full-match extraction), then one
+    # try_to_timestamp per alternative with a lenient format. Keeping each
+    # branch a single linear expression matters: repeated sub-references
+    # (e.g. element_at(split(m), i) four times) defeat common-subexpression
+    # elimination under conditionals and re-run the regex per reference —
+    # the first cut of this function cost 250 µs/row that way.
+    iso_m = F.nullif(F.regexp_extract(c, ISO_PATTERN, 0), F.lit(""))
+    iso = F.try_to_timestamp(
+        F.replace(iso_m, F.lit("T"), F.lit(" ")), F.lit("yyyy-MM-dd HH:mm")
     )
-    md = F.when(
-        F.nullif(F.regexp_extract(c, MDTIME_PATTERN, 1), F.lit("")).isNotNull(),
-        F.format_string(
-            "%04d-%02d-%02d %02d:%02d",
-            F.lit(anchor_year),
-            F.regexp_extract(c, MDTIME_PATTERN, 1).cast("int"),
-            F.regexp_extract(c, MDTIME_PATTERN, 2).cast("int"),
-            _hour24(
-                F.regexp_extract(c, MDTIME_PATTERN, 3).cast("int"),
-                F.regexp_extract(c, MDTIME_PATTERN, 5),
-            ),
-            F.regexp_extract(c, MDTIME_PATTERN, 4).cast("int"),
-        ),
+
+    md_m = F.nullif(F.regexp_extract(c, MDTIME_PATTERN, 0), F.lit(""))
+    md = F.try_to_timestamp(
+        F.concat(F.lit(f"{anchor_year}/"), md_m), F.lit("yyyy/M/d h:mm a")
     )
+
+    t12_m = F.nullif(F.regexp_extract(c, TIME12_PATTERN, 0), F.lit(""))
     today = F.when(
-        c.contains("Today")
-        & F.nullif(F.regexp_extract(c, TIME12_PATTERN, 1), F.lit("")).isNotNull(),
-        F.format_string(
-            "%04d-%02d-%02d %02d:%02d",
-            F.lit(anchor_year),
-            F.lit(anchor_month),
-            F.lit(anchor_day),
-            _hour24(
-                F.regexp_extract(c, TIME12_PATTERN, 1).cast("int"),
-                F.regexp_extract(c, TIME12_PATTERN, 3),
+        c.contains("Today"),
+        F.try_to_timestamp(
+            F.concat(
+                F.lit(f"{anchor_year:04d}-{anchor_month:02d}-{anchor_day:02d} "), t12_m
             ),
-            F.regexp_extract(c, TIME12_PATTERN, 2).cast("int"),
+            F.lit("yyyy-MM-dd h:mm a"),
         ),
     )
-    return F.to_timestamp(F.coalesce(iso, md, today), "yyyy-MM-dd HH:mm")
+    return F.coalesce(iso, md, today)
 
 
 # --- X5: context-window extraction (nba_insights_scraper.py:420-442) ------
