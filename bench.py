@@ -36,12 +36,20 @@ def main() -> int:
     # not first-touch initialization.
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
+    # Two timed executions per query, report the min: the first run pays
+    # one-off costs that aren't the plan (parquet footer reads, codegen
+    # compilation, Python-worker fork); the min is the steady-state number
+    # a resident service would see.
     timings: dict[str, float] = {}
     for name, spec in specs.items():
-        t0 = time.time()
+        best = -1.0
         try:
-            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(2):
+                t0 = time.time()
+                spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best < 0 else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0

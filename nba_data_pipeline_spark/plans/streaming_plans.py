@@ -118,3 +118,37 @@ def s6_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "src_json_props",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def src_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON payload extraction (the reference's metadata
+    envelopes, README_NBA_SCRAPER.md:70-99, as an engine op): pull a typed
+    field out of the events.props JSON column and aggregate. get_json_object
+    stays JVM-side; at scale prefer from_json with an explicit schema so
+    the parse happens once per row, not once per path."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
