@@ -254,11 +254,16 @@ def d5_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     nibbles; identical signatures = near-dup buckets. One explode + one
     aggregate; bit arithmetic stays JVM-side."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Project md5(token) ONCE, then derive all 16 bit contributions from
+    # substrings of that hash attribute — as 16 agg expressions over the
+    # raw token each would re-run md5 (no CSE across aggregate exprs).
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok")
-    )
+    ).select("doc_id", F.md5("tok").alias("h"))
     bit_cols = [
-        F.when(F.sum(simhash16(F.col("tok"), b)) > 0, "1").otherwise("0")
+        F.when(
+            F.sum(F.when(F.substring("h", b, 1) >= "8", 1).otherwise(-1)) > 0, "1"
+        ).otherwise("0")
         for b in range(1, 17)
     ]
     sig = tok.groupBy("doc_id").agg(F.concat(*bit_cols).alias("simhash16"))

@@ -72,7 +72,10 @@ def n_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     repaired table. The rename passes are analysis-time only (zero jobs);
     coercion adds exactly one stats pass
     (Basketball_Refrence_alltables.py:76-186 end-to-end)."""
-    messy = _pathological(spark, sf_dir)
+    # X17 is inherently two-pass (stats job, then the real query); persist
+    # the constructed input so the expensive string-building projection runs
+    # once — at 100 TB the first pass would read a staged/columnar copy.
+    messy = _pathological(spark, sf_dir).persist()
     # N1-N3: 'Unnamed: 0_level_0 Player'->'Player', 'Per Game PTS' twice ->
     # 'Per_Game_PTS','Per_Game_PTS_1', 'FG%'->'FG_pct', 'Shooting FG%'->...
     named = normalize_columns(messy)
