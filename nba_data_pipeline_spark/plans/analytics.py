@@ -577,3 +577,37 @@ def a8_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(100.0 * F.col("n") / F.sum("n").over(W.partitionBy()), 4).alias("pct"),
     ).orderBy("status")
+
+
+@query(
+    "skew_salted_agg",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dsum("l_extendedprice")} AS sum_price,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over deliberately hot keys (3 distinct
+    l_returnflag values across the whole fact table — the 100 TB shape
+    where one reducer would otherwise take the full key). Bit-identical to
+    the direct groupBy because the partial sums are decimal."""
+    from nba_data_pipeline_spark.operators.skew import salted_agg
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return (
+        salted_agg(
+            li,
+            ["l_returnflag"],
+            {"l_extendedprice": "sum_price", "l_quantity": "sum_qty"},
+            buckets=16,
+        )
+        .select("l_returnflag", "sum_price", "sum_qty", "n_rows")
+        .orderBy("l_returnflag")
+    )

@@ -152,3 +152,83 @@ def src_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "s1_stream_ingest_counts",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "DECIMAL(18,2)")} AS total_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+)
+def s1_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3+S6 end-to-end as REAL Structured Streaming: land the events
+    file into a fresh directory (the scraper's landing folder), readStream
+    it as micro-batches, apply a watermark + tumbling event-time counts,
+    and drain with trigger(availableNow) — 'process everything landed,
+    then stop', the deterministic restatement of scroll-until-stable
+    (run_scraper.py:62-134). Complete-mode results equal the batch
+    aggregate bit-for-bit, which is exactly what the oracle checks."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from nba_data_pipeline_spark.io import table_path
+
+    land_dir = tempfile.mkdtemp(prefix="s1_landing_")
+    shutil.copy(table_path(sf_dir, "events"), land_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(land_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("s1_stream_counts_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s1_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("s1_stream_counts_mem")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
