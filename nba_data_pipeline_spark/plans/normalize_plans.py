@@ -97,3 +97,51 @@ def n_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("Player")
     )
+
+
+@query(
+    "ud5_grouped_normalize",
+    oracle="""
+WITH stats AS (
+  SELECT l_suppkey, MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey,
+       CASE WHEN s.qmax = s.qmin THEN 0.0
+            ELSE (l.l_quantity - s.qmin) / (s.qmax - s.qmin) END AS qty_norm
+FROM lineitem l JOIN stats s ON l.l_suppkey = s.l_suppkey
+ORDER BY l.l_orderkey, l.l_linenumber
+""",
+)
+def ud5_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD5: grouped-map transformation via applyInPandas (the reference's
+    whole-DataFrame clean function applied per scraped table, Basketball
+    Reference Scraper unified_nba_scraper.py:175-208): per-supplier min-max
+    normalization where the function sees its whole group as one pandas
+    frame. Min/max/linear ops are bit-stable across engines, so this
+    Python-side path still hash-matches the SQL oracle. At 100 TB the
+    shuffle is one hash partition by group key; each group must fit in one
+    worker's memory — use mapInPandas + a pre-joined stats table (exactly
+    the oracle's shape) when groups can be huge."""
+    import pandas as pd
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"
+    )
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        qmin, qmax = pdf["l_quantity"].min(), pdf["l_quantity"].max()
+        span = qmax - qmin
+        out = pdf[["l_orderkey", "l_linenumber", "l_suppkey"]].copy()
+        out["qty_norm"] = 0.0 if span == 0 else (pdf["l_quantity"] - qmin) / span
+        return out
+
+    return (
+        li.groupBy("l_suppkey")
+        .applyInPandas(
+            norm,
+            schema="l_orderkey long, l_linenumber int, l_suppkey long, qty_norm double",
+        )
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "qty_norm")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
