@@ -68,3 +68,32 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stability_tracker(sdf: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """S3 as a CUSTOM STATEFUL operator (applyInPandasWithState): per key,
+    carry the cumulative row count across micro-batches and emit
+    (total, prev, stable) each batch — ``stable`` flips true when a batch
+    adds no rows for the key, the exact 'row count unchanged → table ready'
+    gate of DEFENSEVSPOSTION.PY:251-309 restated as bounded streaming state
+    (one long per key; no timeline kept)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        prev = state.get[0] if state.exists else 0
+        total = prev
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame(
+            [{"key": key[0], "total": total, "prev": prev, "stable": total == prev}]
+        )
+
+    return sdf.groupBy(F.col(key_col)).applyInPandasWithState(
+        track,
+        outputStructType="key string, total long, prev long, stable boolean",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

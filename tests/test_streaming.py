@@ -66,3 +66,48 @@ def test_arrival_dedupe_with_watermark(spark, dirs):
     out = spark.read.parquet(sink)
     assert out.count() == 3
     assert {r.event_id for r in out.collect()} == {1, 2, 3}
+
+
+def test_stability_tracker_stateful(spark, dirs):
+    """S3 custom stateful op: cumulative per-key counts carried across
+    micro-batches; 'stable' flips true only when a batch adds no rows."""
+    import datetime as dt
+
+    from nba_data_pipeline_spark.streaming.polling import stability_tracker
+
+    land, _, ckpt = dirs
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # two files -> two micro-batches (maxFilesPerTrigger=1); key 'a' grows
+    # in both batches, key 'b' only lands in the first (stable in batch 2
+    # would need a third batch — with update mode 'b' simply isn't re-emitted)
+    _write_batch(spark, land, [(1, t0, "a"), (2, t0, "a"), (3, t0, "b")])
+    _write_batch(spark, land, [(4, t0, "a")])
+
+    sdf = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(land)
+    )
+    tracked = stability_tracker(sdf, key_col="payload")
+    q = (
+        tracked.writeStream.format("memory")
+        .queryName("stab_mem")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("stab_mem").collect()
+    a_rows = sorted(
+        [(r.prev, r.total, r.stable) for r in rows if r.key == "a"]
+    )
+    # batch ordering by file listing isn't guaranteed, but cumulative state
+    # must show one batch starting from 0 and the other continuing from it,
+    # never a stable=True (counts grew in both batches 'a' appeared in)
+    assert len(a_rows) == 2
+    assert a_rows[0][0] == 0 and a_rows[1][1] == 3
+    assert not any(s for _, _, s in a_rows)
+    b_rows = [(r.prev, r.total, r.stable) for r in rows if r.key == "b"]
+    assert b_rows == [(0, 1, False)]
