@@ -103,3 +103,41 @@ def test_partitioned_json_sink(spark, tmp_path):
     assert (tmp_path / "tree" / "team=CHI" / "page=stats").exists()
     back = spark.read.json(path)
     assert back.count() == 2
+
+
+def test_html_datasource_format_reader(spark, tmp_path):
+    """spark.read.format('htmltable'): one partition per landed file,
+    visible + comment-embedded tables parsed executor-side."""
+    import json
+
+    from nba_data_pipeline_spark.sources.html_datasource import register
+
+    (tmp_path / "page1.html").write_text(
+        "<html><table><tr><th>Team</th><th>PTS</th></tr>"
+        "<tr><td>AAA</td><td>12</td></tr><tr><td>BBB</td><td>9</td></tr></table>"
+        "<!-- <table><tr><th>Hidden</th></tr><tr><td>x</td></tr></table> -->"
+        "</html>"
+    )
+    (tmp_path / "page2.html").write_text(
+        "<html><table><tr><td>only</td><td>cells</td></tr></table></html>"
+    )
+    register(spark)
+    df = spark.read.format("htmltable").load(str(tmp_path))
+    rows = df.collect()
+    # page1: visible table (2 body rows) + comment table (1 row); page2: 1 row
+    assert len(rows) == 4
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r)
+    p1 = by_file["page1.html"]
+    assert {r.table_idx for r in p1} == {0, 1}
+    visible = [r for r in p1 if r.table_idx == 0]
+    assert json.loads(visible[0].headers) == ["Team", "PTS"]
+    assert sorted(json.loads(r.cells)[0] for r in visible) == ["AAA", "BBB"]
+    hidden = [r for r in p1 if r.table_idx == 1]
+    assert json.loads(hidden[0].headers) == ["Hidden"]
+    # headerless table synthesizes col_i names
+    p2 = by_file["page2.html"]
+    assert json.loads(p2[0].headers) == ["col_0", "col_1"]
+    # the reader parallelizes per file: two input partitions
+    assert df.rdd.getNumPartitions() == 2
