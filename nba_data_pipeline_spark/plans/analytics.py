@@ -611,3 +611,36 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "sum_price", "sum_qty", "n_rows")
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "a_pivot_matrix",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def a_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True relational pivot — the reference's 5-position × 4-timeframe DvP
+    matrix shape (DEFENSEVSPOSTION.PY:624-643) as groupBy().pivot() with
+    pinned pivot values (pinning avoids the extra distinct-values job AND
+    keeps the output schema stable, which any downstream consumer of a
+    pivoted matrix needs)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+        )
+        .orderBy("o_orderpriority")
+    )

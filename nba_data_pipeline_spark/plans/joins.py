@@ -287,3 +287,42 @@ def u2_multistrategy_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.col("strategy").alias("found_by"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "j9_time_range_join",
+    oracle="""
+SELECT o.o_orderkey, COUNT(*) AS n_events_in_window,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
+FROM orders o
+JOIN events e
+  ON e.user_id = o.o_custkey % 50
+ AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP) - INTERVAL 1 DAY
+ AND e.ts <  CAST(o.o_orderdate AS TIMESTAMP)
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+""",
+)
+def j9_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join (the as-of family's interval sibling): events in the
+    24h before each order, correlated on user. The equi key (user_id) drives
+    the shuffle; the range predicate evaluates post-match, so this stays a
+    hash/sort-merge join — never a cross product. That equi-key-first shape
+    is what keeps range joins tractable at 100 TB."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ots = F.col("o_orderdate").cast("timestamp")
+    joined = o.join(
+        e,
+        (e.user_id == o.o_custkey % 50)
+        & (e.ts >= ots - F.expr("INTERVAL 1 DAY"))
+        & (e.ts < ots),
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_in_window"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("window_value"),
+        )
+        .orderBy("o_orderkey")
+    )
