@@ -586,3 +586,48 @@ def ud4_llm_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("envelope"),
     ).orderBy("o_custkey")
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+WITH gated AS (
+  SELECT doc_id, lang, source, text
+  FROM documents
+  WHERE n_chars BETWEEN 40 AND 5000
+    AND len({_TOKS}) >= 5
+), keyed AS (
+  SELECT *, md5(text) AS content_id,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM gated
+), deduped AS (
+  SELECT doc_id, lang, source FROM keyed WHERE rn = 1
+)
+SELECT lang, source, COUNT(*) AS n_docs
+FROM deduped
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation composite, end-to-end in one plan:
+    quality gate (length + minimum token count, F2/F7) → exact near-dup
+    removal (content-hash first-wins, D4/D1) → per-language/source corpus
+    manifest (A2). Single scan, one window for the dedupe, one aggregate —
+    the linear shape this pipeline keeps at 100 TB."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    gated = d.filter(
+        F.col("n_chars").between(40, 5000)
+        & (F.size(F.split(F.trim("text"), r"\s+")) >= 5)
+    )
+    keyed = gated.withColumn("content_id", F.md5("text")).withColumn(
+        "rn", F.row_number().over(W.partitionBy("content_id").orderBy("doc_id"))
+    )
+    return (
+        keyed.filter(F.col("rn") == 1)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "source")
+    )

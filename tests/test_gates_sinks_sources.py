@@ -141,3 +141,47 @@ def test_html_datasource_format_reader(spark, tmp_path):
     assert json.loads(p2[0].headers) == ["col_0", "col_1"]
     # the reader parallelizes per file: two input partitions
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing co-locates join keys at write time: equal bucket counts on
+    the join key let the sort-merge join run with NO Exchange on either
+    side — the pre-shuffle strategy for repeated 100 TB fact-fact joins."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for name in ("li_bucketed", "o_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "li"))
+        .saveAsTable("li_bucketed")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "o"))
+        .saveAsTable("o_bucketed")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        # and it computes the right thing
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("li_bucketed", "o_bucketed"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
