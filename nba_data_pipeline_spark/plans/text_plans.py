@@ -631,3 +631,47 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "ud13_prop_line_walker",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey,
+         concat('Player', translate(CAST(o_orderkey % 100 AS VARCHAR), '0123456789', 'ABCDEFGHIJ'), ' Smith') AS player,
+         CAST(o_orderkey % 40 AS DOUBLE) + 0.5 AS line,
+         -(100 + CAST(o_orderkey % 300 AS INT)) AS over_odds,
+         (105 + CAST(o_orderkey % 250 AS INT)) AS under_odds
+  FROM orders
+)
+SELECT o_orderkey, player, 'POINTS' AS prop_type, line AS prop_line, over_odds AS odds
+FROM base
+UNION ALL
+SELECT o_orderkey, player, 'POINTS', line, under_odds FROM base
+ORDER BY o_orderkey, odds
+""",
+)
+def ud13_prop_line_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD1+UD3 through the SQL-callable UDTF: build one DOM-text blob per
+    order (player header, prop-type header, Over/Under value lines), then
+    LATERAL prop_line_walker — the stateful line-cursor parse
+    (nba_props_scraper.py:645-702) distributed one blob per eval call."""
+    from nba_data_pipeline_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    blob = F.concat(
+        F.lit("Player"),
+        F.translate((k % 100).cast("string"), "0123456789", "ABCDEFGHIJ"),
+        F.lit(" Smith\nPOINTS\nO "),
+        (k % 40).cast("string"), F.lit(".5 -"), (100 + k % 300).cast("string"),
+        F.lit("\nU "), (k % 40).cast("string"), F.lit(".5 +"),
+        (105 + k % 250).cast("string"),
+    )
+    o.withColumn("blob", blob).createOrReplaceTempView("__walker_blobs")
+    return spark.sql(
+        "SELECT b.o_orderkey, p.player, p.prop_type, p.prop_line, p.odds "
+        "FROM __walker_blobs b, LATERAL prop_line_walker(b.blob) p "
+        "ORDER BY b.o_orderkey, p.odds"
+    )
