@@ -42,7 +42,11 @@ CANONICAL_TOKENS: dict[str, str] = {
 def flatten_header(parts: tuple[str, ...] | list[str], sep: str = "_") -> str:
     """N1: join MultiIndex header parts, dropping 'Unnamed: *' placeholders
     (Basketball_Refrence_alltables.py:76-101)."""
-    keep = [p.strip() for p in parts if p and not str(p).startswith("Unnamed")]
+    keep = [
+        str(p).strip()
+        for p in parts
+        if p and str(p).strip() and not str(p).startswith("Unnamed")
+    ]
     return sep.join(keep) if keep else "col"
 
 
