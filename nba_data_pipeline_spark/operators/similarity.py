@@ -36,14 +36,18 @@ def cosine(a: Column, b: Column) -> Column:
 def hyperplane_weights(h: int, dim: int) -> Column:
     """Deterministic ±1 hyperplane ``h``: weight_d = +1 iff the first hex
     nibble of md5('h_d') has its high bit set. Reproducible in any engine
-    with md5."""
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda d: F.when(
-            F.substring(F.md5(F.concat(F.lit(f"{h}_"), d.cast("string"))), 1, 1) >= "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    with md5 — and computable at PLAN TIME: the weights are constants, so
+    they're hashed once here in Python and emitted as an array literal
+    (the expression-tree form re-ran dim×planes md5s per row)."""
+    import hashlib
+
+    weights = [
+        1.0
+        if hashlib.md5(f"{h}_{d}".encode()).hexdigest()[0] >= "8"
+        else -1.0
+        for d in range(1, dim + 1)
+    ]
+    return F.array(*[F.lit(w) for w in weights])
 
 
 def sql_hyperplane_weights(h: int) -> str:

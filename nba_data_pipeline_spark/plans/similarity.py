@@ -148,15 +148,22 @@ def sim_ivf_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids; every vector is assigned to its max-cosine centroid; the
     search scans only the query's cell. At scale: centroids broadcast,
     assignment is one pass, cells are the partitioning key."""
-    v = read_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    cent = (
-        v.filter(F.col("vec_id") < _NUM_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).withColumn("vnorm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+    cent = v.filter(F.col("vec_id") < _NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
     )
     from pyspark.sql import Window as W
 
+    # Norms precomputed per side: each (vector, centroid) pair costs one
+    # dot-fold, not three (the naive cosine recomputes both self-dots per
+    # pair — 2× 8 centroids of redundant folds per vector).
     scored = v.crossJoin(F.broadcast(cent)).withColumn(
-        "sim", cosine(F.col("embedding"), F.col("cvec"))
+        "sim",
+        dot(F.col("embedding"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
     assigned = (
