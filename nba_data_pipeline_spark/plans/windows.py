@@ -173,3 +173,35 @@ def w1_ordinal_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ord")
     )
+
+
+@query(
+    "w5_calendar_range_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS last30d_spend,
+       COUNT(*) OVER w AS last30d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def w5_calendar_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-sliced window — the reference's 'Last 7/15/30' timeframes
+    (DEFENSEVSPOSTION.PY:66) as a RANGE frame over event time: every order
+    sees the trailing 30 DAYS, however many rows that is (rows frames, A9,
+    see the trailing N ROWS). Spark evaluates both in the same WindowExec;
+    only the frame-boundary computation differs."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__w5_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS last30d_spend,
+               COUNT(*) OVER w AS last30d_orders
+        FROM __w5_orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
