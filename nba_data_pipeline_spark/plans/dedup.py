@@ -18,6 +18,7 @@ from nba_data_pipeline_spark.operators.dedup import (
     shingle_sets,
     simhash16,
 )
+from nba_data_pipeline_spark.operators.similarity import dot
 from nba_data_pipeline_spark.operators.textops import ws_tokens
 from nba_data_pipeline_spark.plans.registry import query
 
@@ -315,4 +316,84 @@ def d4_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
         .filter(F.col("n_docs") > 1)
         .orderBy("content_id")
+    )
+
+
+_COS_THRESHOLD = 0.4
+_SQL_PAIR_COS = (
+    "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+    "sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+@query(
+    "d5_embedding_cosine_neardup",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE {_SQL_PAIR_COS} >= {_COS_THRESHOLD}
+),
+canon AS (
+  SELECT v.vec_id AS doc_id, COALESCE(MIN(p.id_a), v.vec_id) AS canonical_id
+  FROM v LEFT JOIN pairs p ON p.id_b = v.vec_id
+  GROUP BY v.vec_id
+)
+SELECT d.doc_id, d.lang, c.canonical_id,
+       (d.doc_id = c.canonical_id) AS is_survivor
+FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+""",
+)
+def d5_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (north-star): embedding-cosine near-dup dedup over ``documents``.
+
+    Exact all-pairs cosine >= 0.4 defines near-dup edges; each document's
+    canonical_id is the smallest id among its lower-id neighbors (one-hop
+    min-pointer — deterministic and SQL-expressible, unlike full transitive
+    closure). Survivors keep their own id. This is the exact baseline; the
+    100 TB path blocks candidates first (``sim_lsh_neardup_pairs``) so the
+    pair join is an equi-join on bucket instead of all-pairs. Norms are
+    computed once per vector before the pair join, so each candidate pair
+    costs a single dot-fold.
+    """
+    v = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = v.withColumn("norm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+    a = n.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+            >= _COS_THRESHOLD
+        )
+        .select("id_a", "id_b")
+    )
+    canon = (
+        v.select("vec_id")
+        .join(
+            pairs.select(F.col("id_b").alias("vec_id"), "id_a"), "vec_id", "left"
+        )
+        .groupBy("vec_id")
+        .agg(F.min("id_a").alias("min_neighbor"))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.coalesce("min_neighbor", "vec_id").alias("canonical_id"),
+        )
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        docs.join(canon, "doc_id")
+        .withColumn("is_survivor", F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id", "lang", "canonical_id", "is_survivor")
+        .orderBy("doc_id")
     )
