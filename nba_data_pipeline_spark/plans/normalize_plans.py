@@ -24,8 +24,26 @@ from nba_data_pipeline_spark.plans.registry import query
 def _pathological(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem disguised as a scraped table: messy headers, stringly-typed
     stats, an in-band header row per 500 rows, and a numeric column whose
-    parse rate sits above the keep-cast threshold."""
-    li = read_table(spark, sf_dir, "lineitem")
+    parse rate sits above the keep-cast threshold.
+
+    The narrow scan is repartitioned before the string-building projection:
+    the downstream pipeline persists this frame and reads it twice (X17
+    stats pass + the real aggregate), and a single-row-group input would
+    otherwise pin both the projection and the cache build to one task. Only
+    the seven source columns move in the shuffle, not the built strings."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_linenumber",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_partkey",
+            "l_discount",
+            "l_returnflag",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return li.select(
         F.when(F.col("l_linenumber") % 500 == 0, F.lit("Player"))
         .otherwise(F.concat(F.lit("P"), F.col("l_suppkey").cast("string")))

@@ -33,6 +33,19 @@ from nba_data_pipeline_spark.plans.registry import query
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` repartitioned to the session's parallelism for the
+    regex-heavy per-document feature queries: the table lands as one row
+    group, and without a shuffle the tokenize/score expressions would run
+    in a single task. The shuffle moves raw text once and buys a 32-way
+    expression stage; at cluster scale, where the scan already has many
+    splits, callers should drop this in favor of the scan's own
+    partitioning (maxPartitionBytes governs it)."""
+    return read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _sql_stop_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
     return f"len(list_filter({_TOKS}, t -> t IN ({words})))"
@@ -52,7 +65,7 @@ ORDER BY doc_id
 def ta_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish pre-tokenizer regex) — the
     document-budget primitive for LLM data pipelines."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return d.select(
         "doc_id",
         token_count_ws(F.col("text")).alias("n_tokens_ws"),
@@ -77,7 +90,7 @@ ORDER BY doc_id
 def ta_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features (length / punctuation / stopword ratios) — exact
     integer counts divided pairwise, cross-engine stable."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     feats = quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -114,7 +127,7 @@ ORDER BY doc_id
 def ta_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword scoring with a deterministic first-max
     tie-break, compared against the dataset's label column."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     pred = predict_lang_fast(F.col("text"))
     return d.select(
         "doc_id",
@@ -140,7 +153,7 @@ ORDER BY fingerprint
 def ta_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the sorted distinct token set —
     word-order/duplication-invariant near-dup key, grouped."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return (
         d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -655,11 +668,20 @@ def ud13_prop_line_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UD1+UD3 through the SQL-callable UDTF: build one DOM-text blob per
     order (player header, prop-type header, Over/Under value lines), then
     LATERAL prop_line_walker — the stateful line-cursor parse
-    (nba_props_scraper.py:645-702) distributed one blob per eval call."""
+    (nba_props_scraper.py:645-702) distributed one blob per eval call.
+
+    The scan is repartitioned to the session's parallelism before the
+    lateral: the Python UDTF is the expensive stage, and without a shuffle
+    upstream it inherits the scan's partitioning (a single row group here
+    → ONE Python worker). The shuffle moves only the 8-byte key."""
     from nba_data_pipeline_spark.functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     k = F.col("o_orderkey")
     blob = F.concat(
         F.lit("Player"),
