@@ -46,6 +46,17 @@ def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_wide(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """Narrow ``orders`` projection repartitioned to the session's
+    parallelism — same single-row-group rationale as ``_docs_wide``, for
+    the X-suite queries whose regex/parse expressions dominate the scan."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(*cols)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def _sql_stop_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
     return f"len(list_filter({_TOKS}, t -> t IN ({words})))"
@@ -208,7 +219,7 @@ def x_prop_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-field extraction (X1 odds, X2 line, X7 hit-rate, X8 book,
     X19 md5 surrogate) from prop-shaped text — the reference's Python
     parsers (nba_props_scraper.py:733-822) as pure regexp expressions."""
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = _orders_wide(spark, sf_dir, "o_orderkey", "o_custkey")
     raw = o.withColumn("content", _spark_prop_text())
     return raw.select(
         "o_orderkey",
@@ -305,7 +316,7 @@ def x_matchup_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     X15 date format in one pass — the reference's per-row cleanup chain
     (DEFENSEVSPOSTION.PY:155-175, nba_insights_scraper.py:397-404,
     Basketball_Refrence_alltables.py:165-166) as pure codegen expressions."""
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    o = _orders_wide(spark, sf_dir, "o_orderkey", "o_custkey", "o_orderdate")
     raw = F.concat(
         F.lit("  T"),
         (F.col("o_orderkey") % 30).cast("string"),
@@ -405,7 +416,7 @@ def x4_game_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     components, so this validates the whole regex path end-to-end."""
     from nba_data_pipeline_spark.functions.extract import parse_game_time
 
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    o = _orders_wide(spark, sf_dir, "o_orderkey")
     k = F.col("o_orderkey")
     h12 = (1 + k % 12).cast("int")
     mm = F.lpad((k % 60).cast("string"), 2, "0")
@@ -477,7 +488,7 @@ def x56_insight_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_prop_outcome,
     )
 
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    o = _orders_wide(spark, sf_dir, "o_orderkey")
     k = F.col("o_orderkey")
     stat = F.element_at(F.array(*[F.lit(s) for s in _STATS]), (k % 3 + 1).cast("int"))
     line_txt = F.concat((k % 40).cast("string"), F.lit(".5"))
@@ -528,7 +539,7 @@ def x12_team_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan lines for team indicators, emit 'A vs B'): containment theta-join
     against the broadcast dim with space-padding so NATION_1 can't match
     inside NATION_17, then per-line sorted aggregation."""
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    o = _orders_wide(spark, sf_dir, "o_orderkey")
     n = read_table(spark, sf_dir, "nation").select("n_name")
     line = F.concat(
         F.lit("NATION_"),
