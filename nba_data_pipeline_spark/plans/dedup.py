@@ -179,10 +179,14 @@ def d5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle arrays feed three consumers (signatures + both sides of
     # the verify join); persist so the Python shingling pass runs once.
     # At 100 TB this would be an explicit staging write (parquet checkpoint)
-    # instead of a cache, but the plan shape is the same.
-    docs = d.select(
-        "doc_id", distinct_word_shingles_fast(F.col("text")).alias("sh_arr")
-    ).persist()
+    # instead of a cache, but the plan shape is the same. Repartition ahead
+    # of the shingling UDF so the cache build isn't pinned to the scan's
+    # single row-group task.
+    docs = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", distinct_word_shingles_fast(F.col("text")).alias("sh_arr"))
+        .persist()
+    )
     sh = docs.select("doc_id", F.explode("sh_arr").alias("shingle"))
     sig = sh.groupBy("doc_id").agg(
         *[
