@@ -292,31 +292,51 @@ def u2_multistrategy_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j9_time_range_join",
     oracle="""
+WITH o2 AS (
+  SELECT o_orderkey, o_custkey,
+         DATE '2024-01-02' + CAST(o_orderkey % 29 AS INT) * INTERVAL 1 DAY AS game_date
+  FROM orders
+)
 SELECT o.o_orderkey, COUNT(*) AS n_events_in_window,
        CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
-FROM orders o
+FROM o2 o
 JOIN events e
   ON e.user_id = o.o_custkey % 50
- AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP) - INTERVAL 1 DAY
- AND e.ts <  CAST(o.o_orderdate AS TIMESTAMP)
+ AND e.ts >= CAST(o.game_date AS TIMESTAMP) - INTERVAL 1 DAY
+ AND e.ts <  CAST(o.game_date AS TIMESTAMP)
 GROUP BY o.o_orderkey
 ORDER BY o.o_orderkey
 """,
 )
 def j9_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range join (the as-of family's interval sibling): events in the
-    24h before each order, correlated on user. The equi key (user_id) drives
-    the shuffle; the range predicate evaluates post-match, so this stays a
-    hash/sort-merge join — never a cross product. That equi-key-first shape
-    is what keeps range joins tractable at 100 TB."""
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    24h before each order's game date, correlated on user. The game date is
+    derived from the order key so it lands inside the events table's clock
+    (orders' own dates predate the events feed — the raw-date variant
+    matches nothing and tests nothing).
+
+    Shape: the range predicate alone would leave a 50-key equi-join that
+    range-tests every order×event pair inside a user bucket. Binning time
+    to days and adding the day to the join key bounds each event to exactly
+    two candidate days (a 1-day window), so the join fans out on
+    (user, day) — the equi-key-first shape that keeps range joins tractable
+    at 100 TB, where the bin width is tuned to the window span."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    ots = F.col("o_orderdate").cast("timestamp")
-    joined = o.join(
-        e,
-        (e.user_id == o.o_custkey % 50)
-        & (e.ts >= ots - F.expr("INTERVAL 1 DAY"))
-        & (e.ts < ots),
+    o2 = o.withColumn(
+        "game_date",
+        F.date_add(F.lit("2024-01-02").cast("date"), (F.col("o_orderkey") % 29).cast("int")),
+    )
+    gts = F.col("game_date").cast("timestamp")
+    e2 = e.withColumn(
+        "day", F.explode(F.array(F.to_date("ts"), F.date_add(F.to_date("ts"), 1)))
+    )
+    joined = o2.join(
+        e2,
+        (e2.user_id == o2.o_custkey % 50)
+        & (e2.day == o2.game_date)
+        & (e2.ts >= gts - F.expr("INTERVAL 1 DAY"))
+        & (e2.ts < gts),
     )
     return (
         joined.groupBy("o_orderkey")
