@@ -247,6 +247,30 @@ def u3_except_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "u4_intersect_common",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+""",
+)
+def u4_intersect_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: INTERSECT — nations having both customers and suppliers. Absent
+    in the reference (SURVEY §2.9: only membership tests, F4); supplied for
+    set-op completeness. Spark plans this as a distinct + left-semi
+    hash join — both inputs pre-aggregate to their distinct keys before the
+    shuffle, so the exchange moves at most |distinct keys| rows per side."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
     "u2_multistrategy_union",
     oracle="""
 WITH s1 AS (SELECT o_orderkey, 1 AS strategy FROM orders WHERE o_totalprice > 400000),
