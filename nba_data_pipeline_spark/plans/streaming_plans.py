@@ -232,3 +232,68 @@ def s1_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "s2_stream_arrival_dedupe",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_unique_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def s2_stream_arrival_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (arrival dedupe, outlier_insight_scraper.py:198-207): the scraper
+    re-reads overlapping pages and drops records it has already seen. Here
+    the events file is landed TWICE (every record arrives in two files —
+    replayed micro-batches), readStream applies watermark +
+    dropDuplicates(event_id) — the seen-set as bounded streaming state —
+    and the per-type counts must equal the batch aggregate over the single
+    copy, which is what the oracle checks."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from nba_data_pipeline_spark.io import table_path
+
+    land_dir = tempfile.mkdtemp(prefix="s2_landing_")
+    src = table_path(sf_dir, "events")
+    shutil.copy(src, f"{land_dir}/arrival_1.parquet")
+    shutil.copy(src, f"{land_dir}/arrival_2.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(land_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = sdf.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("s2_dedupe_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s2_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("s2_dedupe_mem").orderBy("event_type")
