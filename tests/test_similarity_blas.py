@@ -1,0 +1,67 @@
+"""cosine_pairs_blas must agree exactly with the expression-fold pair miner
+(the DuckDB-parity reference path) — including at thresholds engineered to
+land inside the borderline re-score band."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.operators.similarity import cosine, cosine_pairs_blas
+
+
+def _fold_pairs(df, threshold):
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("e_a"), F.col("e_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def _mk_vectors(spark, n, dim, seed):
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_blas_pairs_match_fold_pairs(spark):
+    df = _mk_vectors(spark, 60, 16, seed=7)
+    for threshold in (0.2, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b) for r in cosine_pairs_blas(df, threshold).collect()
+        }
+        want = {(r.id_a, r.id_b) for r in _fold_pairs(df, threshold).collect()}
+        assert got == want
+
+
+def test_blas_pairs_exact_threshold_boundary(spark):
+    # Orthogonal / identical / opposite vectors: cosines exactly 0, 1, -1.
+    # A threshold of exactly 1.0 must keep the identical pair (>= semantics)
+    # and drop everything else; 0.0 must keep the orthogonal pair too.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [2.0, 0.0]),  # same direction as 0 -> cosine 1.0
+        (3, [-1.0, 0.0]),  # opposite of 0 -> cosine -1.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    at_one = {
+        (r.id_a, r.id_b) for r in cosine_pairs_blas(df, 1.0).collect()
+    }
+    assert at_one == {(0, 2)}
+    at_zero = {
+        (r.id_a, r.id_b) for r in cosine_pairs_blas(df, 0.0).collect()
+    }
+    # id 3 is opposite to 0/2 (cosine -1, dropped) but orthogonal to 1.
+    assert at_zero == {(0, 1), (0, 2), (1, 2), (1, 3)}
+
+
+def test_blas_pairs_empty_when_nothing_similar(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert cosine_pairs_blas(df, 0.9).count() == 0
