@@ -173,6 +173,36 @@ def ta_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ta_stratified_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, source,
+         substring(md5(concat('seed42:', CAST(doc_id AS VARCHAR))), 1, 2) AS hk
+  FROM documents
+)
+SELECT doc_id, lang, source FROM keyed
+WHERE hk < CASE WHEN lang = 'en' THEN '20' ELSE '80' END
+ORDER BY doc_id
+""",
+)
+def ta_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus downsampling: per-language keep rates via a seeded
+    hash threshold (en ~12.5%, others ~50% — down-weight the dominant
+    language). Hash-threshold sampling is the 100 TB-safe form: it's
+    deterministic (reproducible across runs/engines — no RNG state), it
+    pushes down as a plain filter (no shuffle, no sampling operator), and
+    membership is stable under re-partitioning, so incremental runs keep
+    identical samples. The 2-hex-char key compares lexicographically, which
+    both engines order identically."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    hk = F.substring(
+        F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    thr = F.when(F.col("lang") == "en", F.lit("20")).otherwise(F.lit("80"))
+    return d.filter(hk < thr).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # X1/X2/X7/X8/X19 extraction suite + X21 odds math on constructed prop text.
 # ---------------------------------------------------------------------------
