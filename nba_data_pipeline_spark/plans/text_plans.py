@@ -203,6 +203,54 @@ def ta_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(hk < thr).orderBy("doc_id")
 
 
+@query(
+    "ta_token_budget_pack",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         md5(concat('pack:', CAST(doc_id AS VARCHAR))) AS hk
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens
+FROM ranked WHERE cum_tokens <= 20000
+ORDER BY doc_id
+""",
+)
+def ta_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: fill a fixed per-language token budget (20k)
+    by admitting documents in seeded-hash order until the running total
+    would exceed it — how a training mix hits per-language token targets
+    deterministically. One window per language partition (running sum over
+    the hash order) and a filter; at 100 TB the partitionBy(lang) window
+    shuffles once on the stratum key, and skewed strata split under AQE."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 20000)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X1/X2/X7/X8/X19 extraction suite + X21 odds math on constructed prop text.
 # ---------------------------------------------------------------------------
