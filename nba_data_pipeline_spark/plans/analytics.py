@@ -296,6 +296,36 @@ def a13_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a13_cube_order_mix",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+)
+def a13_cube_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13's full-lattice sibling: CUBE over (status, priority) computes all
+    four granularities — per-cell, per-status, per-priority, grand total —
+    in one pass / one shuffle, where the reference runs one scrape per
+    granularity. Spark expands the grouping sets map-side, so partial
+    aggregation still collapses rows before the exchange."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+        .orderBy("status", "priority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # A5/A3: distinct-count validation + count metadata
 # (DEFENSEVSPOSTION.PY:524-541 "exactly 30 teams"; nba_insights_scraper.py:525-532).
