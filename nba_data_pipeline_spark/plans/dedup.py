@@ -18,7 +18,7 @@ from nba_data_pipeline_spark.operators.dedup import (
     shingle_sets,
     simhash16,
 )
-from nba_data_pipeline_spark.operators.similarity import cosine_pairs_blas, dot
+from nba_data_pipeline_spark.operators.similarity import cosine_pairs_blas
 from nba_data_pipeline_spark.operators.textops import ws_tokens
 from nba_data_pipeline_spark.plans.registry import query
 

@@ -117,6 +117,91 @@ _NUM_CENTROIDS = 8
 
 
 @query(
+    "sim_ivf_batch_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_NUM_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, label, e, cid FROM (
+    SELECT a.vec_id, a.label, a.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.e, c.ce) /
+                      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+                      DESC, c.cid
+           ) AS rn
+    FROM v a, cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, cid AS qcid, e AS qe FROM assigned WHERE vec_id < 100),
+scored AS (
+  SELECT q.qid, a.vec_id AS neighbor_id,
+         list_dot_product(q.qe, a.e) /
+         (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(a.e, a.e))) AS cosine_sim
+  FROM q JOIN assigned a ON a.cid = q.qcid AND a.vec_id <> q.qid
+)
+SELECT qid, neighbor_id, cosine_sim, rnk FROM (
+  SELECT qid, neighbor_id, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+ORDER BY qid, rnk
+""",
+)
+def sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN — the realistic serving shape: the first 100 vectors act
+    as a query batch; each probes only its own IVF cell (equi-join on cell
+    id, never all-pairs) and keeps its 5 nearest neighbors by exact cosine.
+    At 100 TB the cell id is the partitioning key, so the probe join
+    co-locates each query batch with exactly the shards it scans, and the
+    per-query top-k is a bounded window inside the cell."""
+    from pyspark.sql import Window as W
+
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).withColumn("vnorm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+    cent = v.filter(F.col("vec_id") < _NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "sim",
+        dot(F.col("embedding"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")),
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "vnorm", "cid")
+    )
+    q = assigned.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+        F.col("cid").alias("qcid"),
+    )
+    probed = (
+        assigned.join(F.broadcast(q), (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qvec"), F.col("embedding")) / (F.col("qnorm") * F.col("vnorm"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    kw = W.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        probed.withColumn("rnk", F.row_number().over(kw).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "neighbor_id", "cosine_sim", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+@query(
     "sim_ivf_probe1",
     oracle=f"""
 WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
