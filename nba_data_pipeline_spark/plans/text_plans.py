@@ -204,6 +204,41 @@ def ta_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ta_quality_percentiles",
+    oracle="""
+SELECT lang,
+       MIN(n_chars) AS min_chars,
+       quantile_cont(n_chars, 0.5) AS median_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       MAX(n_chars) AS max_chars,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def ta_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution statistics per language stratum: exact median / p90 of
+    document length (percentile_cont semantics — linear interpolation,
+    verified bit-identical to DuckDB's quantile_cont) plus min/max. Exact
+    percentile sorts within the group; at 100 TB swap to
+    approx_percentile(...) (t-digest sketch, map-side combinable) and keep
+    this as the small-stratum auditor."""
+    d = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.min("n_chars").alias("min_chars"),
+            F.percentile("n_chars", F.lit(0.5)).alias("median_chars"),
+            F.percentile("n_chars", F.lit(0.9)).alias("p90_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "ta_token_budget_pack",
     oracle="""
 WITH t AS (
