@@ -53,6 +53,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # Queries that persist() intermediates (by design: multi-consumer
+        # plans) would otherwise accumulate cached blocks across the run and
+        # tax later queries with GC/memory pressure. Dropping the cache here
+        # keeps each query's number isolated; the second timed iteration
+        # above still benefits from its own query's cache.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
