@@ -21,7 +21,7 @@ def canonicalize_teams(
     df: DataFrame,
     aliases: DataFrame,  # columns: alias, canonical
     team_col: str = "team_raw",
-    position_col: str = "position",
+    position_col: str | list[str] = "position",
     row_idx_col: str = "row_idx",
     la_first: str = "LAKERS",
     la_second: str = "CLIPPERS",
@@ -36,7 +36,11 @@ def canonicalize_teams(
     per position (DEFENSEVSPOSTION.PY:177-184). Distributed execution has no
     row order, so the ingestion row index is threaded through and the rule
     becomes row_number() over (position, order by row_idx).
+
+    ``position_col`` may be a list when the counter resets per scraped
+    table, e.g. per (position, timeframe).
     """
+    part_cols = [position_col] if isinstance(position_col, str) else list(position_col)
     cleaned = df.withColumn("__clean", clean_team_text(F.col(team_col)))
     a1 = aliases.select(
         F.col("alias").alias("__a1"), F.col("canonical").alias("__c1")
@@ -52,7 +56,7 @@ def canonicalize_teams(
         .withColumn("__canon", F.coalesce("__c1", "__c2", "__clean"))
     )
     la = F.col("__canon") == "LOS ANGELES"
-    w = W.partitionBy(position_col, F.when(la, 1).otherwise(0)).orderBy(row_idx_col)
+    w = W.partitionBy(*part_cols, F.when(la, 1).otherwise(0)).orderBy(row_idx_col)
     out = out.withColumn("__la_rn", F.when(la, F.row_number().over(w)))
     return out.withColumn(
         "team",
