@@ -107,6 +107,114 @@ def cosine_pairs_blas(df: DataFrame, threshold: float) -> DataFrame:
     return df.mapInPandas(mine, schema="id_a long, id_b long")
 
 
+def cosine_pairs_blocked(
+    df: DataFrame, threshold: float, num_blocks: int = 8
+) -> DataFrame:
+    """Distributed exact all-pairs cosine >= ``threshold`` — the scale-safe
+    form of ``cosine_pairs_blas`` with NO driver-side materialization.
+
+    Block-pair (triangle) join: vectors hash into ``num_blocks`` blocks; each
+    vector is replicated once per unordered block pair it belongs to (B
+    copies), shuffled by the (i, j) task key, and each of the B(B+1)/2 tasks
+    mines its two sub-blocks with one BLAS matmul. An unordered vector pair
+    with blocks (u, v) meets in exactly one task, (min(u,v), max(u,v)):
+    cross-block pairs come from the i-side × j-side product, within-block
+    pairs from the id-ordered upper triangle, so no pair is emitted twice.
+
+    Cost model at scale: replication is O(N·B) shuffle bytes and memory per
+    task is O((N/B)·dim) — pick B ≈ sqrt(cluster cores) so tasks saturate
+    the cluster while sub-blocks stay executor-sized. The total O(N²) flops
+    are inherent to the EXACT baseline; the 100 TB near-dup path blocks by
+    LSH/IVF first and runs this miner per bucket, where N is bucket-sized.
+
+    Determinism vs the DuckDB oracle: same discipline as
+    ``cosine_pairs_blas`` — BLAS decides the bulk, and cosines within 1e-9
+    of the threshold are re-scored with the oracle's left-to-right
+    sequential fold before the keep/drop decision.
+    """
+    id_col, vec_col = df.columns[0], df.columns[1]
+    band = 1e-9
+
+    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
+    keyed = (
+        df.withColumn("__blk", block)
+        .withColumn(
+            "__task",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+                    lambda x: F.struct(
+                        F.least(F.col("__blk"), x).alias("i"),
+                        F.greatest(F.col("__blk"), x).alias("j"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            F.col("__task.i").alias("__i"),
+            F.col("__task.j").alias("__j"),
+            "__blk",
+            id_col,
+            vec_col,
+        )
+    )
+
+    def seq_cos(a: np.ndarray, b: np.ndarray) -> float:
+        num = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            num += x * y
+        for x in a.tolist():
+            na += x * x
+        for y in b.tolist():
+            nb += y * y
+        return num / (na**0.5 * nb**0.5)
+
+    def _emit(
+        ia: np.ndarray,
+        ma: np.ndarray,
+        ib: np.ndarray,
+        mb: np.ndarray,
+        s: np.ndarray,
+        mask: np.ndarray,
+    ) -> pd.DataFrame:
+        rr, cc = np.nonzero(mask)
+        keep_a: list[int] = []
+        keep_b: list[int] = []
+        for r, c in zip(rr.tolist(), cc.tolist()):
+            if s[r, c] < threshold + band and not (seq_cos(ma[r], mb[c]) >= threshold):
+                continue
+            u, v = int(ia[r]), int(ib[c])
+            keep_a.append(min(u, v))
+            keep_b.append(max(u, v))
+        return pd.DataFrame({"id_a": keep_a, "id_b": keep_b})
+
+    def mine_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = key
+        if pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        mat = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        ids = pdf[id_col].to_numpy()
+        if i == j:
+            s = (mat @ mat.T) / np.outer(norms, norms)
+            mask = (s >= threshold - band) & (ids[:, None] < ids[None, :])
+            return _emit(ids, mat, ids, mat, s, mask)
+        left = pdf["__blk"].to_numpy() == i
+        ia, ma, na = ids[left], mat[left], norms[left]
+        ib, mb, nb = ids[~left], mat[~left], norms[~left]
+        if ia.size == 0 or ib.size == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        s = (ma @ mb.T) / np.outer(na, nb)
+        mask = s >= threshold - band
+        return _emit(ia, ma, ib, mb, s, mask)
+
+    return keyed.groupBy("__i", "__j").applyInPandas(
+        mine_block, schema="id_a long, id_b long"
+    )
+
+
 def hyperplane_weights(h: int, dim: int) -> Column:
     """Deterministic ±1 hyperplane ``h``: weight_d = +1 iff the first hex
     nibble of md5('h_d') has its high bit set. Reproducible in any engine

@@ -18,7 +18,7 @@ from nba_data_pipeline_spark.operators.dedup import (
     shingle_sets,
     simhash16,
 )
-from nba_data_pipeline_spark.operators.similarity import cosine_pairs_blas
+from nba_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
 from nba_data_pipeline_spark.operators.textops import ws_tokens
 from nba_data_pipeline_spark.plans.registry import query
 
@@ -360,13 +360,16 @@ def d5_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path blocks candidates first (``sim_lsh_neardup_pairs``) so the
     pair join is an equi-join on bucket instead of all-pairs.
 
-    Pair mining runs through ``cosine_pairs_blas``: one side broadcast as a
-    dense matrix, the other streamed through Arrow batches with a BLAS
-    matmul per batch, borderline cosines re-scored with the oracle's exact
-    sequential fold.
+    Pair mining runs through ``cosine_pairs_blocked``: a block-pair
+    (triangle) join — vectors hash into B blocks, each unordered block pair
+    becomes one task mining its two sub-blocks with a BLAS matmul,
+    borderline cosines re-scored with the oracle's exact sequential fold.
+    Fully distributed: no driver-side collect anywhere on the plan
+    (``cosine_pairs_blas``, the broadcast variant, remains the per-bucket
+    verifier for bucket-sized inputs).
     """
     v = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pairs = cosine_pairs_blas(v, _COS_THRESHOLD)
+    pairs = cosine_pairs_blocked(v, _COS_THRESHOLD)
     canon = (
         v.select("vec_id")
         .join(

@@ -65,3 +65,26 @@ def test_blas_pairs_empty_when_nothing_similar(spark):
         [(0, [1.0, 0.0]), (1, [-1.0, 0.0])], "vec_id long, embedding array<double>"
     )
     assert cosine_pairs_blas(df, 0.9).count() == 0
+
+
+def test_blocked_pairs_match_fold_pairs(spark):
+    from nba_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
+
+    df = _mk_vectors(spark, 60, 16, seed=11)
+    for threshold in (0.2, 0.5):
+        got = {
+            (r.id_a, r.id_b)
+            for r in cosine_pairs_blocked(df, threshold, num_blocks=4).collect()
+        }
+        want = {(r.id_a, r.id_b) for r in _fold_pairs(df, threshold).collect()}
+        assert got == want
+
+
+def test_blocked_pairs_no_duplicates_across_tasks(spark):
+    from nba_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
+
+    df = _mk_vectors(spark, 40, 8, seed=3)
+    rows = cosine_pairs_blocked(df, 0.1, num_blocks=5).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
