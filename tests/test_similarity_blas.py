@@ -88,3 +88,39 @@ def test_blocked_pairs_no_duplicates_across_tasks(spark):
     pairs = [(r.id_a, r.id_b) for r in rows]
     assert len(pairs) == len(set(pairs))
     assert all(a < b for a, b in pairs)
+
+
+def test_num_planes_for_targets_bucket_cardinality():
+    from nba_data_pipeline_spark.operators.similarity import num_planes_for
+
+    assert num_planes_for(100) == 1          # tiny corpus: no real blocking
+    assert num_planes_for(2000) == 4         # the sf0.1 fixture -> 16 buckets
+    assert num_planes_for(1_000_000) == 13
+    assert num_planes_for(1_000_000_000) == 23
+    # contract: expected bucket size stays at or under the target
+    for n in (2000, 10**6, 10**9):
+        p = num_planes_for(n)
+        assert n / (2**p) <= 125
+
+
+def test_lsh_bucket_fanout_bounded(spark):
+    """With planes sized by num_planes_for, no bucket should collect a
+    disproportionate share of a (seeded, roughly isotropic) corpus — the
+    guard that the in-bucket join can't go quadratic-in-corpus."""
+    from nba_data_pipeline_spark.operators.similarity import (
+        lsh_bucket,
+        num_planes_for,
+    )
+
+    n, dim = 512, 16
+    df = _mk_vectors(spark, n, dim, seed=23)
+    p = num_planes_for(n, target_rows_per_bucket=64)
+    counts = (
+        df.select(lsh_bucket(F.col("embedding"), p, dim).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    biggest = max(r["count"] for r in counts)
+    # expected 64 per bucket; allow generous skew headroom but forbid collapse
+    assert biggest <= 4 * 64, f"bucket fan-out collapsed: max={biggest}"
