@@ -72,9 +72,11 @@ _FRONT: tuple[str, ...] = (
     "j7_asof_latest_event",
     "u2_multistrategy_union",
     "f4_multi_dim_selection",
-    # dedup — all exact + near-dup algorithms
+    # sinks
+    "snk3_sink_modes",
+    # dedup — exact + all near-dup algorithms (d2 is a driver-green-in-r1
+    # variant of d1, relegated to the locally-checked tail)
     "d1_first_wins_dedup",
-    "d2_prefix_dedup",
     "d3_full_row_distinct",
     "d4_content_hash_dedup",
     "d5_ngram_jaccard_topk",
@@ -126,6 +128,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal_plans,
         normalize_plans,
         similarity,
+        sinks,
         streaming_plans,
         text_plans,
         windows,

