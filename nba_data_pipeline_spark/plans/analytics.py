@@ -501,20 +501,23 @@ ORDER BY l_returnflag
 def a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct per group — the sketch-based form of A5 that
     stays cheap at 100 TB (no exact distinct shuffle). Emits the exact
-    countDistinct alongside and asserts the HLL estimate (rsd=1%) is within
-    5% relative error, so the approx path is oracle-gated via the exact
-    columns + the in-plan error-bound boolean."""
+    countDistinct alongside and asserts the HLL estimate (default rsd=5%)
+    lands within 20% relative error (4 sigma), so the approx path is
+    oracle-gated via the exact columns + the in-plan error-bound boolean.
+    (rsd=1% was tried and reverted: the 2^17-register sketches ballooned the
+    partial-agg buffers enough to slow this query ~10x and GC-tax its bench
+    neighbors.)"""
     li = read_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_suppkey").alias("exact_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     within = (
-        (F.abs(F.col("approx_parts") - F.col("exact_parts")) <= 0.05 * F.col("exact_parts"))
-        & (F.abs(F.col("approx_supps") - F.col("exact_supps")) <= 0.05 * F.col("exact_supps"))
+        (F.abs(F.col("approx_parts") - F.col("exact_parts")) <= 0.2 * F.col("exact_parts"))
+        & (F.abs(F.col("approx_supps") - F.col("exact_supps")) <= 0.2 * F.col("exact_supps"))
     )
     return agg.select(
         "l_returnflag",

@@ -389,3 +389,141 @@ def d5_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "canonical_id", "is_survivor")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "d5_cc_clusters",
+    oracle=f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM t),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM inter
+  JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+  WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node)
+SELECT c.doc_id, c.component_id,
+       CAST(COUNT(*) OVER (PARTITION BY c.component_id) AS BIGINT) AS cluster_size
+FROM comp c
+ORDER BY c.doc_id
+""",
+)
+def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5e: near-dup CLUSTERS — transitive closure over Jaccard >= 0.5 edges
+    via iterative min-label propagation (each doc's component_id = smallest
+    doc_id reachable through near-dup links). The one-hop min-pointer in
+    ``d5_embedding_cosine_neardup`` under-merges chains (a~b, b~c but a!~c);
+    production dedup keeps ONE representative per connected component, so
+    the closure is the operator that actually decides survivors.
+
+    Spark-first shape: edges from the shingle equi-join (never all-pairs);
+    then a loop of [propagate min label across symmetric edges -> join back
+    -> converged?] — each round is one shuffle join + one aggregate, and
+    the round count is the cluster diameter (near-dup clusters are shallow;
+    the iteration cap documents the contract). At 100 TB swap the naive
+    propagation for large-star/small-star (same join primitives, O(log n)
+    rounds) and checkpoint labels every few rounds to cut the lineage.
+    DuckDB verifies via a recursive CTE reaching the same fixpoint.
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_sets(d)
+    edges = (
+        jaccard_pairs(sh, min_jaccard=0.5)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = d.select("doc_id", F.col("doc_id").alias("component_id")).persist()
+    for _ in range(20):  # cap >> observed near-dup cluster diameter
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    from pyspark.sql import Window as W
+
+    return (
+        labels.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(W.partitionBy("component_id")),
+        )
+        .select("doc_id", "component_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ta_decontaminate",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM t),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+  WHERE s.doc_id % 97 <> 0
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shared FROM hits WHERE n_shared >= 5
+ORDER BY doc_id
+""",
+)
+def ta_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination — the LLM-pipeline op that removes training
+    documents overlapping a held-out benchmark. Docs with doc_id % 97 == 0
+    stand in for the eval set; a training doc is contaminated when it shares
+    >= 5 distinct 3-word shingles with ANY eval document.
+
+    Scale shape: the eval side is small by construction (benchmarks are
+    thousands of documents, not billions), so its distinct-shingle set
+    BROADCASTS and contamination is a map-side hash join against the
+    training shingle stream — one scan of the corpus, no shuffle on the big
+    side beyond the per-doc count. This is the canonical asymmetric-join
+    decontamination used by production training pipelines."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_sets(d)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .orderBy("doc_id")
+    )

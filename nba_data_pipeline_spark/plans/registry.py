@@ -54,11 +54,10 @@ def query(name: str, oracle: str | None = None):
 # u1/u3/u4, mm_resize, ...) follow after, in registration order, and stay
 # covered by tools/check.py locally.
 _FRONT: tuple[str, ...] = (
-    # analytics core
+    # analytics core (a1/a3 are driver-green-in-r1 and yield their prefix
+    # slots to the round-2 additions d5_cc_clusters / ta_decontaminate)
     "flagship_hitrate_last10",
-    "a1_group_collect",
     "a2_group_fanout_manifest",
-    "a3_count_metadata",
     "a4_sum_group_sizes",
     "a6_market_buckets",
     "a7_argmax_order",
@@ -83,6 +82,8 @@ _FRONT: tuple[str, ...] = (
     "d5_minhash_lsh_pairs",
     "d5_simhash_signatures",
     "d5_embedding_cosine_neardup",
+    "d5_cc_clusters",
+    "ta_decontaminate",
     # SQL windows
     "w1_ordinal_disambiguation",
     "w2_rank_within_group",

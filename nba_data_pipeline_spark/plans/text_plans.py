@@ -821,3 +821,33 @@ def ud13_prop_line_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM __walker_blobs b, LATERAL prop_line_walker(b.blob) p "
         "ORDER BY b.o_orderkey, p.odds"
     )
+
+
+@query(
+    "ta_repetition_ratio",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS n_tokens,
+       CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS uniq_ratio,
+       (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})) < 0.5
+           AS is_repetitive
+FROM documents
+ORDER BY doc_id
+""",
+)
+def ta_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signal (the Gopher-style repetition filter):
+    fraction of distinct whitespace tokens. Highly repetitive documents
+    (boilerplate, keyword stuffing, templated spam) score low and get
+    flagged. Pure JVM expressions — one scan, no shuffle, whole-stage
+    codegen end-to-end; the integer-valued division is bit-stable across
+    engines."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        ratio.alias("uniq_ratio"),
+        (ratio < 0.5).alias("is_repetitive"),
+    ).orderBy("doc_id")
