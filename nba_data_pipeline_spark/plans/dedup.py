@@ -446,7 +446,16 @@ def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = d.select("doc_id", F.col("doc_id").alias("component_id")).persist()
+    # Propagate only over nodes that HAVE an edge (isolated docs are their
+    # own component by definition and rejoin at the end) — the loop then
+    # iterates on the near-dup subgraph, a tiny fraction of the corpus.
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0] or 0
     for _ in range(20):  # cap >> observed near-dup cluster diameter
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["doc_id"])
@@ -463,21 +472,23 @@ def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
+        # Labels only ever decrease, so the label sum is strictly monotone:
+        # an unchanged sum IS the fixpoint — one scalar aggregate per round,
+        # no labels-vs-labels join for the convergence test.
+        cur_sum = new_labels.agg(F.sum("component_id")).collect()[0][0] or 0
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sym.unpersist()
     from pyspark.sql import Window as W
 
+    full = d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("component_id")
+    )
     return (
-        labels.withColumn(
+        full.withColumn(
             "cluster_size",
             F.count(F.lit(1)).over(W.partitionBy("component_id")),
         )
