@@ -498,6 +498,58 @@ def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d8_crossdoc_ngram_coverage",
+    oracle=f"""
+{_SQL_SH_REL},
+freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         COUNT(*) FILTER (WHERE f.df > 1) AS dup_shingles
+  FROM sh s JOIN freq f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, dup_shingles,
+       CAST(dup_shingles AS DOUBLE) / n_shingles AS dup_coverage,
+       (CAST(dup_shingles AS DOUBLE) / n_shingles) >= 0.5 AS is_mostly_dup
+FROM per_doc
+ORDER BY doc_id
+""",
+)
+def d8_crossdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: cross-document duplicate-span coverage — for each document, the
+    fraction of its distinct 3-word shingles that also occur in at least one
+    OTHER document (the RefinedWeb/Dolma "duplicated n-gram fraction"
+    signal; high coverage = boilerplate or template spam even when no single
+    pair crosses a Jaccard threshold). Shape: one explode, one
+    map-side-combined shingle-frequency aggregate, one equi-join back on the
+    8-byte shingle hash, one per-doc aggregate — linear in corpus size, no
+    pairwise work at all, which is what makes this the cheapest cross-doc
+    dup signal at 100 TB. Shingles are distinct per doc, so per-doc
+    frequency equals document frequency."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_sets(d)
+    # Hash the shingle once: the frequency aggregate and the join back both
+    # shuffle 8-byte keys instead of ~20-byte strings (same discipline as
+    # jaccard_pairs; collisions are ~1e-8 at corpus scale).
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+    freq = hashed.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        hashed.join(freq, "sh_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("df") > 1, 1)).alias("dup_shingles"),
+        )
+    )
+    cov = F.col("dup_shingles").cast("double") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id", "n_shingles", "dup_shingles",
+        cov.alias("dup_coverage"),
+        (cov >= 0.5).alias("is_mostly_dup"),
+    ).orderBy("doc_id")
+
+
+@query(
     "ta_decontaminate",
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -54,15 +54,13 @@ def query(name: str, oracle: str | None = None):
 # u1/u3/u4, mm_resize, ...) follow after, in registration order, and stay
 # covered by tools/check.py locally.
 _FRONT: tuple[str, ...] = (
-    # analytics core (a1/a3 are driver-green-in-r1 and yield their prefix
-    # slots to the round-2 additions d5_cc_clusters / ta_decontaminate)
+    # analytics core (driver-green-in-r1 variants a1/a3/a6/a7/a8/a12 yield
+    # their prefix slots to the round-2 additions: d5_cc_clusters,
+    # ta_decontaminate, ta_vocab_topk, ta_tfidf_top_terms, ta_gopher_rules,
+    # ta_pii_scrub; d3 yields to d8_crossdoc_ngram_coverage)
     "flagship_hitrate_last10",
     "a2_group_fanout_manifest",
     "a4_sum_group_sizes",
-    "a6_market_buckets",
-    "a7_argmax_order",
-    "a8_status_rollup",
-    "a12_pricing_summary",
     "a13_rollup_revenue",
     "a14_approx_distinct",
     "skew_salted_agg",
@@ -76,8 +74,8 @@ _FRONT: tuple[str, ...] = (
     # dedup — exact + all near-dup algorithms (d2 is a driver-green-in-r1
     # variant of d1, relegated to the locally-checked tail)
     "d1_first_wins_dedup",
-    "d3_full_row_distinct",
     "d4_content_hash_dedup",
+    "d8_crossdoc_ngram_coverage",
     "d5_ngram_jaccard_topk",
     "d5_minhash_lsh_pairs",
     "d5_simhash_signatures",
@@ -96,6 +94,10 @@ _FRONT: tuple[str, ...] = (
     "ta_language_id",
     "ta_fingerprint_groups",
     "ta_token_budget_pack",
+    "ta_vocab_topk",
+    "ta_tfidf_top_terms",
+    "ta_gopher_rules",
+    "ta_pii_scrub",
     "corpus_curation_pipeline",
     "x_prop_extraction",
     "x56_insight_parse",

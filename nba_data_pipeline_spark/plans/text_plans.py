@@ -27,6 +27,7 @@ from nba_data_pipeline_spark.operators.textops import (
     quality_features,
     token_count_bpe,
     token_count_ws,
+    ws_tokens,
 )
 from nba_data_pipeline_spark.plans.registry import query
 
@@ -821,6 +822,221 @@ def ud13_prop_line_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM __walker_blobs b, LATERAL prop_line_walker(b.blob) p "
         "ORDER BY b.o_orderkey, p.odds"
     )
+
+
+@query(
+    "ta_vocab_topk",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM tok
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 100
+""",
+)
+def ta_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: term frequency + document frequency for
+    the top-100 tokens — the stopword-table / tokenizer-vocab primitive of a
+    training-data pipeline. Explode → groupBy(token) is the canonical
+    map-side-combine aggregation: partial counts collapse before the
+    shuffle, so the exchange carries one row per distinct token per
+    partition, not one per occurrence. The top-k is a deterministic total
+    order (tf DESC, token ASC), so LIMIT is stable across engines."""
+    d = _docs_wide(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), "token")
+        .limit(100)
+    )
+
+
+@query(
+    "ta_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rn
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf, CAST(rn AS INT) AS rn
+FROM scored
+WHERE rn <= 3
+ORDER BY doc_id, rn
+""",
+)
+def ta_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword/topic-signal primitive
+    (feature store for dedup-aware sampling, topic balance audits). The
+    ranking is all-integer (tf DESC, df ASC, token ASC) so engines can't
+    diverge on float ties; TF-IDF itself is reported rounded per the
+    catalog's float discipline. Shape: two shuffles (doc-term counts,
+    term df) + one broadcast scalar (corpus size) + a bounded per-doc
+    window — each stage map-side-combines, nothing is quadratic."""
+    d = _docs_wide(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    tok = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = read_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), "token")
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                4,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+_SQL_EN_STOPS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+@query(
+    "ta_gopher_rules",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INT) AS n_tokens,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / len({_TOKS}) AS mean_word_len,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+             / length(text) AS symbol_ratio,
+         CAST(len(list_intersect(list_distinct({_TOKS}),
+                                 [{_SQL_EN_STOPS}])) AS INT) AS n_stop_distinct
+  FROM documents
+)
+SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, n_stop_distinct,
+       n_tokens BETWEEN 5 AND 1000 AS r_word_count,
+       mean_word_len BETWEEN 3 AND 10 AS r_mean_word_len,
+       symbol_ratio < 0.1 AS r_symbol_ratio,
+       n_stop_distinct >= 2 AS r_stopwords,
+       (n_tokens BETWEEN 5 AND 1000) AND (mean_word_len BETWEEN 3 AND 10)
+           AND symbol_ratio < 0.1 AND n_stop_distinct >= 2 AS keep
+FROM feat
+ORDER BY doc_id
+""",
+)
+def ta_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 class of
+    filters): word-count bounds, mean-word-length bounds, symbol-to-char
+    ratio, distinct-stopword floor — each rule surfaced as its own boolean
+    plus the conjunctive keep flag, so downstream curation can audit WHICH
+    rule rejected a document. Distinct from ta_quality_scores (raw features)
+    — this is the thresholded decision layer. Pure JVM expressions, one
+    scan, no shuffle."""
+    d = _docs_wide(spark, sf_dir)
+    toks = ws_tokens(F.col("text"))
+    stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_tokens = F.size(toks)
+    mean_wl = F.length(F.regexp_replace("text", r"\s", "")).cast("double") / n_tokens
+    sym_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)).cast("double")
+        / F.length("text")
+    )
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stops))
+    feat = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_stop_distinct"),
+    )
+    r_wc = F.col("n_tokens").between(5, 1000)
+    r_mwl = F.col("mean_word_len").between(3, 10)
+    r_sym = F.col("symbol_ratio") < 0.1
+    r_stop = F.col("n_stop_distinct") >= 2
+    return feat.select(
+        "doc_id", "n_tokens", "mean_word_len", "symbol_ratio", "n_stop_distinct",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_sym & r_stop).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_RE_PHONE = r"\b555-[0-9]{4}\b"
+
+
+@query(
+    "ta_pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+              || '.org call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS full_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(full_text, '{_RE_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(full_text, '{_RE_IP}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(full_text, '{_RE_PHONE}')) AS INT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(full_text,
+           '{_RE_EMAIL}', '<EMAIL>', 'g'),
+           '{_RE_IP}', '<IP>', 'g'),
+           '{_RE_PHONE}', '<PHONE>', 'g') AS redacted
+FROM seeded
+ORDER BY doc_id
+""",
+)
+def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (email / IPv4 / phone) — the scrubbing pass
+    every training corpus runs before tokenization. The synthetic corpus is
+    PII-free, so the fixture deterministically injects one span of each
+    class per document (derived from doc_id/source) and the operator must
+    find and mask exactly those; the redacted text itself is value-hashed,
+    so the regex semantics are checked byte-for-byte across engines.
+    Replacement order (email → IP → phone) is fixed so the classes can't
+    shadow each other. Pure JVM regexp expressions, one scan, no shuffle —
+    at 100 TB this runs entirely inside whole-stage codegen."""
+    d = _docs_wide(spark, sf_dir)
+    k = F.col("doc_id")
+    full = F.concat(
+        F.col("text"), F.lit(" Contact user"), k.cast("string"), F.lit("@"),
+        F.col("source"), F.lit(".org call 555-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (k % 256).cast("string"), F.lit("."),
+        ((k * 7) % 256).cast("string"),
+    )
+    seeded = d.select("doc_id", full.alias("full_text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("full_text", _RE_EMAIL, "<EMAIL>"),
+            _RE_IP, "<IP>",
+        ),
+        _RE_PHONE, "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("full_text", F.lit(_RE_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("full_text", F.lit(_RE_IP), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all("full_text", F.lit(_RE_PHONE), 0)).alias("n_phones"),
+        redacted.alias("redacted"),
+    ).orderBy("doc_id")
 
 
 @query(
