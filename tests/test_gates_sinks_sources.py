@@ -185,3 +185,75 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("li_bucketed", "o_bucketed"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+CASCADE_HTML = """
+<html><body>
+<table class="nav tiny"><tr><th>Nav</th></tr><tr><td>home</td></tr></table>
+<table id="dvp_stats" class="stats wide"><tr><th>Player</th><th>PTS</th></tr>
+<tr><td>A</td><td>10</td></tr><tr><td>B</td><td>12</td></tr></table>
+<!-- <table id="hidden_stats"><tr><th>Player</th><th>AST</th></tr>
+<tr><td>C</td><td>7</td></tr></table> -->
+</body></html>
+"""
+
+
+def test_selector_cascade_first_match_wins():
+    from nba_data_pipeline_spark.sources.html_table import select_table_cascade
+
+    # id selector hits the stats table, not the earlier nav table
+    headers, rows = select_table_cascade(CASCADE_HTML, [{"id": "dvp_stats"}])
+    assert headers == ["Player", "PTS"] and len(rows) == 2
+    # first selector misses -> cascade falls through to class match
+    headers, rows = select_table_cascade(
+        CASCADE_HTML, [{"id": "nope"}, {"class_contains": "stats"}]
+    )
+    assert headers == ["Player", "PTS"]
+    # comment-embedded table addressable by id (SRC2 x SRC6)
+    headers, _rows = select_table_cascade(CASCADE_HTML, [{"id": "hidden_stats"}])
+    assert headers == ["Player", "AST"]
+    # header + min_rows selectors; {} terminal picks max-rows table
+    assert select_table_cascade(CASCADE_HTML, [{"header": "Nav"}])[0] == ["Nav"]
+    assert select_table_cascade(CASCADE_HTML, [{"min_rows": 99}]) is None
+    assert select_table_cascade(CASCADE_HTML, [{"min_rows": 99}, {}])[0] == [
+        "Player",
+        "PTS",
+    ]
+
+
+def test_html_corpus_cascade_distributed(spark):
+    from nba_data_pipeline_spark.sources.html_table import html_corpus_cascade
+
+    corpus = spark.createDataFrame(
+        [("u1", CASCADE_HTML), ("u2", "<p>no tables here</p>")], ["url", "html"]
+    )
+    out = html_corpus_cascade(
+        corpus, [{"id": "nope"}, {"class_contains": "stats"}]
+    ).collect()
+    assert {r.url for r in out} == {"u1"} and len(out) == 2
+
+
+def test_config_resolution_chain(tmp_path):
+    from nba_data_pipeline_spark.config import resolve_config, session_kwargs
+
+    cfg_file = tmp_path / "config.json"
+    cfg_file.write_text('{"sf_dir": "/from/file", "cpus": 2}')
+    # file beats default; env beats file; cli beats env
+    cfg = resolve_config(config_path=str(cfg_file), env={})
+    assert cfg["sf_dir"] == "/from/file" and cfg["cpus"] == 2
+    cfg = resolve_config(
+        config_path=str(cfg_file), env={"SPARK_GRAFT_CPUS": "8"}
+    )
+    assert cfg["cpus"] == 8
+    cfg = resolve_config(
+        cli={"cpus": 16},
+        config_path=str(cfg_file),
+        env={"SPARK_GRAFT_CPUS": "8"},
+    )
+    assert cfg["cpus"] == 16 and cfg["sink_mode"] == "combined"
+    assert session_kwargs(cfg) == {"cpus": 16}
+    # unknown keys are rejected, not silently defaulted
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown config keys"):
+        resolve_config(cli={"cpu": 4}, env={})
