@@ -257,3 +257,39 @@ def test_config_resolution_chain(tmp_path):
 
     with _pytest.raises(ValueError, match="unknown config keys"):
         resolve_config(cli={"cpu": 4}, env={})
+
+
+def test_xlsx_workbook_sink(spark, tmp_path):
+    """SNK7: combined workbook, one sheet per table; verify the container by
+    re-parsing the zip's XML (no Excel lib in the sandbox)."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    from nba_data_pipeline_spark.sources.xlsx_sink import write_xlsx
+
+    teams = spark.createDataFrame(
+        [("Chicago", 110, 0.5, True), ("Boston", None, 0.25, False)],
+        ["team", "pts", "rate", "won"],
+    )
+    totals = spark.createDataFrame([(2,)], ["n_teams"])
+    path = str(tmp_path / "stats.xlsx")
+    counts = write_xlsx({"teams": teams, "totals": totals}, path)
+    assert counts == {"teams": 2, "totals": 1}
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        assert [s.get("name") for s in wb.iter(f"{ns}sheet")] == ["teams", "totals"]
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+        rows = list(sheet.iter(f"{ns}row"))
+        assert len(rows) == 3  # header + 2 data rows
+        header = [t.text for t in rows[0].iter(f"{ns}t")]
+        assert header == ["team", "pts", "rate", "won"]
+        # numeric cell kept as number (no t attr), bool as t="b"
+        cells = list(rows[1].iter(f"{ns}c"))
+        assert cells[1].get("t") is None and cells[3].get("t") == "b"
+        vals = [c.findtext(f"{ns}v") or c.findtext(f"{ns}is/{ns}t") for c in cells]
+        assert vals == ["Chicago", "110", "0.5", "1"]
+        # None cell is empty
+        null_cell = list(rows[2].iter(f"{ns}c"))[1]
+        assert len(null_cell) == 0 and null_cell.get("t") is None
