@@ -35,6 +35,20 @@ def main() -> int:
     # Warm the JVM/codegen path once so per-query numbers measure the plan,
     # not first-touch initialization.
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # Warm the Python-worker pool too: the first pandas_udf execution forks
+    # one worker per core (~3-4 s measured at 32 cores) — a fixed
+    # per-process cost that would otherwise land on whichever UDF query
+    # runs first rather than measuring that query's plan.
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(cpus * 4).repartition(cpus).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Two timed executions per query, report the min: the first run pays
     # one-off costs that aren't the plan (parquet footer reads, codegen

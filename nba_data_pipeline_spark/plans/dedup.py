@@ -113,9 +113,14 @@ def d5_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5a: exact n-gram (3-word-shingle) Jaccard — top-50 most-similar doc
     pairs. Candidates come from the shingle equi-join (pairs sharing ≥1
     shingle), never all-pairs; at 100 TB add the frequent-shingle skew
-    filter (operators/dedup.py)."""
+    filter (operators/dedup.py).
+
+    The (doc, shingle) relation is persisted: it feeds the per-doc size
+    aggregate and both sides of the candidate join, and without the cache
+    the Python shingling UDF re-runs per consumer (measured ~2× on the
+    query; at 100 TB this is a staging parquet write instead)."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingle_sets(d)
+    sh = shingle_sets(d).persist()
     return (
         jaccard_pairs(sh)
         .select("id_a", "id_b", "jaccard")
@@ -438,32 +443,49 @@ def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB verifies via a recursive CTE reaching the same fixpoint.
     """
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingle_sets(d)
+    # Persisted for the same reason as in d5_ngram_jaccard_topk: three
+    # consumers, one Python shingling pass.
+    sh = shingle_sets(d).persist()
     edges = (
         jaccard_pairs(sh, min_jaccard=0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
     # Propagate only over nodes that HAVE an edge (isolated docs are their
     # own component by definition and rejoin at the end) — the loop then
     # iterates on the near-dup subgraph, a tiny fraction of the corpus.
+    # That subgraph is coalesced to ONE partition before the loop: each
+    # round is then a single in-process task instead of a 32-way shuffle of
+    # a few hundred rows (measured ~2.5× on the whole query). At cluster
+    # scale the subgraph is still ≪ corpus but no longer one-partition
+    # small; size the coalesce to subgraph_rows / maxRecordsPerPartition
+    # there, or swap in large-star/small-star — same join primitives.
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).coalesce(1).persist()
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
+        .coalesce(1)
         .persist()
     )
     prev_sum = labels.agg(F.sum("component_id")).collect()[0][0] or 0
     for _ in range(20):  # cap >> observed near-dup cluster diameter
+        # No broadcast hint inside the loop: both sides are one-partition
+        # cached frames, and forcing a broadcast adds a driver collect +
+        # rebuild per round (measured slower than letting AQE pick the
+        # local join).
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["doc_id"])
             .groupBy("dst")
             .agg(F.min("component_id").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left")
+            labels.join(
+                neighbor_min,
+                labels["doc_id"] == neighbor_min["dst"],
+                "left",
+            )
             .select(
                 "doc_id",
                 F.least(
@@ -484,7 +506,7 @@ def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym.unpersist()
     from pyspark.sql import Window as W
 
-    full = d.select("doc_id").join(labels, "doc_id", "left").select(
+    full = d.select("doc_id").join(F.broadcast(labels), "doc_id", "left").select(
         "doc_id", F.coalesce("component_id", "doc_id").alias("component_id")
     )
     return (
@@ -530,8 +552,9 @@ def d8_crossdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_sets(d)
     # Hash the shingle once: the frequency aggregate and the join back both
     # shuffle 8-byte keys instead of ~20-byte strings (same discipline as
-    # jaccard_pairs; collisions are ~1e-8 at corpus scale).
-    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+    # jaccard_pairs; collisions are ~1e-8 at corpus scale). Persisted —
+    # two consumers, one Python shingling pass.
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("sh_h")).persist()
     freq = hashed.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         hashed.join(freq, "sh_h")
