@@ -14,6 +14,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nba_data_pipeline_spark.plans.registry import load_all
@@ -39,7 +41,6 @@ def main() -> int:
     # one worker per core (~3-4 s measured at 32 cores) — a fixed
     # per-process cost that would otherwise land on whichever UDF query
     # runs first rather than measuring that query's plan.
-    import pandas as pd  # noqa: F401
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")
@@ -85,6 +86,10 @@ def main() -> int:
         "unit": "sec",
         "sf": sf_from_dir(SF_DIR),
         "n_queries": len(timings),
+        # The catalog GROWS across rounds; the normalized number keeps
+        # round-over-round comparisons honest when the total covers more
+        # queries than the previous round did.
+        "mean_sec_per_query": round(total / max(len(timings), 1), 3),
         "queries": timings,
     }
     line = json.dumps(payload, separators=(",", ":"))

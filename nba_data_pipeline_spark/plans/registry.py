@@ -58,8 +58,8 @@ _FRONT: tuple[str, ...] = (
     # their prefix slots to the round-2 additions: d5_cc_clusters,
     # ta_decontaminate, ta_vocab_topk, ta_tfidf_top_terms, ta_gopher_rules,
     # ta_pii_scrub; d3 yields to d8_crossdoc_ngram_coverage)
+    # (a2 is r1-driver-green; its slot goes to sim_kmeans_train)
     "flagship_hitrate_last10",
-    "a2_group_fanout_manifest",
     "a4_sum_group_sizes",
     "a13_rollup_revenue",
     "a14_approx_distinct",
@@ -107,6 +107,7 @@ _FRONT: tuple[str, ...] = (
     "sim_topk_bruteforce",
     "sim_lsh_neardup_pairs",
     "sim_ivf_probe1",
+    "sim_kmeans_train",
     # streaming
     "s1_stream_ingest_counts",
     "s2_stream_arrival_dedupe",

@@ -208,6 +208,120 @@ def sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_ASSIGN = """
+  SELECT vec_id, cid FROM (
+    SELECT a.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.e, c.ce) /
+                      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+                      DESC, c.cid) AS rn
+    FROM v a, {cent} c
+  ) WHERE rn = 1
+"""
+
+
+@query(
+    "sim_kmeans_train",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_NUM_CENTROIDS}),
+a1 AS ({_SQL_ASSIGN.format(cent="c0")}),
+x AS (SELECT vec_id, r.range AS d, e[CAST(r.range + 1 AS INT)] AS val
+      FROM v, range({DIM}) r),
+m AS (
+  SELECT a1.cid, x.d,
+         CAST(SUM(CAST(x.val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mval
+  FROM x JOIN a1 USING (vec_id)
+  GROUP BY a1.cid, x.d
+),
+c1 AS (SELECT cid, list(mval ORDER BY d) AS ce FROM m GROUP BY cid),
+a2 AS ({_SQL_ASSIGN.format(cent="c1")})
+SELECT a1.vec_id, a1.cid AS cid_r1, a2.cid AS cid_r2, a1.cid <> a2.cid AS moved
+FROM a1 JOIN a2 USING (vec_id)
+ORDER BY a1.vec_id
+""",
+)
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index TRAINING: one full Lloyd round of k-means (assign → exact
+    centroid update → reassign), k = 8, deterministic init from the first k
+    vectors. This is the operator that produces the centroids the
+    ``sim_ivf_*`` queries consume; output is each vector's cluster before
+    and after the update plus whether it moved (the convergence signal a
+    training loop monitors).
+
+    Spark-first shape per iteration: centroids BROADCAST to the assignment
+    (one streaming pass, bounded per-vector window for the argmax), then
+    the update explodes vectors to (vec_id, dim, val) and aggregates
+    per (cluster, dim) — two map-side-combined shuffles, linear in
+    corpus × dim, no pairwise work. Centroid means follow the
+    ``plans/exact.py`` decimal-sum discipline (DECIMAL(38,12) sums,
+    double division), so the updated centroids — and therefore every
+    round-2 cosine and assignment — are bit-identical across engines
+    regardless of summation order. At 100 TB: iterations are fixed-count
+    jobs with the label frame checkpointed between rounds; the explode is
+    the standard per-dimension agg shape and AQE coalesces the (k × dim)
+    result.
+    """
+    from pyspark.sql import Window as W
+
+    v = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("vnorm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+    )
+
+    def assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+        return (
+            vecs.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "sim",
+                dot(F.col("embedding"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    c0 = v.filter(F.col("vec_id") < _NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    a1 = assign(v, c0).persist()
+
+    x = v.select("vec_id", F.posexplode("embedding").alias("d", "val"))
+    m = (
+        x.join(a1, "vec_id")
+        .groupBy("cid", "d")
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mval")
+        )
+    )
+    c1 = (
+        m.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mval"))), lambda s: s.mval
+            ).alias("cvec")
+        )
+        .withColumn("cnorm", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
+    )
+    a2 = assign(v, c1)
+    return (
+        a1.withColumnRenamed("cid", "cid_r1")
+        .join(a2.withColumnRenamed("cid", "cid_r2"), "vec_id")
+        .select(
+            "vec_id", "cid_r1", "cid_r2",
+            (F.col("cid_r1") != F.col("cid_r2")).alias("moved"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @query(
     "sim_ivf_probe1",
     oracle=f"""
