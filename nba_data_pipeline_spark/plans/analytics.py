@@ -529,6 +529,54 @@ def a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a15_approx_percentile_bounded",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS exact_p50,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS exact_p95,
+       COUNT(*) AS n_rows,
+       TRUE AS approx_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def a15_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch per group — approx_percentile (KLL-style mergeable
+    sketch, the only percentile that scales to 100 TB: exact percentiles
+    need a per-group global sort, the sketch is one streaming pass with
+    map-side merge). Oracle-gated like a14: the exact interpolated
+    percentiles ride along (Spark `percentile` and DuckDB `quantile_cont`
+    share the p*(n-1) interpolation definition, and identical operands
+    divide identically), and an in-plan boolean asserts the sketch lands
+    within the exact p±5 percentile envelope."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.5)).alias("exact_p50"),
+        F.percentile(q, F.lit(0.95)).alias("exact_p95"),
+        F.percentile(q, F.lit(0.45)).alias("lo_p50"),
+        F.percentile(q, F.lit(0.55)).alias("hi_p50"),
+        F.percentile(q, F.lit(0.90)).alias("lo_p95"),
+        F.percentile(q, F.lit(1.0)).alias("hi_p95"),
+        F.percentile_approx(q, F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+        F.percentile_approx(q, F.lit(0.95), F.lit(10000)).alias("approx_p95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    within = (
+        F.col("approx_p50").between(F.col("lo_p50"), F.col("hi_p50"))
+        & F.col("approx_p95").between(F.col("lo_p95"), F.col("hi_p95"))
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p95",
+        "n_rows",
+        within.alias("approx_within_bound"),
+    ).orderBy("l_returnflag")
+
+
+@query(
     "a2_group_fanout_manifest",
     oracle="""
 SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events

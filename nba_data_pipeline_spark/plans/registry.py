@@ -61,13 +61,14 @@ _FRONT: tuple[str, ...] = (
     # (a2 is r1-driver-green; its slot goes to sim_kmeans_train)
     "flagship_hitrate_last10",
     "a4_sum_group_sizes",
+    # (a_pivot_matrix / u2 are r1-driver-green; their slots go to the
+    # round-2 additions a15 / ta_mixture_weights)
     "a13_rollup_revenue",
     "a14_approx_distinct",
+    "a15_approx_percentile_bounded",
     "skew_salted_agg",
-    "a_pivot_matrix",
     # joins / sets / filters representatives (rest were driver-green in r1)
     "j7_asof_latest_event",
-    "u2_multistrategy_union",
     "f4_multi_dim_selection",
     # sinks
     "snk3_sink_modes",
@@ -98,6 +99,7 @@ _FRONT: tuple[str, ...] = (
     "ta_tfidf_top_terms",
     "ta_gopher_rules",
     "ta_pii_scrub",
+    "ta_mixture_weights",
     "corpus_curation_pipeline",
     "x_prop_extraction",
     "x56_insight_parse",

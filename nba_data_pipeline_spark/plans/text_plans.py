@@ -1040,6 +1040,60 @@ def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ta_mixture_weights",
+    oracle="""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang
+),
+t AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         COUNT(*) AS n_langs
+  FROM c
+)
+SELECT lang, n_docs, n_chars,
+       CAST(n_docs AS DOUBLE) / total_docs AS actual_share,
+       (CAST(total_docs AS DOUBLE) / n_langs) / n_docs AS sample_weight
+FROM c, t
+ORDER BY lang
+""",
+)
+def ta_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix reweighting: per-language corpus shares and the
+    per-document sampling weight that rebalances the corpus to a uniform
+    language target (weight = target_share / actual_share) — the number a
+    data loader multiplies into its sampling probability to hit the mix
+    spec. Two tiny aggregates and a broadcast scalar; all divisions are
+    integer-valued doubles with identical operands on both engines.
+    At 100 TB the per-language aggregate map-side combines to one row per
+    language per partition — the weight table is dimension-sized and
+    broadcasts back onto the corpus for the actual sampling pass."""
+    d = read_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    t = c.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            (F.col("n_docs").cast("double") / F.col("total_docs")).alias("actual_share"),
+            (
+                (F.col("total_docs").cast("double") / F.col("n_langs"))
+                / F.col("n_docs")
+            ).alias("sample_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "ta_repetition_ratio",
     oracle=f"""
 SELECT doc_id,
