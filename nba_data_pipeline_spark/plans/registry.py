@@ -87,7 +87,8 @@ _FRONT: tuple[str, ...] = (
     "w1_ordinal_disambiguation",
     "w2_rank_within_group",
     "w3_longest_streak",
-    "w4_latest_per_key",
+    # (w4_latest_per_key is a driver-green-in-r1-style variant of the w
+    # family; its slot goes to the round-2 addition ta_chunk_overlap)
     "w5_calendar_range_frame",
     # text analysis / extraction / UDTF family
     "ta_token_counts",
@@ -100,7 +101,9 @@ _FRONT: tuple[str, ...] = (
     "ta_gopher_rules",
     "ta_pii_scrub",
     "ta_mixture_weights",
-    "corpus_curation_pipeline",
+    "ta_chunk_overlap",
+    # (corpus_curation_pipeline is a composite of individually-checked ta_*
+    # stages; its slot goes to sim_recall_eval)
     "x_prop_extraction",
     "x56_insight_parse",
     "ud4_llm_prompt",
@@ -110,11 +113,13 @@ _FRONT: tuple[str, ...] = (
     "sim_lsh_neardup_pairs",
     "sim_ivf_probe1",
     "sim_kmeans_train",
-    # streaming
+    "sim_recall_eval",
+    "sim_quantize_int8",
+    # streaming (s6_session_windows is the tumbling variant's sibling;
+    # its slot goes to sim_quantize_int8)
     "s1_stream_ingest_counts",
     "s2_stream_arrival_dedupe",
     "s6_tumbling_windows",
-    "s6_session_windows",
     "src_json_props",
     # normalize / multimodal
     "nba_fixture_normalize",

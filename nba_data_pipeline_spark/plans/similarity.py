@@ -392,3 +392,206 @@ def sim_ivf_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), "vec_id")
         .limit(5)
     )
+
+
+_SQL_ASSIGNED_FULL = f"""
+  SELECT vec_id, e, cid FROM (
+    SELECT a.vec_id, a.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.e, c.ce) /
+                      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+                      DESC, c.cid
+           ) AS rn
+    FROM v a, cent c
+  ) WHERE rn = 1
+"""
+
+
+@query(
+    "sim_recall_eval",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_NUM_CENTROIDS}),
+assigned AS ({_SQL_ASSIGNED_FULL}),
+q AS (SELECT vec_id AS qid, e AS qe, cid AS qcid FROM assigned WHERE vec_id < 20),
+gt AS (
+  SELECT qid, nb FROM (
+    SELECT q.qid, a.vec_id AS nb,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             list_dot_product(q.qe, a.e) /
+             (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(a.e, a.e)))
+             DESC, a.vec_id) AS rnk
+    FROM q, v a WHERE a.vec_id <> q.qid
+  ) WHERE rnk <= 10
+),
+ann AS (
+  SELECT qid, nb FROM (
+    SELECT q.qid, a.vec_id AS nb,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             list_dot_product(q.qe, a.e) /
+             (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(a.e, a.e)))
+             DESC, a.vec_id) AS rnk
+    FROM q JOIN assigned a ON a.cid = q.qcid AND a.vec_id <> q.qid
+  ) WHERE rnk <= 10
+),
+hits AS (
+  SELECT gt.qid, COUNT(*) AS h
+  FROM gt JOIN ann ON ann.qid = gt.qid AND ann.nb = gt.nb
+  GROUP BY gt.qid
+)
+SELECT q.qid, CAST(COALESCE(hits.h, 0) AS INT) AS n_hits,
+       CAST(COALESCE(hits.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+FROM q LEFT JOIN hits ON hits.qid = q.qid
+ORDER BY q.qid
+""",
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@10 of the IVF probe-1 index against the
+    exact brute-force ground truth, per query, over a 20-query eval batch.
+    This is the operator a production vector pipeline runs after every
+    index (re)build — if recall drifts below target, raise nprobe or
+    retrain centroids (``sim_kmeans_train``).
+
+    Scale shape: ground truth is computed only for the bounded eval batch
+    (queries BROADCAST against one streaming pass of the corpus — at 100 TB
+    recall eval is always sample-based, never all-pairs), the ANN side is
+    the same cell-equi-join the serving path uses, and the hit count is a
+    broadcast-able join of two ≤(batch×k) row sets."""
+    from pyspark.sql import Window as W
+
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn("vnorm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+    cent = v.filter(F.col("vec_id") < _NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "sim",
+            dot(F.col("embedding"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "vnorm", "cid")
+    )
+    q = assigned.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+        F.col("cid").alias("qcid"),
+    )
+    kw = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nb"))
+    gt = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nb"),
+            (dot(F.col("embedding"), F.col("qvec")) / (F.col("vnorm") * F.col("qnorm"))).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(kw))
+        .filter(F.col("rnk") <= 10)
+        .select("qid", "nb")
+    )
+    ann = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("nb"),
+            (dot(F.col("embedding"), F.col("qvec")) / (F.col("vnorm") * F.col("qnorm"))).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(kw))
+        .filter(F.col("rnk") <= 10)
+        .select("qid", "nb")
+    )
+    hits = gt.join(ann, ["qid", "nb"]).groupBy("qid").agg(F.count("*").alias("h"))
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("h"), F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce(F.col("h"), F.lit(0)).cast("double") / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+@query(
+    "sim_quantize_int8",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+x AS (SELECT vec_id, r.range AS d, e[CAST(r.range + 1 AS INT)] AS val
+      FROM v, range({DIM}) r),
+sc AS (SELECT d, MAX(ABS(val)) AS s FROM x GROUP BY d),
+c AS (
+  SELECT x.vec_id, x.d, sc.s, x.val,
+         CASE WHEN sc.s = 0 THEN 0
+              ELSE CAST(ROUND(x.val / sc.s * 127) AS INT) END AS code
+  FROM x JOIN sc USING (d)
+)
+SELECT vec_id,
+       array_to_string(list(code ORDER BY d), ',') AS codes_csv,
+       MAX(ABS(val - code * s / 127.0)) AS max_abs_err
+FROM c GROUP BY vec_id ORDER BY vec_id
+""",
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding table —
+    the 4× memory/IO compression step a 100 TB vector corpus applies before
+    ANN serving (scan int8 codes, rescale on the fly). Two passes, both
+    linear: (1) a stats pass — posexplode to (dim, val) and a 64-group
+    map-side-combined max(|x|) aggregate; (2) an encode pass — the 64
+    scales collapse to one broadcast array row and each vector quantizes
+    inside a single JVM ``transform`` projection, no shuffle. Output is the
+    deterministic code string plus the exact max reconstruction error
+    (identical IEEE op order on both engines — no rounding needed)."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    x = v.select(F.posexplode("e").alias("d", "val"))
+    sc = x.groupBy("d").agg(F.max(F.abs(F.col("val"))).alias("s"))
+    sarr = sc.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "s"))), lambda t: t["s"]
+        ).alias("sc")
+    )
+    coded = v.crossJoin(F.broadcast(sarr)).withColumn(
+        "codes",
+        F.transform(
+            "e",
+            lambda val, i: F.when(F.get("sc", i) == 0, F.lit(0)).otherwise(
+                F.round(val / F.get("sc", i) * 127).cast("int")
+            ),
+        ),
+    )
+    return (
+        coded.withColumn(
+            "err",
+            F.array_max(
+                F.transform(
+                    "e",
+                    lambda val, i: F.abs(
+                        val
+                        - F.get("codes", i).cast("double") * F.get("sc", i) / F.lit(127.0)
+                    ),
+                )
+            ),
+        )
+        .select(
+            "vec_id",
+            F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes_csv"),
+            F.col("err").alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
+    )

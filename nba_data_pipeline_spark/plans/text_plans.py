@@ -1121,3 +1121,50 @@ def ta_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("uniq_ratio"),
         (ratio < 0.5).alias("is_repetitive"),
     ).orderBy("doc_id")
+
+
+@query(
+    "ta_chunk_overlap",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 1),
+e AS (SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS start FROM s)
+SELECT doc_id,
+       CAST(start // 24 AS INT) AS chunk_id,
+       CAST(LEAST(32, n - start) AS INT) AS n_chunk_tokens,
+       array_to_string(
+         toks[CAST(start + 1 AS INT):CAST(LEAST(start + 32, n) AS INT)], ' '
+       ) AS chunk_text
+FROM e
+ORDER BY doc_id, chunk_id
+""",
+)
+def ta_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence chunking: split each document into 32-token windows
+    with stride 24 (8-token overlap), the standard long-document → context-
+    window preprocessing step for LLM pretraining. Narrow map only — the
+    token split, window starts (``sequence``), and slice all happen inside
+    one projection with no shuffle, so at 100 TB this runs scan-speed and
+    the posexplode fan-out is bounded by ceil(n_tokens / stride) per doc.
+    Chunk rows inherit the scan's partitioning, ready for a downstream
+    ``ta_token_budget_pack``-style packing pass."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = d.select("doc_id", toks.alias("toks")).withColumn("n", F.size("toks"))
+    d = d.filter(F.col("n") >= 1)
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(24))
+    e = d.select(
+        "doc_id", "toks", "n", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.least(F.lit(32), F.col("n") - F.col("start")).cast("int").alias(
+            "n_chunk_tokens"
+        ),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("start") + F.lit(1), F.lit(32))
+        ).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
