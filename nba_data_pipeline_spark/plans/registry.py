@@ -63,7 +63,8 @@ _FRONT: tuple[str, ...] = (
     "a4_sum_group_sizes",
     # (a_pivot_matrix / u2 are r1-driver-green; their slots go to the
     # round-2 additions a15 / ta_mixture_weights)
-    "a13_rollup_revenue",
+    # (a13_rollup_revenue was driver-green in r1; its slot goes to
+    # ta_train_test_split)
     "a14_approx_distinct",
     "a15_approx_percentile_bounded",
     "skew_salted_agg",
@@ -75,7 +76,8 @@ _FRONT: tuple[str, ...] = (
     # dedup — exact + all near-dup algorithms (d2 is a driver-green-in-r1
     # variant of d1, relegated to the locally-checked tail)
     "d1_first_wins_dedup",
-    "d4_content_hash_dedup",
+    # (d4_content_hash_dedup is d1's r1-driver-green exact-dedup sibling;
+    # its slot goes to w6_sessionize)
     "d8_crossdoc_ngram_coverage",
     "d5_ngram_jaccard_topk",
     "d5_minhash_lsh_pairs",
@@ -87,6 +89,7 @@ _FRONT: tuple[str, ...] = (
     "w1_ordinal_disambiguation",
     "w2_rank_within_group",
     "w3_longest_streak",
+    "w6_sessionize",
     # (w4_latest_per_key is a driver-green-in-r1-style variant of the w
     # family; its slot goes to the round-2 addition ta_chunk_overlap)
     "w5_calendar_range_frame",
@@ -102,6 +105,7 @@ _FRONT: tuple[str, ...] = (
     "ta_pii_scrub",
     "ta_mixture_weights",
     "ta_chunk_overlap",
+    "ta_train_test_split",
     # (corpus_curation_pipeline is a composite of individually-checked ta_*
     # stages; its slot goes to sim_recall_eval)
     "x_prop_extraction",
@@ -120,10 +124,11 @@ _FRONT: tuple[str, ...] = (
     "s1_stream_ingest_counts",
     "s2_stream_arrival_dedupe",
     "s6_tumbling_windows",
+    "s7_stream_static_join",
     "src_json_props",
-    # normalize / multimodal
+    # normalize / multimodal (ud5_grouped_normalize was driver-green in r1;
+    # its slot goes to s7_stream_static_join)
     "nba_fixture_normalize",
-    "ud5_grouped_normalize",
     "mm_decode_features",
 )
 

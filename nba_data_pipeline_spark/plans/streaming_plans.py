@@ -330,3 +330,75 @@ def s2_stream_arrival_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table("s2_dedupe_mem").orderBy("event_type")
+
+
+@query(
+    "s7_stream_static_join",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       {sql_dsum("e.value", "DECIMAL(18,2)")} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def s7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the standard streaming ENRICHMENT shape: the
+    landed event stream joins a static dimension (customer) on the fly,
+    then aggregates per segment. Structured Streaming re-reads the static
+    side per micro-batch and plans it as a broadcast hash join against
+    each batch (the dim is small by definition), so the stateful part of
+    the query is only the downstream aggregate. availableNow drains the
+    landing directory and the result must equal the batch join bit-for-bit
+    — which is what the oracle checks. At 100 TB the static side stays
+    broadcast-able (a dim table) or becomes a pre-bucketed side of a
+    shuffle join; the stream side never re-shuffles per batch."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # Reuses s1's landing key: identical single-copy landing of events.
+    land_dir = _land("s1", sf_dir, copies=1)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(land_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = sdf.join(F.broadcast(dim), sdf["user_id"] == dim["c_custkey"])
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    with _small_state_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("s7_stream_static_mem")
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s7_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("s7_stream_static_mem").orderBy("c_mktsegment")

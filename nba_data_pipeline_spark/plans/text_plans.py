@@ -1168,3 +1168,42 @@ def ta_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("toks"), F.col("start") + F.lit(1), F.lit(32))
         ).alias("chunk_text"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "ta_train_test_split",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < '1a' THEN 'test'
+            WHEN bucket < '34' THEN 'val'
+            ELSE 'train' END AS split
+FROM h
+ORDER BY doc_id
+""",
+)
+def ta_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the assignment step every
+    training pipeline needs to be reproducible across reruns AND engines:
+    hash the stable doc key (md5, identical bytes on any engine — never a
+    per-engine hash like xxhash64/DuckDB hash()), take the first byte, and
+    threshold into ~10% test (< 0x1a), ~10% val (< 0x34), ~80% train.
+    Pure projection: no shuffle, no state, scan-speed at 100 TB, and a
+    doc's split never changes when the corpus grows — the property
+    random-sampling splits lack."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    return (
+        d.withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < "1a", "test")
+            .when(F.col("bucket") < "34", "val")
+            .otherwise("train"),
+        )
+        .select("doc_id", "lang", "bucket", "split")
+        .orderBy("doc_id")
+    )

@@ -205,3 +205,65 @@ def w5_calendar_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, o_orderkey
         """
     )
+
+
+@query(
+    "w6_sessionize",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+y AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(SUM(CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+  FROM x
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       {sql_dsum("value", "DECIMAL(18,2)")} AS total_value
+FROM y
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap-based session-id assignment every
+    clickstream/training-telemetry pipeline runs: a new session starts
+    after a >30-minute silence. Two stacked windows over the SAME
+    (user_id, ts) partitioning — lag to measure the gap, running sum of
+    session-starts to number sessions — so Spark evaluates both in one
+    WindowExec over one shuffle, then the per-session rollup reuses the
+    same user_id hash partitioning (no second shuffle of the full stream).
+    Gap compare is integer microseconds (``unix_micros``) — exact on both
+    engines. Batch twin of the streaming ``session_window`` in
+    ``s6_session_windows``."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0)
+    sessioned = e.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("int"),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
