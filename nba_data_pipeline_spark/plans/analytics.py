@@ -752,3 +752,53 @@ def a_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "udaf_median_price",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       quantile_disc(o_totalprice, 0.5) AS median_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface (SURVEY §2.12 — the reference has none, provided
+    here as engine capability): an Arrow-batched GROUPED_AGG pandas UDF
+    computing the exact lower median (discrete 0.5-quantile). The statistic
+    is pure ELEMENT SELECTION — sorted[(n-1)//2] — no interpolation
+    arithmetic, so it is bit-identical to DuckDB's ``quantile_disc`` no
+    matter the engines' summation/ordering differences (a mean-of-middles
+    median would not be).
+
+    Scale shape: GROUPED_AGG ships each group's column to Python as one
+    Arrow batch — fine while a group's values fit an executor (5 priority
+    groups here; at 100 TB an exact quantile goes two-pass or switches to
+    ``approx_percentile``, cf. a15's bounded-error sketch). The group-by
+    itself map-side combines nothing (UDAFs don't partial-aggregate), which
+    is THE documented cost of the Python UDAF lane vs built-ins."""
+    # functionType passed explicitly: this module uses postponed annotation
+    # evaluation, which defeats pandas_udf's signature-based inference.
+    @F.pandas_udf("double", F.PandasUDFType.GROUPED_AGG)
+    def lower_median(s):
+        v = s.sort_values(ignore_index=True)
+        return float(v.iloc[(len(v) - 1) // 2])
+
+    # Spark forbids mixing pandas and JVM aggregates in one agg(), so the
+    # row count rides the same Arrow lane.
+    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
+    def n_rows(s):
+        return len(s)
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            n_rows(F.col("o_totalprice")).alias("n_orders"),
+            lower_median(F.col("o_totalprice")).alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

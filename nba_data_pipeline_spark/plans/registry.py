@@ -67,6 +67,7 @@ _FRONT: tuple[str, ...] = (
     # ta_train_test_split)
     "a14_approx_distinct",
     "a15_approx_percentile_bounded",
+    "udaf_median_price",
     "skew_salted_agg",
     # joins / sets / filters representatives (rest were driver-green in r1)
     "j7_asof_latest_event",
@@ -109,7 +110,8 @@ _FRONT: tuple[str, ...] = (
     # (corpus_curation_pipeline is a composite of individually-checked ta_*
     # stages; its slot goes to sim_recall_eval)
     "x_prop_extraction",
-    "x56_insight_parse",
+    # (x56_insight_parse stays locally checked; its slot goes to
+    # udaf_median_price, the new §2.12 UDAF surface)
     "ud4_llm_prompt",
     "ud13_prop_line_walker",
     # similarity search
