@@ -370,3 +370,79 @@ def j9_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+#: Bucketed tables written this process (names are per-SF; the set guards
+#: against both re-writing within a session and trusting a stale warehouse
+#: left by an earlier process).
+_BUCKETED: set[str] = set()
+
+_N_BUCKETS = 8
+
+
+def _bucketed(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFrame:
+    import re
+
+    sf_label = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tname = f"bkt_{table}_{sf_label}"
+    if tname not in _BUCKETED:
+        # A previous process may have left the table (or just its orphaned
+        # managed location) behind; clear both so the write is fresh.
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        import shutil
+
+        loc = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(f"{loc}/{tname}", ignore_errors=True)
+        (
+            read_table(spark, sf_dir, table)
+            .write.bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(tname)
+        )
+        _BUCKETED.add(tname)
+    return spark.table(tname)
+
+
+@query(
+    "j10_bucketed_join",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o.o_totalprice")} AS total_spend
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def j10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact join — the data-LAYOUT strategy for joins
+    that repeat every run at 100 TB: both sides are written once as tables
+    bucketed (and sorted) by the join key into the warehouse, so every
+    subsequent join of the pair is bucket-to-bucket with ZERO shuffle of
+    either side — the physical plan is scan → in-partition sort →
+    SortMergeJoin with no Exchange below the join (asserted by
+    ``tests/test_plan_shapes.py``); the only shuffle in this query is the
+    8-row segment rollup above it. The ``merge`` hint pins SMJ so the demo
+    doesn't degenerate to a broadcast at test scale; at 100 TB neither side
+    broadcasts and bucket layout is what makes the join local. Bucket
+    count is the knob to match cluster parallelism (here 8 for local[32]
+    fixtures; production sizes buckets to executors × a small factor)."""
+    o = _bucketed(spark, sf_dir, "orders", "o_custkey").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = _bucketed(spark, sf_dir, "customer", "c_custkey").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+        .orderBy("c_mktsegment")
+    )

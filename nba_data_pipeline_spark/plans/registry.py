@@ -69,8 +69,9 @@ _FRONT: tuple[str, ...] = (
     "a15_approx_percentile_bounded",
     "udaf_median_price",
     "skew_salted_agg",
-    # joins / sets / filters representatives (rest were driver-green in r1)
-    "j7_asof_latest_event",
+    # joins / sets / filters representatives (rest were driver-green in r1;
+    # j7 was driver-green in r1 so its slot goes to the round-2 bucketed join)
+    "j10_bucketed_join",
     "f4_multi_dim_selection",
     # sinks
     "snk3_sink_modes",

@@ -39,3 +39,16 @@ def test_broadcast_hints_survive_to_plan(spark):
     df = load_all()["j1_dim_enrichment"].fn(spark, SF_DIR)
     plan = plan_string(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bucketed_join_has_no_shuffle_below_join(spark):
+    """j10's contract: the bucket layout makes the join itself shuffle-free
+    — every Exchange in the plan must sit ABOVE the SortMergeJoin."""
+    df = load_all()["j10_bucketed_join"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" in phys
+    join_pos = phys.index("SortMergeJoin")
+    below = phys[join_pos:]
+    # tree prints top-down: text after the join node is its input subtree
+    assert "Exchange" not in below
