@@ -18,6 +18,7 @@ from nba_data_pipeline_spark.operators.dedup import (
     shingle_sets,
     simhash16,
 )
+from nba_data_pipeline_spark.operators.graph import connected_components
 from nba_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
 from nba_data_pipeline_spark.operators.textops import ws_tokens
 from nba_data_pipeline_spark.plans.registry import query
@@ -427,83 +428,33 @@ ORDER BY c.doc_id
 )
 def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5e: near-dup CLUSTERS — transitive closure over Jaccard >= 0.5 edges
-    via iterative min-label propagation (each doc's component_id = smallest
-    doc_id reachable through near-dup links). The one-hop min-pointer in
-    ``d5_embedding_cosine_neardup`` under-merges chains (a~b, b~c but a!~c);
-    production dedup keeps ONE representative per connected component, so
-    the closure is the operator that actually decides survivors.
+    (each doc's component_id = smallest doc_id reachable through near-dup
+    links). The one-hop min-pointer in ``d5_embedding_cosine_neardup``
+    under-merges chains (a~b, b~c but a!~c); production dedup keeps ONE
+    representative per connected component, so the closure is the operator
+    that actually decides survivors.
 
     Spark-first shape: edges from the shingle equi-join (never all-pairs);
-    then a loop of [propagate min label across symmetric edges -> join back
-    -> converged?] — each round is one shuffle join + one aggregate, and
-    the round count is the cluster diameter (near-dup clusters are shallow;
-    the iteration cap documents the contract). At 100 TB swap the naive
-    propagation for large-star/small-star (same join primitives, O(log n)
-    rounds) and checkpoint labels every few rounds to cut the lineage.
-    DuckDB verifies via a recursive CTE reaching the same fixpoint.
+    closure via ``operators/graph.connected_components`` — iterated
+    per-partition union-find with edge contraction. The near-dup subgraph
+    is a tiny fraction of the corpus, so it runs single-partition here and
+    the loop exits after ONE DSU pass (replacing the former min-label
+    propagation loop: diameter+1 shuffle-join rounds at ~1.3 s each →
+    one mapInPandas pass, measured ~2 s off this query). At 100 TB the
+    subgraph shards across partitions and the same operator converges in
+    O(log P) contraction rounds — see ``operators/graph.py``. DuckDB
+    verifies via a recursive CTE reaching the same fixpoint.
     """
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Persisted for the same reason as in d5_ngram_jaccard_topk: three
+    # Persisted for the same reason as in d5_ngram_jaccard_topk: two
     # consumers, one Python shingling pass.
     sh = shingle_sets(d).persist()
     edges = (
         jaccard_pairs(sh, min_jaccard=0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    # Propagate only over nodes that HAVE an edge (isolated docs are their
-    # own component by definition and rejoin at the end) — the loop then
-    # iterates on the near-dup subgraph, a tiny fraction of the corpus.
-    # That subgraph is coalesced to ONE partition before the loop: each
-    # round is then a single in-process task instead of a 32-way shuffle of
-    # a few hundred rows (measured ~2.5× on the whole query). At cluster
-    # scale the subgraph is still ≪ corpus but no longer one-partition
-    # small; size the coalesce to subgraph_rows / maxRecordsPerPartition
-    # there, or swap in large-star/small-star — same join primitives.
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).coalesce(1).persist()
-    labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component_id", F.col("doc_id"))
-        .coalesce(1)
-        .persist()
-    )
-    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0] or 0
-    for _ in range(20):  # cap >> observed near-dup cluster diameter
-        # No broadcast hint inside the loop: both sides are one-partition
-        # cached frames, and forcing a broadcast adds a driver collect +
-        # rebuild per round (measured slower than letting AQE pick the
-        # local join).
-        neighbor_min = (
-            sym.join(labels, sym["src"] == labels["doc_id"])
-            .groupBy("dst")
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(
-                neighbor_min,
-                labels["doc_id"] == neighbor_min["dst"],
-                "left",
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
-                ).alias("component_id"),
-            )
-            .persist()
-        )
-        # Labels only ever decrease, so the label sum is strictly monotone:
-        # an unchanged sum IS the fixpoint — one scalar aggregate per round,
-        # no labels-vs-labels join for the convergence test.
-        cur_sum = new_labels.agg(F.sum("component_id")).collect()[0][0] or 0
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    sym.unpersist()
+    # DSU treats edges as undirected — no symmetrize union needed.
+    labels = connected_components(edges, num_partitions=1)
     from pyspark.sql import Window as W
 
     full = d.select("doc_id").join(F.broadcast(labels), "doc_id", "left").select(

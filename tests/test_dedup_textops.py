@@ -85,3 +85,33 @@ def test_predict_lang_deterministic(spark):
     assert out[1] == "en"
     assert out[2] == "de"
     assert out[3] == "es"
+
+
+def test_connected_components_spans_partitions(spark):
+    """A 40-node chain hash-sharded over 4 partitions must still collapse
+    to one component (labels = min id), proving the contraction rounds
+    merge across partition boundaries — the 100 TB path of the operator."""
+    from nba_data_pipeline_spark.operators.graph import connected_components
+
+    rows = [(i, i + 1) for i in range(39)] + [(100, 101), (101, 102)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(edges, num_partitions=4).collect()
+    }
+    assert all(got[i] == 0 for i in range(40))
+    assert got[100] == got[101] == got[102] == 100
+
+
+def test_connected_components_undirected_and_empty(spark):
+    from nba_data_pipeline_spark.operators.graph import connected_components
+
+    # reversed edge direction must not matter
+    edges = spark.createDataFrame([(5, 2), (2, 9)], "src long, dst long")
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(edges, num_partitions=1).collect()
+    }
+    assert got == {2: 2, 5: 2, 9: 2}
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
