@@ -58,6 +58,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scan → equi-join (J6) → ordered window frame (A9/A10) → latest-per-key
     (W4) → broadcast dim join (J2) → rank (W2). All built-in, whole-stage
     codegen; the fact-fact join shuffles on orderkey, the dim join broadcasts.
+
+    The final unpartitioned RANK (Spark warns it single-partitions) is
+    deliberate: by then the frame is one row per SUPPLIER — dim cardinality,
+    ~1e4 rows at sf1 — not fact cardinality, so the leaderboard sort is a
+    kilobyte-scale task even when lineitem is 100 TB. If the "players" dim
+    ever grew fact-sized, swap in a range-sorted two-phase rank.
     """
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_quantity", "l_orderkey", "l_linenumber"
