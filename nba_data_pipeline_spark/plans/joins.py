@@ -382,23 +382,26 @@ _N_BUCKETS = 8
 
 def _bucketed(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFrame:
     import re
+    import shutil
+    import tempfile
 
     sf_label = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     tname = f"bkt_{table}_{sf_label}"
     if tname not in _BUCKETED:
-        # A previous process may have left the table (or just its orphaned
-        # managed location) behind; clear both so the write is fresh.
+        # Write as an EXTERNAL table at an absolute temp path: the default
+        # managed location lives under spark.sql.warehouse.dir, which
+        # resolves relative to the launching process's cwd — a cwd the
+        # round driver controls, not us. A previous process may also have
+        # left the table (or just its orphaned location) behind; clear
+        # both so the write is fresh.
+        loc = f"{tempfile.gettempdir()}/spark_graft_bucketed/{tname}"
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
-        import shutil
-
-        loc = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        shutil.rmtree(f"{loc}/{tname}", ignore_errors=True)
+        shutil.rmtree(loc, ignore_errors=True)
         (
             read_table(spark, sf_dir, table)
             .write.bucketBy(_N_BUCKETS, key)
             .sortBy(key)
+            .option("path", loc)
             .mode("overwrite")
             .saveAsTable(tname)
         )
