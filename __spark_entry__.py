@@ -19,19 +19,56 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import nba_data_pipeline_spark  # noqa: E402
 from nba_data_pipeline_spark.plans.registry import load_all  # noqa: E402
+
+#: SparkContext application ids the package zip was already shipped to.
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers (``addPyFile`` — the
+    in-session equivalent of ``spark-submit --py-files``). Module-level
+    functions handed to ``mapInPandas``/UDTFs are cloudpickled BY REFERENCE,
+    so workers must be able to import ``nba_data_pipeline_spark``; that holds
+    for free only when the launching process's cwd is the repo root. Shipping
+    the zip makes the contract hold from any cwd — and is exactly how the
+    package deploys on a real multi-executor cluster."""
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(nba_data_pipeline_spark.__file__))
+    base = os.path.join(tempfile.mkdtemp(prefix="spark_graft_pkg_"), "pkg")
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir="nba_data_pipeline_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(app)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY §7.0): per-supplier rolling last-10 hit rate
     over lineitem⋈orders at sf0.001."""
+    _ship_package(spark)
     specs = load_all()
     return specs["flagship_hitrate_last10"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in load_all().items()}
+
+    def shipped(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: shipped(spec.fn) for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
