@@ -583,6 +583,63 @@ def a15_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "a16_hll_sketch_rollup",
+    oracle="""
+SELECT r_name,
+       COUNT(DISTINCT c_custkey) AS exact_customers,
+       COUNT(DISTINCT n_nationkey) AS n_nations_merged,
+       TRUE AS est_within_5pct
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+)
+def a16_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketch rollup — the property that makes distinct-count
+    hierarchies cheap at 100 TB: per-nation HLL sketches (one scan of the
+    fact) are unioned to region level with ``hll_union_agg`` WITHOUT
+    touching base rows again, so every further rollup level costs only
+    sketch-merge bytes (~2 KB/sketch), not a rescan. ``approx_count_
+    distinct`` (a14) can't do this — its estimate is final; Datasketches
+    HLL partials re-aggregate, persist to a summary table, and union
+    incrementally as new partitions land. Oracle-gated like a14: exact
+    COUNT(DISTINCT) on both sides, the sketch estimate asserted in-plan to
+    ±5% (default lgConfigK=12 ≈ 1.6% rsd). Dims broadcast; one shuffle per
+    rollup level, each a tiny fraction of the previous."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    per_nation = base.groupBy("n_nationkey", "n_regionkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count_distinct("c_custkey").alias("exact_nation"),
+    )
+    per_region = per_nation.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+        F.sum("exact_nation").alias("exact_customers"),  # custkey is unique
+        F.count_distinct("n_nationkey").alias("n_nations_merged"),
+    )
+    return (
+        per_region.join(
+            F.broadcast(reg), per_region.n_regionkey == reg.r_regionkey
+        )
+        .select(
+            "r_name",
+            "exact_customers",
+            "n_nations_merged",
+            (
+                F.abs(F.col("est_customers") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.05
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
     "a2_group_fanout_manifest",
     oracle="""
 SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
