@@ -32,16 +32,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one landed table. Plain parquet scan → Catalyst gets pushdown +
     pruning for free; callers must select/filter declaratively.
 
-    ``events`` lands with nanosecond parquet timestamps, which Spark's
-    vectorized reader rejects; read them as long and truncate to micros
-    (integer ``div`` — rounding would disagree with readers that truncate,
-    e.g. DuckDB).
+    ``events.ts`` has landed in two physical forms across driver data
+    regenerations: nanosecond timestamps (which Spark's vectorized reader
+    rejects — read as long, truncate to micros) and micro timestamps with
+    ``isAdjustedToUTC=false`` (which Spark 4 infers as TIMESTAMP_NTZ —
+    cast to session-tz TIMESTAMP; the session runs UTC, so the cast is
+    value-preserving and matches DuckDB's naive reading).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -42,6 +42,24 @@ def _land(prefix: str, sf_dir: str, copies: int) -> str:
     return _LANDING_CACHE[key]
 
 
+def _stream_events(spark: SparkSession, sf_dir: str, prefix: str, copies: int):
+    """Land the events file(s) and open the landing dir as a micro-batch
+    stream with ``ts`` normalized to session-tz TIMESTAMP (same contract as
+    ``io.read_table``). The landed physical layout has shifted across driver
+    data regenerations (nanos-as-long vs micros-NTZ), so the stream schema
+    comes from a batch read of the landing dir instead of being hardcoded."""
+    land_dir = _land(prefix, sf_dir, copies)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(land_dir).schema
+    sdf = spark.readStream.format("parquet").schema(batch_schema).load(land_dir)
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
+
+
 @contextlib.contextmanager
 def _small_state_shuffle(spark: SparkSession, n: int = 8):
     """Stateful streaming cost here is per-partition state-store commit
@@ -216,32 +234,7 @@ def s1_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate bit-for-bit, which is exactly what the oracle checks."""
     import tempfile
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    land_dir = _land("s1", sf_dir, copies=1)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    sdf = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .load(land_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    sdf = _stream_events(spark, sf_dir, "s1", copies=1)
     agg = (
         sdf.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -291,32 +284,7 @@ def s2_stream_arrival_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy, which is what the oracle checks."""
     import tempfile
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    land_dir = _land("s2", sf_dir, copies=2)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    sdf = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .load(land_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    sdf = _stream_events(spark, sf_dir, "s2", copies=2)
     deduped = sdf.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
     with _small_state_shuffle(spark):
@@ -356,33 +324,8 @@ def s7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join; the stream side never re-shuffles per batch."""
     import tempfile
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     # Reuses s1's landing key: identical single-copy landing of events.
-    land_dir = _land("s1", sf_dir, copies=1)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    sdf = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .load(land_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    sdf = _stream_events(spark, sf_dir, "s1", copies=1)
     dim = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
