@@ -73,17 +73,18 @@ _FRONT: tuple[str, ...] = (
     # j7 was driver-green in r1 so its slot goes to the round-2 bucketed join)
     "j10_bucketed_join",
     "f4_multi_dim_selection",
-    # sinks
+    # sinks + source round-trips (the HTML/CSV parsers were pytest-only in
+    # r1; the round-trip queries put them on the driver gate — they take the
+    # slots of d1_first_wins_dedup and d5_simhash_signatures, both
+    # r1-driver-green and unchanged in semantics)
     "snk3_sink_modes",
-    # dedup — exact + all near-dup algorithms (d2 is a driver-green-in-r1
-    # variant of d1, relegated to the locally-checked tail)
-    "d1_first_wins_dedup",
-    # (d4_content_hash_dedup is d1's r1-driver-green exact-dedup sibling;
-    # its slot goes to w6_sessionize)
+    "src_html_roundtrip",
+    "src_csv_roundtrip",
+    # dedup — exact + near-dup algorithms (d1/d2/d4 are r1-driver-green
+    # exact-dedup variants, relegated to the locally-checked tail)
     "d8_crossdoc_ngram_coverage",
     "d5_ngram_jaccard_topk",
     "d5_minhash_lsh_pairs",
-    "d5_simhash_signatures",
     "d5_embedding_cosine_neardup",
     "d5_cc_clusters",
     "ta_decontaminate",
@@ -148,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
         normalize_plans,
         similarity,
         sinks,
+        sources_plans,
         streaming_plans,
         text_plans,
         windows,

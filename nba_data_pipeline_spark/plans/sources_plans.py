@@ -1,0 +1,188 @@
+"""Source round-trip catalog queries (SURVEY §2.1 SRC1-SRC3/SRC6/SRC7).
+
+The HTML and CSV ingestion seams were previously verified only by unit
+tests; these queries put them on the driver's oracle gate. Each query
+synthesizes landed input FROM a base table deterministically, pushes it
+through the real distributed parser, and re-aggregates — so the DuckDB
+oracle (which reads the base table directly) hash-matches iff the parser
+reproduced every row and cell bit-for-bit.
+
+Scale posture: in production the HTML/CSV corpus IS the input (landed by
+the ingestion adapters, SURVEY §7.4); the synthesis step here exists only
+to make the round-trip self-contained. The measured path — parse via
+``mapInPandas`` (Arrow batches, executor-side), then hash-aggregate — is
+the 100 TB shape: no driver round-trip, parsing parallelism = input
+partitions.
+
+Reference parity: table picking incl. comment-embedded tables
+(Cleaning_Glass_#1.py:382-428, Basketball_Refrence_alltables.py:226-234),
+DictReader BOM/trim semantics (ctg_export_league.py:403-431).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.plans.registry import query
+from nba_data_pipeline_spark.sources.csv_source import read_csv_clean
+from nba_data_pipeline_spark.sources.html_table import html_corpus_cascade
+
+# ---------------------------------------------------------------------------
+# SRC1/SRC2/SRC3/SRC6: HTML corpus → selector cascade → aggregate
+# ---------------------------------------------------------------------------
+
+_HTML_PAGE_HEAD = (
+    "<html><body>"
+    # SRC2: a comment-embedded decoy table — the parser must SEE it (it
+    # parses commented tables) and the cascade must REJECT it (wrong id).
+    '<!-- <table id="hidden_note"><tr><th>k</th></tr>'
+    "<tr><td>decoy</td></tr></table> -->"
+    # A visible decoy without the target id: the id selector must skip it.
+    '<table id="nav"><tr><td>home</td></tr><tr><td>stats</td></tr></table>'
+    # The real table. th-cells mark the header row (SRC1 header detection).
+    '<table id="supstats"><tr><th>suppkey</th><th>name</th></tr>'
+)
+
+
+@query(
+    "src_html_roundtrip",
+    oracle="""
+SELECT CAST(s_nationkey AS INT) AS nationkey,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(s_suppkey) AS BIGINT) AS sum_suppkey,
+       MIN(s_name) AS min_name
+FROM supplier GROUP BY 1 ORDER BY nationkey
+""",
+)
+def src_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC1-SRC3/SRC6 round-trip: supplier rows → one HTML page per nation
+    (with a comment-embedded table and a visible decoy table) → distributed
+    selector cascade picks ``id="supstats"`` → cells re-aggregated per
+    nation. Hash-matching the base-table oracle proves header detection,
+    comment parsing, selector addressing, and cell extraction all survived.
+
+    The page build is a groupBy + ``concat_ws(collect_list(...))`` — pages
+    are nation-sized (dim cardinality), so no group outgrows an executor;
+    parsing runs in ``mapInPandas`` with no shuffle after the cascade until
+    the final hash-aggregate."""
+    sup = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    tr = F.concat(
+        F.lit("<tr><td>"),
+        F.col("s_suppkey").cast("string"),
+        F.lit("</td><td>"),
+        F.col("s_name"),
+        F.lit("</td></tr>"),
+    )
+    pages = (
+        sup.withColumn("tr", tr)
+        .groupBy("s_nationkey")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("tr"))).alias("body"))
+        .select(
+            F.concat(
+                F.lit("nation://"), F.col("s_nationkey").cast("string")
+            ).alias("url"),
+            F.concat(
+                F.lit(_HTML_PAGE_HEAD), F.col("body"), F.lit("</table></body></html>")
+            ).alias("html"),
+        )
+    )
+    parsed = html_corpus_cascade(pages, selectors=[{"id": "supstats"}])
+    cells = F.from_json("cells", "array<string>")
+    return (
+        parsed.select(
+            F.regexp_extract("url", r"nation://(\d+)", 1).cast("int").alias("nationkey"),
+            cells.getItem(0).cast("bigint").alias("suppkey"),
+            cells.getItem(1).alias("name"),
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("suppkey").alias("sum_suppkey"),
+            F.min("name").alias("min_name"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRC7: landed header-CSV with BOM + untrimmed cells → clean read → aggregate
+# ---------------------------------------------------------------------------
+
+#: sf_dir → landed CSV dir (land once per process; the landing is fixture
+#: synthesis, not part of the measured read path).
+_CSV_CACHE: dict[str, str] = {}
+
+_CSV_FILES = 4
+
+
+def _land_csv(sf_dir: str) -> str:
+    """Write customer as messy header-CSV the way the reference receives it:
+    UTF-8 BOM on the header, padding blanks around header names and cells.
+    Driver-side file synthesis (pyarrow, no Spark job) — bounded dim table,
+    same posture as the streaming plans' file-landing fixture."""
+    if sf_dir in _CSV_CACHE:
+        return _CSV_CACHE[sf_dir]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    rows = list(
+        zip(
+            tbl.column("c_custkey").to_pylist(),
+            tbl.column("c_name").to_pylist(),
+            tbl.column("c_mktsegment").to_pylist(),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="src_csv_roundtrip_")
+    header = "﻿c_custkey, c_name ,c_mktsegment\n"
+    for i in range(_CSV_FILES):
+        with open(os.path.join(out_dir, f"part-{i}.csv"), "w", encoding="utf-8") as f:
+            f.write(header)
+            for key, name, seg in rows[i::_CSV_FILES]:
+                f.write(f"{key},  {name}  , {seg}\n")
+    _CSV_CACHE[sf_dir] = out_dir
+    return out_dir
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey,
+       MIN(c_name) AS min_name
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC7 round-trip: customer landed as BOM'd, whitespace-padded header
+    CSV → ``read_csv_clean`` (BOM strip, header + cell trim) → per-segment
+    aggregate. Hash-matching the parquet-side oracle proves the DictReader
+    semantics (ctg_export_league.py:403-431) reproduce every key and cell.
+
+    The read is a plain distributed ``spark.read.csv`` over N files (N
+    tasks); only the fixture landing is driver-side."""
+    land_dir = _land_csv(sf_dir)
+    df = read_csv_clean(spark, land_dir)
+    return (
+        df.select(
+            F.col("c_custkey").cast("bigint").alias("custkey"),
+            "c_name",
+            "c_mktsegment",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("custkey").alias("sum_custkey"),
+            F.min("c_name").alias("min_name"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -293,3 +293,62 @@ def test_xlsx_workbook_sink(spark, tmp_path):
         # None cell is empty
         null_cell = list(rows[2].iter(f"{ns}c"))[1]
         assert len(null_cell) == 0 and null_cell.get("t") is None
+
+
+def test_src_html_roundtrip_matches_base_table(spark):
+    """The HTML round-trip query must reproduce supplier exactly: the
+    cascade rejects both decoy tables and the parsed cells re-aggregate to
+    the same totals a direct scan gives."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.io import read_table
+    from nba_data_pipeline_spark.plans.sources_plans import src_html_roundtrip
+
+    got = {r.nationkey: r for r in src_html_roundtrip(spark, "/root/testdata/sf0.001").collect()}
+    want = {
+        r.nationkey: r
+        for r in read_table(spark, "/root/testdata/sf0.001", "supplier")
+        .groupBy(F.col("s_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("s_suppkey").alias("sum_suppkey"),
+            F.min("s_name").alias("min_name"),
+        )
+        .collect()
+    }
+    assert len(got) == len(want) > 0
+    for k, w in want.items():
+        g = got[k]
+        assert (g.n_suppliers, g.sum_suppkey, g.min_name) == (
+            w.n_suppliers,
+            w.sum_suppkey,
+            w.min_name,
+        )
+
+
+def test_src_csv_roundtrip_trims_bom_and_padding(spark):
+    """BOM'd, whitespace-padded CSV landing must read back clean: column
+    names stripped, cells trimmed, totals equal to the parquet scan."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.io import read_table
+    from nba_data_pipeline_spark.plans.sources_plans import src_csv_roundtrip
+
+    out = src_csv_roundtrip(spark, "/root/testdata/sf0.001")
+    assert out.columns == ["c_mktsegment", "n_customers", "sum_custkey", "min_name"]
+    got = {r.c_mktsegment: r for r in out.collect()}
+    # no residual padding anywhere
+    assert all(k == k.strip() and r.min_name == r.min_name.strip() for k, r in got.items())
+    want = {
+        r.c_mktsegment: r
+        for r in read_table(spark, "/root/testdata/sf0.001", "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_custkey").alias("sum_custkey"),
+        )
+        .collect()
+    }
+    assert len(got) == len(want) > 0
+    for k, w in want.items():
+        assert (got[k].n_customers, got[k].sum_custkey) == (w.n_customers, w.sum_custkey)
