@@ -106,3 +106,61 @@ def snk3_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(manifest(by_key, "by_key"))
         .orderBy("mode", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# SNK7: Excel workbook sink round-trip
+# ---------------------------------------------------------------------------
+
+#: sf_dir → written workbook path (write once per process, like _SINK_CACHE).
+_XLSX_CACHE: dict[str, str] = {}
+
+
+@query(
+    "snk7_xlsx_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def snk7_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK7: per-status order summary lands as an Excel workbook
+    (get_basketball_stats_all_teams_Version6.py:200-210 combined-workbook
+    mode), is re-opened from the XML parts, and re-emitted. Hash-matching
+    the oracle (which never touches the file) proves header order, cell
+    typing, and exact integer cents survive the workbook container.
+
+    The aggregate is distributed; only the workbook write/read is
+    driver-side — report-shaped output at dim cardinality (one row per
+    order status), which is the only thing this sink accepts by contract
+    (its row cap refuses fact-sized frames)."""
+    from nba_data_pipeline_spark.sources.xlsx_sink import read_xlsx, write_xlsx
+
+    if sf_dir not in _XLSX_CACHE:
+        summary = (
+            read_table(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+                ).alias("total_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="snk7_"), "orders.xlsx")
+        write_xlsx({"order_summary": summary}, path)
+        _XLSX_CACHE[sf_dir] = path
+
+    header, rows = read_xlsx(_XLSX_CACHE[sf_dir])["order_summary"]
+    reread = spark.createDataFrame(
+        [tuple(r) for r in rows], schema=[h for h in header]
+    )
+    return reread.select(
+        F.col("o_orderstatus"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+    ).orderBy("o_orderstatus")

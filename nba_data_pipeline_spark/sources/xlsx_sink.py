@@ -118,3 +118,40 @@ def write_xlsx(sheets: dict[str, DataFrame], path: str) -> dict[str, int]:
         for part, xml in payloads:
             zf.writestr(part, xml)
     return counts
+
+
+def read_xlsx(path: str) -> dict[str, tuple[list[str], list[list[str | None]]]]:
+    """Re-open a workbook written by ``write_xlsx``: {sheet_name: (header,
+    rows)} with every cell as its string form (numeric <v> text, inline
+    string text, bool "0"/"1"; empty cell → None). Driver-side by nature —
+    the sink's artifacts are bounded report files, and the reader exists so
+    the round-trip can be oracle-verified."""
+    from xml.etree import ElementTree as ET
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    rns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    out: dict[str, tuple[list[str], list[list[str | None]]]] = {}
+    with zipfile.ZipFile(path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        target_by_rid = {
+            rel.get("Id"): rel.get("Target") for rel in rels.iter(f"{rns}Relationship")
+        }
+        rid_attr = (
+            "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+        )
+        for sheet in wb.iter(f"{ns}sheet"):
+            name = sheet.get("name")
+            part = "xl/" + target_by_rid[sheet.get(rid_attr)]
+            grid: list[list[str | None]] = []
+            for row in ET.fromstring(zf.read(part)).iter(f"{ns}row"):
+                cells: list[str | None] = []
+                for c in row.iter(f"{ns}c"):
+                    if c.get("t") == "inlineStr":
+                        cells.append(c.findtext(f"{ns}is/{ns}t"))
+                    else:
+                        cells.append(c.findtext(f"{ns}v"))
+                grid.append(cells)
+            header = [h or "" for h in grid[0]] if grid else []
+            out[name] = (header, grid[1:])
+    return out
