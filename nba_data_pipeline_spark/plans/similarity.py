@@ -595,3 +595,122 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D6: SemDeDup-style semantic dedup — cluster, then prune against the
+# cluster representative (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication").
+# ---------------------------------------------------------------------------
+
+# Tuned to the synthetic fixture's cosine distribution (p90 ≈ 0.28,
+# p97 ≈ 0.33 against the representative): marks ~7% of members as
+# semantic dups. Production corpora recalibrate against their own
+# similarity histogram (the paper uses 0.95+ on real embeddings).
+_SEMDEDUP_THRESH = 0.3
+
+_SQL_COS_VC = (
+    "list_dot_product(v.e, c.ce) / "
+    "(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))"
+)
+_SQL_COS_AR = (
+    "list_dot_product(av.e, rv.e) / "
+    "(sqrt(list_dot_product(av.e, av.e)) * sqrt(list_dot_product(rv.e, rv.e)))"
+)
+
+
+@query(
+    "d6_semdedup_prune",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_NUM_CENTROIDS}),
+s AS (
+  SELECT v.vec_id, c.cid, {_SQL_COS_VC} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_SQL_COS_VC} DESC, c.cid) AS rn
+  FROM v CROSS JOIN c
+),
+a AS (SELECT vec_id, cid, sim FROM s WHERE rn = 1),
+r AS (
+  SELECT cid, vec_id AS rep_id FROM (
+    SELECT cid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sim DESC, vec_id) AS rn
+    FROM a
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.cid, a.vec_id = r.rep_id AS is_rep,
+       {_SQL_COS_AR} AS sim_to_rep,
+       (a.vec_id <> r.rep_id AND {_SQL_COS_AR} >= {_SEMDEDUP_THRESH}) AS is_dup
+FROM a JOIN r ON a.cid = r.cid
+JOIN v av ON av.vec_id = a.vec_id
+JOIN v rv ON rv.vec_id = r.rep_id
+ORDER BY a.vec_id
+""",
+)
+def d6_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: SemDeDup semantic dedup, scalable variant — assign every
+    embedding to its nearest centroid (deterministic init: first k vectors,
+    same centroids the IVF index uses), elect one representative per
+    cluster (max cosine-to-centroid, vec_id tiebreak), and mark any member
+    whose cosine to its cluster REPRESENTATIVE clears the threshold as a
+    semantic duplicate.
+
+    Spark-first shape: centroids and the k-row representative frame both
+    BROADCAST, so the whole query is two streaming passes over the corpus
+    plus one k-sized shuffle for the election — corpus × k work, never
+    pairwise. (The paper's exact form compares all pairs within a cluster;
+    compare-to-representative keeps the recall that matters at a linear
+    cost, the same reduction the exact miner's per-bucket BLAS path uses.)
+    Every cosine uses the engine-stable double fold, so DuckDB verifies
+    each similarity and the threshold decision bitwise."""
+    from pyspark.sql import Window as W
+
+    v = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("vnorm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+    )
+    cent = v.filter(F.col("vec_id") < _NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    pick = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "sim", dot(F.col("embedding"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))
+        )
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "vnorm", "cid", "sim")
+    )
+    elect = W.partitionBy("cid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    reps = (
+        assigned.withColumn("rrn", F.row_number().over(elect))
+        .filter(F.col("rrn") == 1)
+        .select(
+            "cid",
+            F.col("vec_id").alias("rep_id"),
+            F.col("embedding").alias("rvec"),
+            F.col("vnorm").alias("rnorm"),
+        )
+    )
+    sim_to_rep = dot(F.col("embedding"), F.col("rvec")) / (
+        F.col("vnorm") * F.col("rnorm")
+    )
+    return (
+        assigned.join(F.broadcast(reps), "cid")
+        .withColumn("sim_to_rep", sim_to_rep)
+        .select(
+            "vec_id",
+            "cid",
+            (F.col("vec_id") == F.col("rep_id")).alias("is_rep"),
+            "sim_to_rep",
+            (
+                (F.col("vec_id") != F.col("rep_id"))
+                & (F.col("sim_to_rep") >= F.lit(_SEMDEDUP_THRESH))
+            ).alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )

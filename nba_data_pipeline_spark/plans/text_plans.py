@@ -1207,3 +1207,41 @@ def ta_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "bucket", "split")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ta_global_shuffle_shard",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents
+)
+SELECT doc_id, substr(shuffle_key, 1, 1) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY substr(shuffle_key, 1, 1)
+                               ORDER BY shuffle_key, doc_id) AS INT) AS pos
+FROM h ORDER BY doc_id
+""",
+)
+def ta_global_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the step that turns
+    a curated corpus into training shards: every doc gets a pseudo-random
+    but reproducible position (md5 of the stable key — engine-portable,
+    unlike xxhash64/rand), sharded by the first hex nibble (16 shards) with
+    a dense position inside each shard.
+
+    Spark-first shape: one narrow projection, then ONE shuffle on the shard
+    key with a sort-within-partition window for positions — shards are
+    written in parallel, no global sort, no driver state. Doc→shard is
+    stable under corpus growth; at 100 TB raise the nibble count to match
+    the target shard size and the plan is unchanged."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    win = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        d.withColumn("shuffle_key", key)
+        .withColumn("shard", F.substring("shuffle_key", 1, 1))
+        .withColumn("pos", F.row_number().over(win))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    )
