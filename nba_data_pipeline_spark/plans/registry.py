@@ -116,8 +116,9 @@ _FRONT: tuple[str, ...] = (
     # udaf_median_price, the new §2.12 UDAF surface)
     "ud4_llm_prompt",
     "ud13_prop_line_walker",
-    # similarity search
-    "sim_topk_bruteforce",
+    # similarity search (sim_topk_bruteforce is r1-driver-green and
+    # unchanged; its slot goes to the round-2 SemDeDup prune)
+    "d6_semdedup_prune",
     "sim_lsh_neardup_pairs",
     "sim_ivf_probe1",
     "sim_kmeans_train",
