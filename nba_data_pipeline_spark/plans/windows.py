@@ -267,3 +267,86 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "w7_funnel_sequence",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER w AS lv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+c AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS lct,
+         last_value(CASE WHEN event_type = 'click' THEN lv END IGNORE NULLS)
+           OVER w AS lcv
+  FROM o
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN lct IS NOT NULL AND ts <= lct + INTERVAL 24 HOUR
+                      AND lcv IS NOT NULL AND lct <= lcv + INTERVAL 24 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM c
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def w7_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: funnel / sequence detection — per user, count purchases completing
+    a view→click→purchase chain with each step at most 24 hours after the
+    previous (MATCH_RECOGNIZE semantics restated as carried window state,
+    the reference's "N straight games" streak idea generalized to typed
+    sequences, nba_insights_scraper.py:424; the 24 h step bound matches the
+    fixture's ~7 h median per-user event spacing).
+
+    Two ordered passes over the same per-user sort: pass 1 carries the
+    latest prior view timestamp; pass 2 carries, from the latest prior
+    CLICK row, both its timestamp and ITS carried view (so an intervening
+    view between click and purchase can't corrupt the chain). Both windows
+    share one partitioning — Spark sorts each user partition once and
+    reuses it; no self-joins, no explode, state is O(1) per row, which is
+    the 100 TB shape (a join-based funnel would shuffle the fact table
+    once per funnel step)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    before = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    o = ev.withColumn(
+        "lv",
+        F.last(F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True).over(before),
+    )
+    c = o.withColumn(
+        "lct",
+        F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True).over(before),
+    ).withColumn(
+        "lcv",
+        F.last(F.when(F.col("event_type") == "click", F.col("lv")), ignorenulls=True).over(before),
+    )
+    hour = F.expr("INTERVAL 24 HOUR")
+    converted = (
+        F.col("lct").isNotNull()
+        & (F.col("ts") <= F.col("lct") + hour)
+        & F.col("lcv").isNotNull()
+        & (F.col("lct") <= F.col("lcv") + hour)
+    )
+    return (
+        c.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.when(converted, 1).otherwise(0)).alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )
