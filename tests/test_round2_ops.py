@@ -165,3 +165,83 @@ def test_split_fractions_roughly_80_10_10(spark):
     assert 0.6 < frac["train"] / n < 0.95
     assert 0.02 < frac.get("val", 0) / n < 0.25
     assert 0.02 < frac.get("test", 0) / n < 0.25
+
+
+# --- d6_semdedup_prune -----------------------------------------------------
+
+def test_semdedup_one_rep_per_cluster_and_reps_never_dup(spark):
+    rows = _q("d6_semdedup_prune").fn(spark, SF_DIR).collect()
+    assert rows
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r.cid, []).append(r)
+        # a representative is never a duplicate of itself
+        if r.is_rep:
+            assert not r.is_dup
+    for cid, members in by_cid.items():
+        assert sum(1 for m in members if m.is_rep) == 1
+    # every vector appears exactly once (partition property of the dedup)
+    assert len({r.vec_id for r in rows}) == len(rows)
+
+
+# --- ta_global_shuffle_shard ----------------------------------------------
+
+def test_shuffle_shard_is_permutation_with_dense_positions(spark):
+    rows = _q("ta_global_shuffle_shard").fn(spark, SF_DIR).collect()
+    assert rows
+    # partition: every doc exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    # dense 1..n positions inside each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic across reruns
+    again = {r.doc_id: (r.shard, r.pos) for r in _q("ta_global_shuffle_shard").fn(spark, SF_DIR).collect()}
+    assert {r.doc_id: (r.shard, r.pos) for r in rows} == again
+
+
+# --- w7_funnel_sequence ----------------------------------------------------
+
+def test_funnel_conversions_bounded_by_purchases(spark):
+    rows = _q("w7_funnel_sequence").fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(0 <= r.n_converted <= r.n_purchases for r in rows)
+
+
+def test_funnel_detects_exact_chain(spark):
+    """A hand-built chain converts; a broken chain (click before view,
+    or step gap over the bound) does not."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, uid, typ, hours):
+        return Row(
+            user_id=uid, event_id=i, ts=t0 + dt.timedelta(hours=hours), event_type=typ
+        )
+
+    rows = [
+        # user 1: view → click(+1h) → purchase(+2h): converts
+        ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 1, "purchase", 2),
+        # user 2: click → view → purchase: no view-before-click, no conversion
+        ev(4, 2, "click", 0), ev(5, 2, "view", 1), ev(6, 2, "purchase", 2),
+        # user 3: view → click(+30h, over bound) → purchase: no conversion
+        ev(7, 3, "view", 0), ev(8, 3, "click", 30), ev(9, 3, "purchase", 31),
+    ]
+    df = spark.createDataFrame(rows)
+    import nba_data_pipeline_spark.plans.windows as wmod
+    import nba_data_pipeline_spark.io as iomod
+
+    orig = iomod.read_table
+    try:
+        iomod.read_table = lambda s, d, n: df
+        wmod.read_table = lambda s, d, n: df
+        out = {r.user_id: r for r in _q("w7_funnel_sequence").fn(spark, SF_DIR).collect()}
+    finally:
+        iomod.read_table = orig
+        wmod.read_table = orig
+    assert out[1].n_converted == 1
+    assert out[2].n_converted == 0
+    assert out[3].n_converted == 0
