@@ -345,3 +345,87 @@ def s7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table("s7_stream_static_mem").orderBy("c_mktsegment")
+
+
+def _land_two_phase(sf_dir: str) -> str:
+    """Land events as TWO ordered arrivals: first the full table, then a
+    re-poll that returns only ``click``/``view`` rows (the reference's
+    polling loop re-reads a page and usually gets a subset of tables).
+    mtimes are pinned so the file source's batch order is deterministic."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nba_data_pipeline_spark.io import table_path
+
+    key = ("s3", sf_dir)
+    if key not in _LANDING_CACHE:
+        land_dir = tempfile.mkdtemp(prefix="s3_landing_")
+        tbl = pq.read_table(table_path(sf_dir, "events"))
+        first = os.path.join(land_dir, "arrival_1.parquet")
+        second = os.path.join(land_dir, "arrival_2.parquet")
+        pq.write_table(tbl, first)
+        repoll = pc.or_(
+            pc.equal(tbl.column("event_type"), "click"),
+            pc.equal(tbl.column("event_type"), "view"),
+        )
+        pq.write_table(tbl.filter(repoll), second)
+        os.utime(first, (1_700_000_000, 1_700_000_000))
+        os.utime(second, (1_700_000_100, 1_700_000_100))
+        _LANDING_CACHE[key] = land_dir
+    return _LANDING_CACHE[key]
+
+
+@query(
+    "s3_stability_tracker",
+    oracle="""
+WITH n AS (SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type)
+SELECT event_type AS key, CAST(c AS BIGINT) AS total,
+       CAST(0 AS BIGINT) AS prev, FALSE AS stable
+FROM n
+UNION ALL
+SELECT event_type, CAST(2 * c AS BIGINT), CAST(c AS BIGINT), FALSE
+FROM n WHERE event_type IN ('click', 'view')
+ORDER BY key, total
+""",
+)
+def s3_stability_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the row-count-stability gate (DEFENSEVSPOSTION.PY:251-309) as a
+    CUSTOM STATEFUL streaming operator — ``applyInPandasWithState`` carries
+    one long of state per key across micro-batches and emits
+    (total, prev, stable) on every arrival. The landing is two ordered
+    arrivals (full table, then a click/view-only re-poll;
+    ``maxFilesPerTrigger=1`` makes each file its own micro-batch), so the
+    emission history is deterministic: batch 1 emits prev=0 for all five
+    keys, batch 2 re-emits click/view with prev carried from batch 1 —
+    which is exactly what the DuckDB oracle reconstructs from the base
+    table. State is one long per key regardless of corpus size; at 100 TB
+    the tracker shuffles each micro-batch once on the key and keeps no
+    timeline."""
+    import tempfile
+
+    from nba_data_pipeline_spark.streaming.polling import stability_tracker
+
+    land_dir = _land_two_phase(sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(land_dir).schema
+    sdf = (
+        spark.readStream.format("parquet")
+        .schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(land_dir)
+    )
+    tracked = stability_tracker(sdf, key_col="event_type")
+    with _small_state_shuffle(spark):
+        q = (
+            tracked.writeStream.format("memory")
+            .queryName("s3_stability_mem")
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s3_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("s3_stability_mem").orderBy("key", "total")
