@@ -865,3 +865,60 @@ def udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "a17_incremental_merge",
+    oracle="""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_cents
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def a17_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: incremental aggregate maintenance — the nightly-refresh pattern
+    every large pipeline needs: the historical partition's PARTIAL aggregate
+    (count + exact cents sum per customer) is merged with the new-arrivals
+    partial by summing, never rescanned. The oracle recomputes from the
+    full table, so a hash match proves merge(partials) == recompute —
+    the mergeability contract (same law the A16 HLL rollup relies on).
+
+    Derived values (the average) are computed AFTER the merge from merged
+    sums — merging averages directly is the classic incremental-view bug.
+    At 100 TB the base partial is a stored table updated in place and only
+    the delta partition is scanned per refresh; both sides here derive
+    from one split scan to stay self-contained. Cut date splits the
+    fixture's 1992-1998 order span mid-range."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < "1996-01-01"))
+    delta = partial(o.filter(F.col("o_orderdate") >= "1996-01-01"))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        "total_cents",
+        (F.col("total_cents").cast("double") / F.col("n_orders")).alias("avg_cents"),
+    ).orderBy("o_custkey")
