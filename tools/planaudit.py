@@ -39,7 +39,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 #: Queries whose build executes a streaming drain; plan lint is meaningless
 #: on the post-hoc memory-sink table they return.
-SKIP = {"s1_stream_ingest_counts", "s2_stream_arrival_dedupe", "s7_stream_static_join"}
+SKIP = {
+    "s1_stream_ingest_counts",
+    "s2_stream_arrival_dedupe",
+    "s3_stability_tracker",
+    "s7_stream_static_join",
+}
 
 FULL_WIDTH = {"lineitem": 16, "orders": 9}
 
