@@ -73,11 +73,21 @@ def src_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )
+    # Entity-escape the one free-text cell (& first, then angle brackets):
+    # html.parser unescapes char refs on read, so the round-trip preserves
+    # the raw value even if a data regeneration introduces markup chars.
+    esc_name = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s_name"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
     tr = F.concat(
         F.lit("<tr><td>"),
         F.col("s_suppkey").cast("string"),
         F.lit("</td><td>"),
-        F.col("s_name"),
+        esc_name,
         F.lit("</td></tr>"),
     )
     pages = (
@@ -148,6 +158,13 @@ def _land_csv(sf_dir: str) -> str:
         with open(os.path.join(out_dir, f"part-{i}.csv"), "w", encoding="utf-8") as f:
             f.write(header)
             for key, name, seg in rows[i::_CSV_FILES]:
+                # Fail loudly if a data regeneration ever makes the cells
+                # CSV-unsafe — a corrupted parse would otherwise surface as
+                # an opaque oracle hash mismatch downstream.
+                if any("," in v or "\n" in v or '"' in v for v in (name, seg)):
+                    raise ValueError(
+                        f"fixture cell needs CSV quoting: {name!r}, {seg!r}"
+                    )
                 f.write(f"{key},  {name}  , {seg}\n")
     _CSV_CACHE[sf_dir] = out_dir
     return out_dir

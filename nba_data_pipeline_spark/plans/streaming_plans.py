@@ -42,16 +42,29 @@ def _land(prefix: str, sf_dir: str, copies: int) -> str:
     return _LANDING_CACHE[key]
 
 
-def _stream_events(spark: SparkSession, sf_dir: str, prefix: str, copies: int):
+def _stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    copies: int = 1,
+    land_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
     """Land the events file(s) and open the landing dir as a micro-batch
     stream with ``ts`` normalized to session-tz TIMESTAMP (same contract as
     ``io.read_table``). The landed physical layout has shifted across driver
     data regenerations (nanos-as-long vs micros-NTZ), so the stream schema
-    comes from a batch read of the landing dir instead of being hardcoded."""
-    land_dir = _land(prefix, sf_dir, copies)
+    comes from a batch read of the landing dir instead of being hardcoded.
+    Callers with a custom landing (e.g. s3's two-phase arrival) pass
+    ``land_dir``; ``max_files_per_trigger`` forces one file per batch."""
+    if land_dir is None:
+        land_dir = _land(prefix, sf_dir, copies)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(land_dir).schema
-    sdf = spark.readStream.format("parquet").schema(batch_schema).load(land_dir)
+    reader = spark.readStream.format("parquet").schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    sdf = reader.load(land_dir)
     ts_type = dict(sdf.dtypes).get("ts")
     if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -408,14 +421,12 @@ def s3_stability_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nba_data_pipeline_spark.streaming.polling import stability_tracker
 
-    land_dir = _land_two_phase(sf_dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(land_dir).schema
-    sdf = (
-        spark.readStream.format("parquet")
-        .schema(batch_schema)
-        .option("maxFilesPerTrigger", "1")
-        .load(land_dir)
+    sdf = _stream_events(
+        spark,
+        sf_dir,
+        "s3",
+        land_dir=_land_two_phase(sf_dir),
+        max_files_per_trigger=1,
     )
     tracked = stability_tracker(sdf, key_col="event_type")
     with _small_state_shuffle(spark):

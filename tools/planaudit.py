@@ -16,7 +16,7 @@ Rules enforced on the optimized physical plan of every catalog query:
       wasted-IO flag (enforced as: no scan of ``lineitem``/``orders``
       reads all 16/9 columns).
 
-Streaming queries (s1/s2/s7) execute a stream when built, and their final
+Streaming queries (s1/s2/s3/s7) execute a stream when built, and their final
 DataFrame is a drained in-memory table — both pointless to lint — so they
 are skipped by name.
 
