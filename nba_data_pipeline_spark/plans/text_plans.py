@@ -1245,3 +1245,89 @@ def ta_global_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ta_perplexity_score",
+    oracle=f"""
+WITH split AS (
+  SELECT doc_id, text,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '34' AS is_train
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, is_train, unnest({_TOKS}) AS token FROM split
+),
+vocab AS (
+  SELECT token, COUNT(*) AS c FROM tok WHERE is_train GROUP BY token
+),
+sizes AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM vocab
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ln(CAST(COALESCE(vb.c, 0) + 1 AS DOUBLE) / (s.n + s.v))
+              AS DECIMAL(38,18)) AS logp
+  FROM tok t CROSS JOIN sizes s
+  LEFT JOIN vocab vb ON t.token = vb.token
+  WHERE NOT t.is_train
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       ROUND(exp(-(CAST(SUM(logp) AS DOUBLE) / COUNT(*))), 4) AS ppl
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def ta_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality scoring (the CCNet/Gopher companion filter):
+    train a Laplace-smoothed unigram LM on the train split of the corpus
+    (same md5 split rule as ``ta_train_test_split``), then score every
+    held-out document by per-token perplexity — the standard signal for
+    "looks like the reference distribution" quality filtering.
+
+    Spark-first shape: token counts are one hash aggregate over the train
+    split; the (N, V) normalizer is a 1-row broadcast; scoring is explode →
+    broadcast hash join against the vocab → per-doc aggregate (vocab is
+    dim-sized next to the corpus — at 100 TB a multi-million-row vocab
+    either still broadcasts at ~100 MB or falls back to a shuffle join on
+    the 8-byte token hash, same plan otherwise). Per-token log-probs are
+    summed under the ``plans/exact.py`` decimal discipline so the
+    cross-entropy is order-independent and engine-exact; the only floating
+    steps are ln/exp on identical doubles, absorbed by ROUND(…, 4)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    split = d.withColumn("is_train", bucket >= "34")
+    tok = split.select(
+        "doc_id", "is_train", F.explode(ws_tokens(F.col("text"))).alias("token")
+    )
+    vocab = tok.filter(F.col("is_train")).groupBy("token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sizes = vocab.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        tok.filter(~F.col("is_train"))
+        .crossJoin(F.broadcast(sizes))
+        .join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("n") + F.col("v"))
+            )
+            .cast("decimal(38,18)")
+            .alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(
+                F.exp(-(F.sum("logp").cast("double") / F.count(F.lit(1)))), 4
+            ).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
