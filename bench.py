@@ -1,6 +1,8 @@
 """Benchmark harness (driver contract): run the catalog's headline queries
 at $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-ONE JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+ONE JSON line: {"metric", "value", "unit", "queries": {...}, "sf"}. The
+stdout "queries" map holds only the 5 slowest (the driver's line capture
+truncates long lines); the full per-query map is written to bench_full.json.
 
 Each query executes end-to-end via the noop sink (full plan runs, nothing
 collected to the driver), which is the honest distributed-execution time.
@@ -76,10 +78,18 @@ def main() -> int:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
-    # Scalar keys FIRST: round 1's line exceeded the driver's capture window
-    # and parsed as null. With the headline metric ahead of the big per-query
-    # map, a truncated capture costs individual timings, not the metric. The
-    # full JSON is mirrored to bench_full.json for local recovery.
+    # The driver's line capture truncates long stdout lines FROM THE FRONT
+    # (it keeps the tail): rounds 1 and 2 both recorded "parsed": null
+    # because the full 111-entry per-query map pushed the line over the
+    # window no matter which end the scalars sat on. So stdout gets ONE
+    # SHORT line — scalars plus the five slowest queries — guaranteed to fit;
+    # the complete per-query map lives in bench_full.json (committed).
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
     payload = {
         "metric": "catalog_total_runtime",
         "value": total,
@@ -90,12 +100,12 @@ def main() -> int:
         # round-over-round comparisons honest when the total covers more
         # queries than the previous round did.
         "mean_sec_per_query": round(total / max(len(timings), 1), 3),
-        "queries": timings,
+        "queries": slowest,
     }
-    line = json.dumps(payload, separators=(",", ":"))
+    full = dict(payload, queries=timings)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(json.dumps(full, separators=(",", ":")) + "\n")
+    print(json.dumps(payload, separators=(",", ":")))
     return 0
 
 

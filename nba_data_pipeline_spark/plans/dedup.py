@@ -193,13 +193,12 @@ def d5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", distinct_word_shingles_fast(F.col("text")).alias("sh_arr"))
         .persist()
     )
-    sh = docs.select("doc_id", F.explode("sh_arr").alias("shingle"))
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
-            for i in range(_NUM_HASHES)
-        ]
-    )
+    # Signatures straight off the cached arrays (array_min over transform):
+    # the same min-of-md5 per seed, but computed per-row in codegen — no
+    # explode and no groupBy shuffle. (The r2 explode+agg form re-shuffled
+    # every shingle row just to re-group what the array already groups;
+    # that was the d5_minhash bench regression.)
+    sig = docs.select("doc_id", *minhash_signature(F.col("sh_arr"), _NUM_HASHES))
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -223,12 +222,15 @@ def d5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verify ONLY the candidates: join their shingle arrays and compute the
     # exact Jaccard with array_intersect — no second all-pairs shingle join.
     # (The SQL oracle computes inter via the generic join; values identical.)
-    with_a = cand.join(
-        docs.select(F.col("doc_id").alias("id_a"), F.col("sh_arr").alias("sh_a")), "id_a"
-    )
-    with_b = with_a.join(
-        docs.select(F.col("doc_id").alias("id_b"), F.col("sh_arr").alias("sh_b")), "id_b"
-    )
+    # The candidate set is LSH-filtered and therefore tiny relative to the
+    # corpus — broadcast it (and the cand-sized intermediate) so the big
+    # shingle-array table is never shuffled for the verify.
+    with_a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("sh_arr").alias("sh_a")
+    ).join(F.broadcast(cand), "id_a")
+    with_b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("sh_arr").alias("sh_b")
+    ).join(F.broadcast(with_a), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jacc = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (

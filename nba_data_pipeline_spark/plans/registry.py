@@ -46,95 +46,69 @@ def query(name: str, oracle: str | None = None):
 
 # The round driver evaluates the FIRST 50 catalog entries against the DuckDB
 # oracle (round 1 checked exactly queries()[0:50] in registration order and
-# recorded nothing else). This list pins the front 50 so that EVERY operator
-# family — analytics, dedup, filters, joins/sets, multimodal, normalize,
-# similarity (incl. IVF), streaming (incl. event-time windows + JSON source),
-# text analysis / extraction, SQL windows — lands inside the checked prefix.
-# Queries not listed here (round-1-driver-green variants: f2/f3/..., j1-j9,
-# u1/u3/u4, mm_resize, ...) follow after, in registration order, and stay
-# covered by tools/check.py locally.
+# recorded nothing else). This list pins the front 50. Round-3 rotation
+# policy (VERDICT r2 item 1): the union of CORRECTNESS_r01+r02 already covers
+# 90 of the 111 r2-era entries, so the 21 never-driver-checked queries all
+# move into the prefix now, followed by queries whose implementation CHANGED
+# this round (they need re-verification) and the new round-3 additions.
+# Everything else — driver-green in r1/r2 and semantically unchanged — sits
+# after the prefix and stays covered by tools/check.py locally.
 _FRONT: tuple[str, ...] = (
-    # analytics core (driver-green-in-r1 variants a1/a3/a6/a7/a8/a12 yield
-    # their prefix slots to the round-2 additions: d5_cc_clusters,
-    # ta_decontaminate, ta_vocab_topk, ta_tfidf_top_terms, ta_gopher_rules,
-    # ta_pii_scrub; d3 yields to d8_crossdoc_ngram_coverage)
-    # (a2 is r1-driver-green; its slot goes to sim_kmeans_train)
-    "flagship_hitrate_last10",
-    "a4_sum_group_sizes",
-    # (a_pivot_matrix / u2 are r1-driver-green; their slots go to the
-    # round-2 additions a15 / ta_mixture_weights)
-    # (a13_rollup_revenue was driver-green in r1; its slot goes to
-    # ta_train_test_split)
-    "a14_approx_distinct",
-    "a15_approx_percentile_bounded",
-    "udaf_median_price",
-    "skew_salted_agg",
-    # joins / sets / filters representatives (rest were driver-green in r1;
-    # j7 was driver-green in r1 so its slot goes to the round-2 bucketed join)
-    "j10_bucketed_join",
-    "f4_multi_dim_selection",
-    # sinks + source round-trips (the HTML/CSV parsers were pytest-only in
-    # r1; the round-trip queries put them on the driver gate — they take the
-    # slots of d1_first_wins_dedup and d5_simhash_signatures, both
-    # r1-driver-green and unchanged in semantics)
-    "snk3_sink_modes",
-    "src_html_roundtrip",
-    "src_csv_roundtrip",
-    # dedup — exact + near-dup algorithms (d1/d2/d4 are r1-driver-green
-    # exact-dedup variants, relegated to the locally-checked tail)
-    "d8_crossdoc_ngram_coverage",
-    "d5_ngram_jaccard_topk",
+    # --- the 21 entries never driver-checked in r1/r2 ---
+    "a16_hll_sketch_rollup",
+    "a17_incremental_merge",
+    "sim_ivf_batch_topk",
+    "snk7_xlsx_roundtrip",
+    "s6_sliding_windows",
+    "s6_session_windows",
+    "s3_stability_tracker",
+    "ta_stratified_sample",
+    "ta_quality_percentiles",
+    "x21_odds_math",
+    "x_matchup_cleanup",
+    "x18_event_mining",
+    "x4_game_time",
+    "x56_insight_parse",
+    "x12_team_mentions",
+    "corpus_curation_pipeline",
+    "ta_repetition_ratio",
+    "ta_global_shuffle_shard",
+    "ta_perplexity_score",
+    "w4_latest_per_key",
+    "w7_funnel_sequence",
+    # --- changed this round; re-verify ---
     "d5_minhash_lsh_pairs",
-    "d5_embedding_cosine_neardup",
+    "mm_decode_features",
     "d5_cc_clusters",
-    "ta_decontaminate",
-    # SQL windows
-    "w1_ordinal_disambiguation",
-    "w2_rank_within_group",
-    "w3_longest_streak",
-    "w6_sessionize",
-    # (w4_latest_per_key is a driver-green-in-r1-style variant of the w
-    # family; its slot goes to the round-2 addition ta_chunk_overlap)
-    "w5_calendar_range_frame",
-    # text analysis / extraction / UDTF family
-    "ta_token_counts",
-    "ta_quality_scores",
-    "ta_language_id",
-    "ta_fingerprint_groups",
-    "ta_token_budget_pack",
-    "ta_vocab_topk",
-    "ta_tfidf_top_terms",
-    "ta_gopher_rules",
-    "ta_pii_scrub",
-    "ta_mixture_weights",
-    "ta_chunk_overlap",
-    "ta_train_test_split",
-    # (corpus_curation_pipeline is a composite of individually-checked ta_*
-    # stages; its slot goes to sim_recall_eval)
+    # --- new in round 3 ---
+    "d5_cc_clusters_multipart",
+    "ta_entropy_quality",
+    "ta_domain_quota_sample",
+    "ta_bloom_url_dedup",
+    "ta_utf8_sanitize",
+    "ta_contamination_overlap",
+    "ta_dup_line_prefix",
+    "sim_pq_codebook",
+    "sim_pq_topk",
+    "a18_bitmap_distinct",
+    "a19_windowed_mode",
+    "s8_stream_stream_join",
+    "s9_foreach_batch_upsert",
+    "src_http_get",
+    # --- proven representatives (driver-green r1/r2, unchanged) filling the
+    # remaining slots so every §2 family keeps a row in this round's gate ---
+    "flagship_hitrate_last10",
     "x_prop_extraction",
-    # (x56_insight_parse stays locally checked; its slot goes to
-    # udaf_median_price, the new §2.12 UDAF surface)
-    "ud4_llm_prompt",
     "ud13_prop_line_walker",
-    # similarity search (sim_topk_bruteforce is r1-driver-green and
-    # unchanged; its slot goes to the round-2 SemDeDup prune)
+    "d5_ngram_jaccard_topk",
     "d6_semdedup_prune",
     "sim_lsh_neardup_pairs",
-    "sim_ivf_probe1",
     "sim_kmeans_train",
-    "sim_recall_eval",
-    "sim_quantize_int8",
-    # streaming (s6_session_windows is the tumbling variant's sibling;
-    # its slot goes to sim_quantize_int8)
     "s1_stream_ingest_counts",
-    "s2_stream_arrival_dedupe",
     "s6_tumbling_windows",
-    "s7_stream_static_join",
-    "src_json_props",
-    # normalize / multimodal (ud5_grouped_normalize was driver-green in r1;
-    # its slot goes to s7_stream_static_join)
     "nba_fixture_normalize",
-    "mm_decode_features",
+    "src_html_roundtrip",
+    "w3_longest_streak",
 )
 
 
