@@ -399,9 +399,7 @@ def d5_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "d5_cc_clusters",
-    oracle=f"""
+_SQL_CC_ORACLE = f"""
 WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM t),
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -426,8 +424,10 @@ SELECT c.doc_id, c.component_id,
        CAST(COUNT(*) OVER (PARTITION BY c.component_id) AS BIGINT) AS cluster_size
 FROM comp c
 ORDER BY c.doc_id
-""",
-)
+"""
+
+
+@query("d5_cc_clusters", oracle=_SQL_CC_ORACLE)
 def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5e: near-dup CLUSTERS — transitive closure over Jaccard >= 0.5 edges
     (each doc's component_id = smallest doc_id reachable through near-dup
@@ -457,6 +457,38 @@ def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # DSU treats edges as undirected — no symmetrize union needed.
     labels = connected_components(edges, num_partitions=1)
+    from pyspark.sql import Window as W
+
+    full = d.select("doc_id").join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("component_id")
+    )
+    return (
+        full.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(W.partitionBy("component_id")),
+        )
+        .select("doc_id", "component_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+@query("d5_cc_clusters_multipart", oracle=_SQL_CC_ORACLE)
+def d5_cc_clusters_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5e at the CLUSTER-SCALE setting: identical semantics (and oracle) to
+    ``d5_cc_clusters`` but the closure runs ``connected_components`` with
+    ``num_partitions=4`` — the sharded-DSU path a 100 TB near-dup subgraph
+    actually takes: per-partition union-find, edge contraction between
+    rounds, O(log P) convergence. Catalog-level proof that the
+    multi-partition contraction loop reaches the same fixpoint the
+    recursive-CTE oracle computes (the 1-partition variant exercises only
+    the single-pass fast path)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_sets(d).persist()
+    edges = (
+        jaccard_pairs(sh, min_jaccard=0.5)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labels = connected_components(edges, num_partitions=4)
     from pyspark.sql import Window as W
 
     full = d.select("doc_id").join(F.broadcast(labels), "doc_id", "left").select(

@@ -83,6 +83,127 @@ def test_resize_preserves_aspect_and_clamps(spark):
     assert (out[3].out_width, out[3].out_height) == (0, 0)  # degenerate safe
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        real_decode("image", b"\x89PNG")
+def _encode_png(width: int, height: int, pixels: bytes, color: int = 2) -> bytes:
+    """Minimal PNG encoder (filter 0 scanlines) — fixture-side twin of
+    operators.multimodal.decode_png."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = width * channels
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_wav(rate: int, n_channels: int, pcm: bytes) -> bytes:
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, rate, rate * n_channels * 2, n_channels * 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_decode_png_wav_nvid(spark):
+    import struct
+
+    px = bytes(range(4 * 3 * 3))  # 4x3 RGB
+    png = _encode_png(4, 3, px)
+    pcm = bytes(200)  # 100 samples of 16-bit mono
+    wav = _encode_wav(8000, 1, pcm)
+    frame = _encode_png(2, 2, bytes(12))
+    nvid = (
+        b"NVID" + struct.pack(">I", 2)
+        + struct.pack(">I", len(frame)) + frame
+        + struct.pack(">I", len(frame)) + frame
+    )
+    media = spark.createDataFrame(
+        [(0, "image", png), (1, "audio", wav), (2, "video", nvid)],
+        "doc_id long, media_type string, payload binary",
+    )
+    feats = {r.doc_id: r for r in decode_features(media, use_real_codecs=True).collect()}
+    assert (feats[0].width, feats[0].height, feats[0].n_frames) == (4, 3, 1)
+    assert feats[0].feat_hash == hashlib.md5(px).hexdigest()
+    assert (feats[1].width, feats[1].height) == (0, 0)
+    assert feats[1].duration_ms == 100 * 1000 // 8000
+    assert feats[1].feat_hash == hashlib.md5(pcm).hexdigest()
+    assert (feats[2].width, feats[2].height, feats[2].n_frames) == (2, 2, 2)
+    assert feats[2].duration_ms == 80
+    assert feats[2].feat_hash == hashlib.md5(bytes(12) * 2).hexdigest()
+
+
+def test_real_decode_unfilters_all_png_filter_types():
+    """Round-trip a PNG whose scanlines use filters 1-4 (encoded by applying
+    the forward filter, decoded by real_decode's unfilter)."""
+    import struct
+    import zlib
+
+    width, height, channels = 5, 4, 3
+    stride = width * channels
+    pixels = bytes((i * 37 + 11) % 256 for i in range(stride * height))
+    rows = [bytearray(pixels[y * stride : (y + 1) * stride]) for y in range(height)]
+    filtered = b""
+    prev = bytearray(stride)
+    for y, ftype in enumerate((1, 2, 3, 4)):
+        cur = rows[y]
+        line = bytearray(cur)
+        for i in range(stride):
+            a = cur[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ftype == 1:
+                line[i] = (cur[i] - a) & 0xFF
+            elif ftype == 2:
+                line[i] = (cur[i] - b) & 0xFF
+            elif ftype == 3:
+                line[i] = (cur[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (cur[i] - pred) & 0xFF
+        filtered += bytes([ftype]) + bytes(line)
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(filtered))
+        + chunk(b"IEND", b"")
+    )
+    out = real_decode("image", png)
+    assert out["feat_hash"] == hashlib.md5(pixels).hexdigest()
+
+
+def test_real_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        real_decode("image", b"\x89PNG but not really")
+    with pytest.raises(ValueError):
+        real_decode("audio", b"not a riff")
