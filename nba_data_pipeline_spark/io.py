@@ -28,6 +28,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_TMP_ROOT: str | None = None
+
+
+def session_tmpdir(prefix: str) -> str:
+    """mkdtemp under ONE per-process root that is removed at interpreter
+    exit. Fixture landings, sink outputs, and streaming checkpoints all
+    route through here so a long-lived service doesn't accumulate orphaned
+    ``*_landing_``/``*_ckpt_`` directories across catalog runs (they were
+    previously leaked one per query per session)."""
+    global _TMP_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="nba_spark_session_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one landed table. Plain parquet scan → Catalyst gets pushdown +
     pruning for free; callers must select/filter declaratively.

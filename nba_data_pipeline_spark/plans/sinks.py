@@ -11,12 +11,11 @@ content (serialization, partition-column extraction, nothing dropped).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.io import read_table, session_tmpdir
 from nba_data_pipeline_spark.plans.registry import query
 
 # One written copy per (sf_dir) per session: the sink write is the thing
@@ -41,7 +40,7 @@ def _payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _written_root(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _SINK_CACHE:
-        root = tempfile.mkdtemp(prefix="snk3_")
+        root = session_tmpdir("snk3_")
         payload = _payload(spark, sf_dir)
         # Combined mode: one logical dataset, one directory. By-key mode:
         # partitionBy writes <root>/by_key/o_orderstatus=<k>/part-*.json —
@@ -112,8 +111,10 @@ def snk3_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SNK7: Excel workbook sink round-trip
 # ---------------------------------------------------------------------------
 
-#: sf_dir → written workbook path (write once per process, like _SINK_CACHE).
-_XLSX_CACHE: dict[str, str] = {}
+#: (sf_dir, orders.parquet mtime) → written workbook path (write once per
+#: process per data generation, like _SINK_CACHE; the mtime key guards
+#: against an in-process regeneration serving a stale workbook).
+_XLSX_CACHE: dict[tuple[str, float], str] = {}
 
 
 @query(
@@ -139,7 +140,8 @@ def snk7_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (its row cap refuses fact-sized frames)."""
     from nba_data_pipeline_spark.sources.xlsx_sink import read_xlsx, write_xlsx
 
-    if sf_dir not in _XLSX_CACHE:
+    cache_key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
+    if cache_key not in _XLSX_CACHE:
         summary = (
             read_table(spark, sf_dir, "orders")
             .groupBy("o_orderstatus")
@@ -151,13 +153,18 @@ def snk7_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("o_orderstatus")
         )
-        path = os.path.join(tempfile.mkdtemp(prefix="snk7_"), "orders.xlsx")
+        path = os.path.join(session_tmpdir("snk7_"), "orders.xlsx")
         write_xlsx({"order_summary": summary}, path)
-        _XLSX_CACHE[sf_dir] = path
+        _XLSX_CACHE[cache_key] = path
 
-    header, rows = read_xlsx(_XLSX_CACHE[sf_dir])["order_summary"]
+    header, rows = read_xlsx(_XLSX_CACHE[cache_key])["order_summary"]
+    # Explicit all-string DDL schema: xlsx cells come back as strings, and
+    # relying on inference would turn an empty sheet or an all-None column
+    # into an opaque 'cannot infer schema' error instead of a clear cast
+    # failure on the typed select below.
     reread = spark.createDataFrame(
-        [tuple(r) for r in rows], schema=[h for h in header]
+        [tuple(r) for r in rows],
+        schema=", ".join(f"`{h}` string" for h in header)
     )
     return reread.select(
         F.col("o_orderstatus"),

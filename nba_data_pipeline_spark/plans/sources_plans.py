@@ -22,12 +22,11 @@ DictReader BOM/trim semantics (ctg_export_league.py:403-431).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.io import read_table, session_tmpdir
 from nba_data_pipeline_spark.plans.registry import query
 from nba_data_pipeline_spark.sources.csv_source import read_csv_clean
 from nba_data_pipeline_spark.sources.html_table import html_corpus_cascade
@@ -47,6 +46,36 @@ _HTML_PAGE_HEAD = (
     # The real table. th-cells mark the header row (SRC1 header detection).
     '<table id="supstats"><tr><th>suppkey</th><th>name</th></tr>'
 )
+
+
+#: (sf_dir, supplier.parquet mtime) pairs already validated — the guard is a
+#: driver-side dim-table read, run once per process per data generation.
+_HTML_FIXTURE_OK: set[tuple[str, float]] = set()
+
+
+def _guard_html_fixture(sf_dir: str) -> None:
+    """Fail loudly if a data regeneration puts non-normalized whitespace in
+    s_name: the HTML cell extractor collapses/strips whitespace, so such a
+    value would silently corrupt the round-trip and surface only as an
+    opaque oracle hash mismatch (same posture as _land_csv's CSV-safety
+    guard)."""
+    key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "supplier.parquet")))
+    if key in _HTML_FIXTURE_OK:
+        return
+    import pyarrow.parquet as pq
+
+    names = (
+        pq.read_table(os.path.join(sf_dir, "supplier.parquet"), columns=["s_name"])
+        .column("s_name")
+        .to_pylist()
+    )
+    bad = [n for n in names if n != " ".join(n.split())]
+    if bad:
+        raise ValueError(
+            "src_html_roundtrip fixture needs whitespace-safe s_name values; "
+            f"HTML extraction would collapse e.g. {bad[0]!r}"
+        )
+    _HTML_FIXTURE_OK.add(key)
 
 
 @query(
@@ -70,6 +99,7 @@ def src_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     are nation-sized (dim cardinality), so no group outgrows an executor;
     parsing runs in ``mapInPandas`` with no shuffle after the cascade until
     the final hash-aggregate."""
+    _guard_html_fixture(sf_dir)
     sup = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )
@@ -125,9 +155,11 @@ def src_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SRC7: landed header-CSV with BOM + untrimmed cells → clean read → aggregate
 # ---------------------------------------------------------------------------
 
-#: sf_dir → landed CSV dir (land once per process; the landing is fixture
-#: synthesis, not part of the measured read path).
-_CSV_CACHE: dict[str, str] = {}
+#: (sf_dir, customer.parquet mtime) → landed CSV dir (land once per process
+#: per data generation; the landing is fixture synthesis, not part of the
+#: measured read path — the mtime key keeps an in-process regeneration of
+#: the test data from serving stale landed files).
+_CSV_CACHE: dict[tuple[str, float], str] = {}
 
 _CSV_FILES = 4
 
@@ -137,8 +169,9 @@ def _land_csv(sf_dir: str) -> str:
     UTF-8 BOM on the header, padding blanks around header names and cells.
     Driver-side file synthesis (pyarrow, no Spark job) — bounded dim table,
     same posture as the streaming plans' file-landing fixture."""
-    if sf_dir in _CSV_CACHE:
-        return _CSV_CACHE[sf_dir]
+    cache_key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "customer.parquet")))
+    if cache_key in _CSV_CACHE:
+        return _CSV_CACHE[cache_key]
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
@@ -152,7 +185,7 @@ def _land_csv(sf_dir: str) -> str:
             tbl.column("c_mktsegment").to_pylist(),
         )
     )
-    out_dir = tempfile.mkdtemp(prefix="src_csv_roundtrip_")
+    out_dir = session_tmpdir("src_csv_roundtrip_")
     header = "﻿c_custkey, c_name ,c_mktsegment\n"
     for i in range(_CSV_FILES):
         with open(os.path.join(out_dir, f"part-{i}.csv"), "w", encoding="utf-8") as f:
@@ -166,7 +199,7 @@ def _land_csv(sf_dir: str) -> str:
                         f"fixture cell needs CSV quoting: {name!r}, {seg!r}"
                     )
                 f.write(f"{key},  {name}  , {seg}\n")
-    _CSV_CACHE[sf_dir] = out_dir
+    _CSV_CACHE[cache_key] = out_dir
     return out_dir
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 import contextlib
 
-from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.io import read_table, session_tmpdir
 from nba_data_pipeline_spark.plans.exact import sql_dsum
 from nba_data_pipeline_spark.plans.registry import query
 
@@ -28,13 +28,12 @@ _LANDING_CACHE: dict[tuple[str, str], str] = {}
 
 def _land(prefix: str, sf_dir: str, copies: int) -> str:
     import shutil
-    import tempfile
 
     from nba_data_pipeline_spark.io import table_path
 
     key = (prefix, sf_dir)
     if key not in _LANDING_CACHE:
-        land_dir = tempfile.mkdtemp(prefix=f"{prefix}_landing_")
+        land_dir = session_tmpdir(f"{prefix}_landing_")
         src = table_path(sf_dir, "events")
         for i in range(copies):
             shutil.copy(src, f"{land_dir}/arrival_{i + 1}.parquet")
@@ -245,7 +244,6 @@ def s1_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     then stop', the deterministic restatement of scroll-until-stable
     (run_scraper.py:62-134). Complete-mode results equal the batch
     aggregate bit-for-bit, which is exactly what the oracle checks."""
-    import tempfile
 
     sdf = _stream_events(spark, sf_dir, "s1", copies=1)
     agg = (
@@ -261,7 +259,7 @@ def s1_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName("s1_stream_counts_mem")
             .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s1_ckpt_"))
+            .option("checkpointLocation", session_tmpdir("s1_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -295,7 +293,6 @@ def s2_stream_arrival_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates(event_id) — the seen-set as bounded streaming state —
     and the per-type counts must equal the batch aggregate over the single
     copy, which is what the oracle checks."""
-    import tempfile
 
     sdf = _stream_events(spark, sf_dir, "s2", copies=2)
     deduped = sdf.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
@@ -305,7 +302,7 @@ def s2_stream_arrival_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName("s2_dedupe_mem")
             .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s2_ckpt_"))
+            .option("checkpointLocation", session_tmpdir("s2_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -335,7 +332,6 @@ def s7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     — which is what the oracle checks. At 100 TB the static side stays
     broadcast-able (a dim table) or becomes a pre-bucketed side of a
     shuffle join; the stream side never re-shuffles per batch."""
-    import tempfile
 
     # Reuses s1's landing key: identical single-copy landing of events.
     sdf = _stream_events(spark, sf_dir, "s1", copies=1)
@@ -352,7 +348,7 @@ def s7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName("s7_stream_static_mem")
             .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s7_ckpt_"))
+            .option("checkpointLocation", session_tmpdir("s7_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -366,7 +362,6 @@ def _land_two_phase(sf_dir: str) -> str:
     polling loop re-reads a page and usually gets a subset of tables).
     mtimes are pinned so the file source's batch order is deterministic."""
     import os
-    import tempfile
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -375,7 +370,7 @@ def _land_two_phase(sf_dir: str) -> str:
 
     key = ("s3", sf_dir)
     if key not in _LANDING_CACHE:
-        land_dir = tempfile.mkdtemp(prefix="s3_landing_")
+        land_dir = session_tmpdir("s3_landing_")
         tbl = pq.read_table(table_path(sf_dir, "events"))
         first = os.path.join(land_dir, "arrival_1.parquet")
         second = os.path.join(land_dir, "arrival_2.parquet")
@@ -417,7 +412,6 @@ def s3_stability_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. State is one long per key regardless of corpus size; at 100 TB
     the tracker shuffles each micro-batch once on the key and keeps no
     timeline."""
-    import tempfile
 
     from nba_data_pipeline_spark.streaming.polling import stability_tracker
 
@@ -434,7 +428,7 @@ def s3_stability_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
             tracked.writeStream.format("memory")
             .queryName("s3_stability_mem")
             .outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s3_ckpt_"))
+            .option("checkpointLocation", session_tmpdir("s3_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )

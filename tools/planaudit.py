@@ -38,12 +38,18 @@ from nba_data_pipeline_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 #: Queries whose build executes a streaming drain; plan lint is meaningless
-#: on the post-hoc memory-sink table they return.
+#: on the post-hoc memory-sink table they return. Same rationale for the
+#: sink/source round-trips: their build lands fixture files driver-side and
+#: snk7's returned frame is a locally re-created workbook read, so R1-R3
+#: over that plan would lint the re-read scaffolding, not the distributed
+#: aggregate under test (which d3/a4-style queries already cover).
 SKIP = {
     "s1_stream_ingest_counts",
     "s2_stream_arrival_dedupe",
     "s3_stability_tracker",
     "s7_stream_static_join",
+    "snk7_xlsx_roundtrip",
+    "src_csv_roundtrip",
 }
 
 FULL_WIDTH = {"lineitem": 16, "orders": 9}
