@@ -117,6 +117,7 @@ def load_all() -> dict[str, QuerySpec]:
     catalog so the driver-checked 50-entry prefix spans every §2 family."""
     from nba_data_pipeline_spark.plans import (  # noqa: F401
         analytics,
+        curation_plans,
         dedup,
         filters,
         joins,
