@@ -922,3 +922,97 @@ def a17_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         (F.col("total_cents").cast("double") / F.col("n_orders")).alias("avg_cents"),
     ).orderBy("o_custkey")
+
+
+@query(
+    "a18_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def a18_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: EXACT distinct counting via mergeable roaring-style bitmaps
+    (Spark's bitmap_* builtins) — the scalable middle ground between
+    COUNT(DISTINCT) (one big shuffle of every distinct value) and HLL
+    (a16, approximate). Each task folds its user_ids into per-bucket
+    bitmaps (bitmap_construct_agg), buckets OR-merge (bitmap_or_agg), and
+    the popcount sum is the exact distinct count.
+
+    Why it scales: the shuffle carries one ≤4 KB bitmap per (group, bucket
+    of 32768 ids) instead of one row per distinct value, partial
+    aggregation works (bitmaps OR map-side), and the same bitmaps are
+    REUSABLE — materialize per-partition bitmaps once, answer distinct
+    counts for any group rollup by OR-merging, which COUNT(DISTINCT)
+    cannot do. The oracle is the plain exact COUNT(DISTINCT)."""
+    e = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_bucket = e.groupBy(
+        "event_type", F.bitmap_bucket_number(F.col("user_id")).alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias("bm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "a19_windowed_mode",
+    oracle="""
+SELECT user_id, event_type AS modal_type, c AS n_modal, total AS n_events
+FROM (
+  SELECT user_id, event_type, c,
+         CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type) AS rn
+  FROM (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY user_id, event_type
+  )
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def a19_windowed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: deterministic per-key MODE (most frequent event_type per user,
+    ties broken lexicographically) — the categorical summary the built-in
+    ``mode()`` aggregate can't provide safely (its tie-break is
+    nondeterministic, so the oracle hash would flap). Shape: one (user,
+    type) count aggregate — map-side combinable on the compound key — then
+    a window over the tiny per-user type list; the heavy shuffle is the
+    pre-aggregate, not the window."""
+    from pyspark.sql import Window as W
+
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("user_id")
+    ranked = cnt.select(
+        "user_id",
+        "event_type",
+        "c",
+        F.sum("c").over(w).alias("total"),
+        F.row_number()
+        .over(w.orderBy(F.desc("c"), "event_type"))
+        .alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("c").alias("n_modal"),
+            F.col("total").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -98,7 +98,7 @@ def ta_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ta_domain_quota_sample",
     oracle="""
-SELECT source, doc_id, rn AS quota_rank
+SELECT source, doc_id, CAST(rn AS INT) AS quota_rank
 FROM (
   SELECT source, doc_id,
          ROW_NUMBER() OVER (
@@ -266,12 +266,12 @@ clean AS (
   FROM dirty
 )
 SELECT doc_id,
-       CAST(length(raw) AS BIGINT) AS raw_len,
-       CAST(length(text_clean) AS BIGINT) AS clean_len,
+       CAST(length(raw) AS INT) AS raw_len,
+       CAST(length(text_clean) AS INT) AS clean_len,
        CAST(length(raw) - length(regexp_replace(raw, '{_CTRL_RE}', '', 'g'))
-            AS BIGINT) AS n_ctrl,
+            AS INT) AS n_ctrl,
        CAST(length(raw) - length(regexp_replace(raw, '�', '', 'g'))
-            AS BIGINT) AS n_replacement,
+            AS INT) AS n_replacement,
        (length(raw) - length(regexp_replace(raw, '�', '', 'g'))) > 0
          AS had_mojibake,
        md5(text_clean) AS clean_hash

@@ -107,8 +107,8 @@ _FRONT: tuple[str, ...] = (
     "s1_stream_ingest_counts",
     "s6_tumbling_windows",
     "nba_fixture_normalize",
-    "src_html_roundtrip",
-    "w3_longest_streak",
+    "f4_multi_dim_selection",
+    "j10_bucketed_join",
 )
 
 

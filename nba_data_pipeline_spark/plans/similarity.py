@@ -714,3 +714,221 @@ def d6_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: codebook training + ADC top-k serving
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = DIM // _PQ_M  # dims per subspace
+_PQ_K = 4  # centroids per subspace
+_PQ_NQ = 5  # serving queries in sim_pq_topk
+
+# Shared SQL prelude: per-(vector, subspace) slices and the seed codebook
+# (subvectors of the first K vectors — deterministic init, as in
+# sim_kmeans_train). dist2 uses the identical double op order both engines
+# execute: dp(x,x) - 2*dp(x,c) + dp(c,c).
+_SQL_PQ_BASE = f"""
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sub AS (
+  SELECT vec_id, m.range AS m,
+         list_slice(e, m.range * {_PQ_SUB} + 1, m.range * {_PQ_SUB} + {_PQ_SUB}) AS sv
+  FROM v, range({_PQ_M}) m
+),
+c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+asg AS (
+  SELECT m, vec_id, cid FROM (
+    SELECT s.m, s.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.m, s.vec_id
+             ORDER BY list_dot_product(s.sv, s.sv)
+                      - 2 * list_dot_product(s.sv, c.cv)
+                      + list_dot_product(c.cv, c.cv), c.cid
+           ) AS rn
+    FROM sub s JOIN c0 c USING (m)
+  ) WHERE rn = 1
+)"""
+
+
+@query(
+    "sim_pq_codebook",
+    oracle=f"""
+WITH {_SQL_PQ_BASE},
+x AS (SELECT m, vec_id, r.range AS d, sv[CAST(r.range + 1 AS INT)] AS val
+      FROM sub, range({_PQ_SUB}) r)
+SELECT CAST(a.m AS INT) AS subspace, a.cid, CAST(x.d AS INT) AS d,
+       CAST(SUM(CAST(x.val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mval,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM x JOIN asg a ON x.m = a.m AND x.vec_id = a.vec_id
+GROUP BY a.m, a.cid, x.d
+ORDER BY subspace, cid, d
+""",
+)
+def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook TRAINING: split the 64-dim space into
+    M=8 subspaces of 8 dims, assign every subvector to its nearest of K=4
+    seed centroids (L2, deterministic init = first K vectors' subvectors,
+    ties to the lower cid), and run one exact Lloyd update — the per-
+    (subspace, centroid, dim) means that become the trained codebook.
+    PQ is how a 100 TB vector corpus compresses 256 B/vector to M bytes:
+    this query is the training half, ``sim_pq_topk`` the serving half.
+
+    Spark-first shape: the codebook (M×K subvectors) BROADCASTS into the
+    assignment join — one streaming pass over (vector, subspace) rows with
+    a bounded per-key window for the argmin; the update is a posexplode +
+    one map-side-combined aggregate on (subspace, cid, dim) — k-means'
+    canonical two-shuffle round, linear in corpus × dim. Centroid means
+    are decimal-summed (exact.py discipline) so every mval is bit-identical
+    across engines."""
+    from pyspark.sql import Window as W
+
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sub = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("ms"),
+    ).select("vec_id", "ms.m", "ms.sv")
+    c0 = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    dist2 = (
+        dot(F.col("sv"), F.col("sv"))
+        - 2 * dot(F.col("sv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    w = W.partitionBy("m", "vec_id").orderBy("dist2", "cid")
+    asg = (
+        sub.join(F.broadcast(c0), "m")
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("m", "vec_id", "cid")
+    )
+    x = sub.select("m", "vec_id", F.posexplode("sv").alias("d", "val"))
+    return (
+        x.join(asg, ["m", "vec_id"])
+        .groupBy(F.col("m").alias("subspace"), "cid", "d")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mval"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("subspace", "cid", "d")
+    )
+
+
+@query(
+    "sim_pq_topk",
+    oracle=f"""
+WITH {_SQL_PQ_BASE},
+q AS (SELECT m, vec_id AS qid, sv AS qv FROM sub WHERE vec_id < {_PQ_NQ}),
+lut AS (
+  SELECT q.qid, q.m, c.cid,
+         list_dot_product(q.qv, q.qv)
+         - 2 * list_dot_product(q.qv, c.cv)
+         + list_dot_product(c.cv, c.cv) AS dist2
+  FROM q JOIN c0 c USING (m)
+),
+adc AS (
+  SELECT l.qid, a.vec_id,
+         CAST(SUM(CAST(l.dist2 AS DECIMAL(38,12))) AS DOUBLE) AS approx_dist2
+  FROM asg a JOIN lut l ON a.m = l.m AND a.cid = l.cid
+  GROUP BY l.qid, a.vec_id
+)
+SELECT qid, vec_id, approx_dist2, rnk FROM (
+  SELECT qid, vec_id, approx_dist2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY approx_dist2, vec_id) AS INT) AS rnk
+  FROM adc
+) WHERE rnk <= 10
+ORDER BY qid, rnk
+""",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization SERVING: asymmetric distance computation (ADC)
+    top-10. Every corpus vector is stored only as its M=8 one-byte codes;
+    per query, a lookup table of query-subvector→centroid distances (M×K
+    doubles) is built once, and each candidate's approximate distance is
+    the sum of M table lookups — no original vectors touched at scan time.
+
+    Spark-first shape: the LUT (queries × M × K rows) BROADCASTS; the scan
+    side is the code table only (M small ints per vector — the 32× IO
+    reduction that makes PQ the 100 TB serving layout), joined map-side on
+    (m, cid) and aggregated per (query, vector) with decimal-summed terms
+    (exact across engines regardless of aggregation order); top-k is a
+    bounded per-query window. The exact re-rank half of a real serving
+    stack is ``sim_topk_bruteforce`` applied to these candidates."""
+    from pyspark.sql import Window as W
+
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sub = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("ms"),
+    ).select("vec_id", "ms.m", "ms.sv")
+    c0 = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    dist2 = (
+        dot(F.col("sv"), F.col("sv"))
+        - 2 * dot(F.col("sv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    aw = W.partitionBy("m", "vec_id").orderBy("dist2", "cid")
+    asg = (
+        sub.join(F.broadcast(c0), "m")
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("m", "vec_id", "cid")
+    )
+    q = sub.filter(F.col("vec_id") < _PQ_NQ).select(
+        "m", F.col("vec_id").alias("qid"), F.col("sv").alias("qv")
+    )
+    lut = q.join(F.broadcast(c0), "m").select(
+        "qid",
+        "m",
+        "cid",
+        (
+            dot(F.col("qv"), F.col("qv"))
+            - 2 * dot(F.col("qv"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv"))
+        ).alias("dist2"),
+    )
+    adc = (
+        asg.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("dist2").cast("decimal(38,12)")).cast("double").alias("approx_dist2"))
+    )
+    kw = W.partitionBy("qid").orderBy("approx_dist2", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(kw).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("qid", "vec_id", "approx_dist2", "rnk")
+        .orderBy("qid", "rnk")
+    )

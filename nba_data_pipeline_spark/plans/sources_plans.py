@@ -236,3 +236,100 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# SRC4: raw HTTP GET → body parse → aggregate
+# ---------------------------------------------------------------------------
+
+#: (sf_dir, nation.parquet mtime) → landed per-region CSV dir.
+_HTTP_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _land_region_csvs(sf_dir: str) -> str:
+    """Land nation as one CSV file per region — the 'one URL per page'
+    layout the reference fetches (lineup_scraper.py). Driver-side fixture
+    synthesis over a dim table, same posture as _land_csv."""
+    cache_key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "nation.parquet")))
+    if cache_key in _HTTP_CACHE:
+        return _HTTP_CACHE[cache_key]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    rows = sorted(
+        zip(
+            tbl.column("n_nationkey").to_pylist(),
+            tbl.column("n_name").to_pylist(),
+            tbl.column("n_regionkey").to_pylist(),
+        )
+    )
+    out_dir = session_tmpdir("src_http_")
+    by_region: dict[int, list] = {}
+    for key, name, rk in rows:
+        if "," in name or "\n" in name:
+            raise ValueError(f"fixture cell needs CSV quoting: {name!r}")
+        by_region.setdefault(rk, []).append((key, name))
+    for rk, members in by_region.items():
+        with open(os.path.join(out_dir, f"region_{rk}.csv"), "w") as f:
+            f.write("n_nationkey,n_name\n")
+            for key, name in members:
+                f.write(f"{key},{name}\n")
+    _HTTP_CACHE[cache_key] = out_dir
+    return out_dir
+
+
+@query(
+    "src_http_get",
+    oracle="""
+SELECT CAST(n_regionkey AS INT) AS regionkey,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(SUM(n_nationkey) AS BIGINT) AS sum_nationkey,
+       MIN(n_name) AS min_name
+FROM nation GROUP BY 1 ORDER BY regionkey
+""",
+)
+def src_http_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC4 round-trip: the reference's raw ``requests.get`` adapter
+    (lineup_scraper.py:14-27) as a distributed fetch — nation lands as one
+    CSV per region, a URL table addresses each file, executors GET the
+    bodies through ``http_get_corpus`` (stdlib urllib via ``file://`` here;
+    the transport is scheme-agnostic, the pytest exercises a live
+    ``http://`` server), and the body text is parsed back to rows with
+    native split/explode expressions. Hash-matching the base-table oracle
+    proves fetch + parse lost nothing.
+
+    Scale shape: fetch parallelism = URL partitions (politeness unit is
+    the task); parse is explode + regexp on the body column, no UDF; the
+    aggregate is dim-sized. A dead URL degrades to a status<0 row, never
+    a task failure."""
+    from nba_data_pipeline_spark.sources.http_source import http_get_corpus
+
+    land = _land_region_csvs(sf_dir)
+    files = sorted(os.listdir(land))
+    urls = spark.createDataFrame(
+        [(f"file://{land}/{name}",) for name in files], "url string"
+    ).repartition(len(files))
+    fetched = http_get_corpus(urls)
+    lines = fetched.filter(F.col("status") == 200).select(
+        F.regexp_extract("url", r"region_(\d+)\.csv", 1).cast("int").alias("regionkey"),
+        F.explode(F.split(F.col("body"), "\n")).alias("line"),
+    )
+    parsed = lines.filter(
+        (F.col("line") != "") & (F.col("line") != "n_nationkey,n_name")
+    ).select(
+        "regionkey",
+        F.split("line", ",").getItem(0).cast("bigint").alias("nationkey"),
+        F.split("line", ",").getItem(1).alias("name"),
+    )
+    return (
+        parsed.groupBy("regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("nationkey").alias("sum_nationkey"),
+            F.min("name").alias("min_name"),
+        )
+        .orderBy("regionkey")
+    )

@@ -434,3 +434,141 @@ def s3_stability_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table("s3_stability_mem").orderBy("key", "total")
+
+
+@query(
+    "s8_stream_stream_join",
+    oracle="""
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(date_diff('second', c.ts, p.ts)) AS BIGINT) AS min_gap_s
+FROM c JOIN p ON c.user_id = p.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+GROUP BY c.user_id
+ORDER BY c.user_id
+""",
+)
+def s8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (engine capability beyond the reference's poll loops): a REAL
+    stream-stream inner join — clicks joined to purchases of the same user
+    landing within 10 minutes, the canonical attribution join. Both sides
+    are watermarked micro-batch streams; the time-range predicate is what
+    lets Spark BOUND the join state (each side's rows expire once the
+    other side's watermark passes click_ts + 10 min), which is the entire
+    scale story: state is a sliding window of the streams, not their
+    history. Joined pairs drain append-mode through availableNow; the
+    per-user attribution counts are a batch aggregate over the drained
+    pairs, and the oracle recomputes everything from the static table."""
+    sdf_c = _stream_events(spark, sf_dir, "s8", copies=1)
+    sdf_p = _stream_events(spark, sf_dir, "s8", copies=1)
+    clicks = (
+        sdf_c.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        sdf_p.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 10 MINUTES"
+        ),
+    )
+    with _small_state_shuffle(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName("s8_pairs_mem")
+            .outputMode("append")
+            .option("checkpointLocation", session_tmpdir("s8_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    drained = spark.table("s8_pairs_mem")
+    return (
+        drained.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(
+                F.col("p_ts").cast("long") - F.col("c_ts").cast("long")
+            ).alias("min_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "s9_foreach_batch_upsert",
+    oracle=f"""
+SELECT user_id,
+       CAST(3 * COUNT(*) AS BIGINT) AS n_events,
+       CAST(3 * SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def s9_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (engine capability): incremental UPSERT sink via ``foreachBatch``
+    — the pattern for maintaining a keyed aggregate table on storage that
+    plain file sinks can't express (they only append). Three landed copies
+    of the events file arrive as three micro-batches
+    (maxFilesPerTrigger=1); each batch aggregates per user and MERGES into
+    the persisted state (union + re-aggregate — at real scale a Delta/
+    Iceberg MERGE INTO keyed on user_id), writing a new state version per
+    batch; batch sums are decimal so merge order can't perturb values.
+    The final state table must equal the batch aggregate of all three
+    copies — which is what the oracle computes (3× each user's totals).
+
+    Scale shape: per-batch work is one map-side-combined aggregate of the
+    batch plus one keyed merge against state — O(batch + |keys|); state
+    versions give at-least-once batches idempotent replay (re-running
+    batch N overwrites version N derived from version N-1, instead of
+    double-counting)."""
+    import os
+
+    sdf = _stream_events(spark, sf_dir, "s9", copies=3, max_files_per_trigger=1)
+    state_root = session_tmpdir("s9_state_")
+    latest: dict[str, str] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value_dec"),
+        )
+        if "path" in latest:
+            prev = spark.read.parquet(latest["path"])
+            agg = (
+                prev.unionByName(agg)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value_dec").alias("total_value_dec"),
+                )
+            )
+        out = os.path.join(state_root, f"v{batch_id}")
+        agg.write.mode("overwrite").parquet(out)
+        latest["path"] = out
+
+    with _small_state_shuffle(spark):
+        q = (
+            sdf.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", session_tmpdir("s9_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(latest["path"])
+        .select(
+            "user_id",
+            "n_events",
+            F.col("total_value_dec").cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

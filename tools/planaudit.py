@@ -48,6 +48,8 @@ SKIP = {
     "s2_stream_arrival_dedupe",
     "s3_stability_tracker",
     "s7_stream_static_join",
+    "s8_stream_stream_join",
+    "s9_foreach_batch_upsert",
     "snk7_xlsx_roundtrip",
     "src_csv_roundtrip",
 }
