@@ -1,0 +1,76 @@
+"""Round-3 operator tests: multi-partition CC label cardinality (regression
+for the duplicate-pointer-row bug), Bloom probe semantics, UTF-8 sanitize
+counts, HTTP-source fetch plumbing already covered in test_http_source."""
+
+from __future__ import annotations
+
+import os
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_connected_components_one_label_row_per_node(spark):
+    """Regression: a node whose edges hash into several partitions used to
+    emit one label row per partition, which downstream per-component counts
+    silently multiplied. Star graphs maximize cross-partition fan-out."""
+    from nba_data_pipeline_spark.operators.graph import connected_components
+
+    # hub 0 touches 30 spokes; spoke-keyed partitioning scatters the edges
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 31)], "src long, dst long"
+    )
+    rows = connected_components(edges, num_partitions=4).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)) == 31  # exactly one row per node
+    assert {r.component_id for r in rows} == {0}
+
+
+def test_bloom_url_dedup_flags_superset_of_blocklist(spark):
+    """Bloom probes can false-positive but never false-negative: every truly
+    blocked doc must be flagged, and flagged-but-not-blocked rows must carry
+    false_positive=True."""
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    q = load_all()["ta_bloom_url_dedup"]
+    rows = q.fn(spark, SF_DIR).collect()
+    flagged = {r.doc_id: r for r in rows}
+    # no false negatives: every %7 doc appears and is exact-blocked
+    n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    for doc_id in range(0, n_docs, 7):
+        assert doc_id in flagged
+        assert flagged[doc_id].is_blocked
+    for r in rows:
+        assert r.bloom_hit
+        assert r.false_positive == (not r.is_blocked)
+
+
+def test_utf8_sanitize_counts(spark):
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    q = load_all()["ta_utf8_sanitize"]
+    rows = {r.doc_id: r for r in q.fn(spark, SF_DIR).collect()}
+    assert rows[0].n_ctrl == 3 and rows[0].n_replacement == 0
+    assert rows[1].n_ctrl == 0 and rows[1].n_replacement == 2
+    assert rows[2].n_ctrl == 3 and rows[2].n_replacement == 2
+    assert rows[3].n_ctrl == 0 and rows[3].n_replacement == 0
+    assert not rows[3].had_mojibake and rows[1].had_mojibake
+    # cleaning is idempotent on already-clean docs
+    assert rows[3].raw_len == rows[3].clean_len
+
+
+def test_session_tmpdir_single_root_and_nested(tmp_path, monkeypatch):
+    import nba_data_pipeline_spark.io as io_mod
+
+    monkeypatch.setattr(io_mod, "_TMP_ROOT", None)
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # force re-read of TMPDIR
+    try:
+        a = io_mod.session_tmpdir("x_")
+        b = io_mod.session_tmpdir("y_")
+        assert os.path.dirname(a) == os.path.dirname(b)
+        assert os.path.dirname(a).startswith(str(tmp_path))
+        assert os.path.isdir(a) and os.path.isdir(b)
+    finally:
+        tempfile.tempdir = None
