@@ -37,6 +37,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def seq_cosine(a, b) -> float:
+    """Left-to-right float64 cosine fold — bit-identical to the JVM
+    ``aggregate(zip_with(...))`` expression and DuckDB's
+    ``list_dot_product`` on DOUBLE[], which is what makes it the exact
+    re-score path after a BLAS prefilter."""
+    num = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a.tolist(), b.tolist()):
+        num += x * y
+    for x in a.tolist():
+        na += x * x
+    for y in b.tolist():
+        nb += y * y
+    return num / (na**0.5 * nb**0.5)
+
+
 def cosine_pairs_blas(df: DataFrame, threshold: float) -> DataFrame:
     """All-pairs cosine >= ``threshold`` over (id, embedding) rows, emitted as
     (id_a, id_b) with id_a < id_b — the exact-baseline pair miner.
@@ -68,18 +85,7 @@ def cosine_pairs_blas(df: DataFrame, threshold: float) -> DataFrame:
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((ids, mat, norms))
     band = 1e-9
-
-    def seq_cos(a: np.ndarray, b: np.ndarray) -> float:
-        num = 0.0
-        na = 0.0
-        nb = 0.0
-        for x, y in zip(a.tolist(), b.tolist()):
-            num += x * y
-        for x in a.tolist():
-            na += x * x
-        for y in b.tolist():
-            nb += y * y
-        return num / (na**0.5 * nb**0.5)
+    seq_cos = seq_cosine
 
     def mine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, m, nb = bc.value
@@ -105,6 +111,54 @@ def cosine_pairs_blas(df: DataFrame, threshold: float) -> DataFrame:
             yield pd.DataFrame({"id_a": keep_a, "id_b": keep_b})
 
     return df.mapInPandas(mine, schema="id_a long, id_b long")
+
+
+def cosine_pairs_in_buckets(df: DataFrame, threshold: float) -> DataFrame:
+    """Within-bucket cosine pair miner: for (vec_id, embedding, bucket)
+    rows, emit every same-bucket pair with exact cosine >= ``threshold`` as
+    (id_a, id_b, bucket, cosine_sim), id_a < id_b.
+
+    Physical strategy: ``applyInPandas`` per bucket — one BLAS gram matrix
+    per group decides the bulk, pairs inside a ±1e-9 band of the threshold
+    AND every emitted pair are re-scored with the sequential fold
+    (``seq_cosine``), so emitted VALUES are bit-identical to the expression
+    fold / DuckDB ``list_dot_product``. This replaces the per-pair
+    zip_with/aggregate fold of the bucket equi-join (which allocates a
+    dim-length array per candidate pair — the measured hot spot of
+    ``sim_lsh_neardup_pairs``): the fold now runs only on emitted pairs,
+    ~1% of candidates. Buckets are broadcast-sized by construction (the
+    LSH plane count targets bucket cardinality), so a group always fits a
+    task; at 100 TB the plane count grows to keep that true."""
+    band = 1e-9
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "bucket": [], "cosine_sim": []}
+            )
+        m = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        bucket = pdf["bucket"].iloc[0]
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        s = (m @ m.T) / np.outer(norms, norms)
+        cand = (s >= threshold - band) & (ids[:, None] < ids[None, :])
+        rr, cc = np.nonzero(cand)
+        out: list[tuple[int, int, str, float]] = []
+        for r, c in zip(rr.tolist(), cc.tolist()):
+            exact = seq_cosine(m[r], m[c])
+            if exact >= threshold:
+                out.append((int(ids[r]), int(ids[c]), bucket, exact))
+        return pd.DataFrame(
+            out, columns=["id_a", "id_b", "bucket", "cosine_sim"]
+        )
+
+    return (
+        df.select("vec_id", "embedding", "bucket")
+        .groupBy("bucket")
+        .applyInPandas(
+            mine, schema="id_a long, id_b long, bucket string, cosine_sim double"
+        )
+    )
 
 
 def cosine_pairs_blocked(

@@ -91,33 +91,21 @@ ORDER BY id_a, id_b
 )
 def sim_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane LSH: 4 deterministic ±1 hyperplanes
-    → 16 buckets; candidate pairs share a bucket (equi-join, no all-pairs);
-    exact cosine ≥ 0.25 verifies. The 100 TB shape — bucket cardinality
-    controls the join fan-out."""
+    → 16 buckets; candidate pairs share a bucket (never all-pairs); exact
+    cosine ≥ 0.25 verifies. The 100 TB shape — bucket cardinality controls
+    the fan-out.
+
+    Verification runs as ``cosine_pairs_in_buckets``: one BLAS gram matrix
+    per bucket group replaces the per-candidate-pair expression fold of the
+    former bucket self-join (the measured hot spot — ~125k candidate folds
+    at sf0.1, each allocating a 64-wide array); the sequential fold now
+    runs only on emitted pairs, so output values remain bit-identical to
+    the oracle's ``list_dot_product``."""
+    from nba_data_pipeline_spark.operators.similarity import cosine_pairs_in_buckets
+
     v = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # Precompute each vector's norm BEFORE the bucket join: every candidate
-    # pair then costs one dot-fold instead of three. sqrt(dot(e,e)) here is
-    # the same expression the oracle uses, so values stay bit-identical.
-    b = v.withColumn("bucket", lsh_bucket(F.col("embedding"), _NUM_PLANES, DIM)).withColumn(
-        "norm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    )
-    a = b.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
-        F.col("norm").alias("n_a"), "bucket",
-    )
-    c = b.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
-        F.col("norm").alias("n_b"), "bucket",
-    )
-    cos = dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
-    return (
-        a.join(c, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cos)
-        .filter(F.col("cosine_sim") >= 0.25)
-        .select("id_a", "id_b", "bucket", "cosine_sim")
-        .orderBy("id_a", "id_b")
-    )
+    b = v.withColumn("bucket", lsh_bucket(F.col("embedding"), _NUM_PLANES, DIM))
+    return cosine_pairs_in_buckets(b, 0.25).orderBy("id_a", "id_b")
 
 
 _NUM_CENTROIDS = 8
