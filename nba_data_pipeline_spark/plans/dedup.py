@@ -120,7 +120,14 @@ def d5_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate and both sides of the candidate join, and without the cache
     the Python shingling UDF re-runs per consumer (measured ~2× on the
     query; at 100 TB this is a staging parquet write instead)."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-row-group table: shuffle raw text once so the Python
+    # shingling/tokenize pass runs at session parallelism, not in the
+    # scan's lone task (same rationale as text_plans._docs_wide)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     sh = shingle_sets(d).persist()
     return (
         jaccard_pairs(sh)
@@ -266,7 +273,14 @@ def d5_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5c: SimHash — 16-bit majority signature over distinct-token md5
     nibbles; identical signatures = near-dup buckets. One explode + one
     aggregate; bit arithmetic stays JVM-side."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-row-group table: shuffle raw text once so the Python
+    # shingling/tokenize pass runs at session parallelism, not in the
+    # scan's lone task (same rationale as text_plans._docs_wide)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     # Project md5(token) ONCE, then derive all 16 bit contributions from
     # substrings of that hash attribute — as 16 agg expressions over the
     # raw token each would re-run md5 (no CSE across aggregate exprs).
@@ -447,7 +461,14 @@ def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log P) contraction rounds — see ``operators/graph.py``. DuckDB
     verifies via a recursive CTE reaching the same fixpoint.
     """
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-row-group table: shuffle raw text once so the Python
+    # shingling/tokenize pass runs at session parallelism, not in the
+    # scan's lone task (same rationale as text_plans._docs_wide)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     # Persisted for the same reason as in d5_ngram_jaccard_topk: two
     # consumers, one Python shingling pass.
     sh = shingle_sets(d).persist()
@@ -482,7 +503,14 @@ def d5_cc_clusters_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-partition contraction loop reaches the same fixpoint the
     recursive-CTE oracle computes (the 1-partition variant exercises only
     the single-pass fast path)."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-row-group table: shuffle raw text once so the Python
+    # shingling/tokenize pass runs at session parallelism, not in the
+    # scan's lone task (same rationale as text_plans._docs_wide)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     sh = shingle_sets(d).persist()
     edges = (
         jaccard_pairs(sh, min_jaccard=0.5)
@@ -533,7 +561,14 @@ def d8_crossdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise work at all, which is what makes this the cheapest cross-doc
     dup signal at 100 TB. Shingles are distinct per doc, so per-doc
     frequency equals document frequency."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-row-group table: shuffle raw text once so the Python
+    # shingling/tokenize pass runs at session parallelism, not in the
+    # scan's lone task (same rationale as text_plans._docs_wide)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     sh = shingle_sets(d)
     # Hash the shingle once: the frequency aggregate and the join back both
     # shuffle 8-byte keys instead of ~20-byte strings (same discipline as
@@ -585,7 +620,14 @@ def ta_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training shingle stream — one scan of the corpus, no shuffle on the big
     side beyond the per-doc count. This is the canonical asymmetric-join
     decontamination used by production training pipelines."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-row-group table: shuffle raw text once so the Python
+    # shingling/tokenize pass runs at session parallelism, not in the
+    # scan's lone task (same rationale as text_plans._docs_wide)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     sh = shingle_sets(d)
     eval_sh = (
         sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
