@@ -455,3 +455,104 @@ def ta_dup_line_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ta_winnow_fingerprint — winnowing (rolling-window) document fingerprints
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # tokens per k-gram
+_WIN_W = 4  # k-gram hashes per winnowing window
+
+
+@query(
+    "ta_winnow_fingerprint",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+kg AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, greatest(len(toks) - {_WIN_K - 2}, 1))) AS INT)
+           AS pos,
+         unnest(list_transform(range(1, greatest(len(toks) - {_WIN_K - 2}, 1)),
+                i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS h,
+         len(toks) - {_WIN_K - 1} AS n_kgrams
+  FROM t
+),
+win AS (
+  SELECT doc_id, n_kgrams,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS wmin,
+         pos
+  FROM kg
+),
+fp AS (
+  SELECT DISTINCT doc_id, n_kgrams, wmin
+  FROM win WHERE pos <= n_kgrams - {_WIN_W - 1}
+),
+freq AS (SELECT wmin, COUNT(*) AS df FROM fp GROUP BY wmin)
+SELECT f.doc_id,
+       CAST(MAX(f.n_kgrams) AS BIGINT) AS n_kgrams,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(COUNT(*) FILTER (WHERE q.df > 1) AS BIGINT) AS n_shared_fp
+FROM fp f JOIN freq q USING (wmin)
+GROUP BY f.doc_id
+ORDER BY f.doc_id
+""",
+)
+def ta_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every 3-token k-gram, slide a window of 4 hashes over
+    each document, keep the window MINIMUM — a position-robust fingerprint
+    set whose size is ~2/(w+1) of the k-grams, with the guarantee that any
+    shared run of w+k-1 tokens yields at least one shared fingerprint.
+    The per-doc shared-fingerprint count against the rest of the corpus is
+    the plagiarism/boilerplate signal exact-substring chunking misses when
+    boundaries shift by a token.
+
+    Spark-first shape: k-gram hashing is a native transform over the token
+    array (one md5 per position, JVM-side); the rolling minimum is a
+    bounded ROWS window per document; fingerprint DF is one aggregate on
+    the 32-hex key + an equi-join back. Everything is linear and
+    shuffle-bounded by the fingerprint relation, which winnowing already
+    shrank ~2.5x."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    from pyspark.sql import Window as W
+
+    toks = ws_tokens(F.col("text"))
+    n = F.size(toks)
+    idx = F.when(n >= _WIN_K, F.sequence(F.lit(1), n - (_WIN_K - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    kgrams = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(_WIN_K)]
+            ).cast("binary")
+        ),
+    )
+    kg = d.select(
+        "doc_id", F.posexplode(kgrams).alias("i0", "h"), F.size(kgrams).alias("n_kgrams")
+    ).select("doc_id", (F.col("i0") + 1).alias("pos"), "h", "n_kgrams")
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    fp = (
+        kg.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("pos") <= F.col("n_kgrams") - (_WIN_W - 1))
+        .select("doc_id", "n_kgrams", "wmin")
+        .distinct()
+    )
+    freq = fp.groupBy("wmin").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        fp.join(freq, "wmin")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_kgrams").cast("bigint").alias("n_kgrams"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.count(F.when(F.col("df") > 1, 1)).alias("n_shared_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -449,3 +449,49 @@ def j10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "j11_salted_skew_join",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum("e.value")} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: SALTED skew join — the remedy when a handful of hot join keys
+    would pin one reducer (events concentrates ~67 rows per user at
+    sf0.01 and the hot-user pattern only worsens with scale; AQE's skew
+    split covers sort-merge joins, salting is the hash-join / pre-AQE
+    form and composes with bucketing). The big side salts on
+    pmod(xxhash64(row), 8); the dim side replicates once per salt value
+    via a broadcast cross of range(8) (a BroadcastNestedLoopJoin against
+    an 8-row frame, not a cartesian), so the equi-join on (key, salt)
+    spreads every hot key over 8 reducers. Join output is identical to
+    the unsalted join — which is exactly what the oracle checks — and the
+    decimal-summed aggregate is salt-order-proof."""
+    from nba_data_pipeline_spark.operators.skew import replicate_broadcast_side
+
+    e = read_table(spark, sf_dir, "events").select("user_id", "value")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    buckets = 8
+    big = e.withColumn(
+        "__salt", F.pmod(F.xxhash64("user_id", "value"), F.lit(buckets)).cast("int")
+    )
+    dim = replicate_broadcast_side(c, buckets)
+    joined = big.join(
+        dim,
+        (big["user_id"] == dim["c_custkey"]) & (big["__salt"] == dim["__salt"]),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -95,15 +95,15 @@ _FRONT: tuple[str, ...] = (
     "s8_stream_stream_join",
     "s9_foreach_batch_upsert",
     "src_http_get",
+    "ta_winnow_fingerprint",
+    "j11_salted_skew_join",
     # --- proven representatives (driver-green r1/r2, unchanged) filling the
     # remaining slots so every §2 family keeps a row in this round's gate ---
     "flagship_hitrate_last10",
     "x_prop_extraction",
     "ud13_prop_line_walker",
     "d5_ngram_jaccard_topk",
-    "d6_semdedup_prune",
     "sim_lsh_neardup_pairs",
-    "sim_kmeans_train",
     "s1_stream_ingest_counts",
     "s6_tumbling_windows",
     "nba_fixture_normalize",
