@@ -97,6 +97,7 @@ _FRONT: tuple[str, ...] = (
     "src_http_get",
     "ta_winnow_fingerprint",
     "j11_salted_skew_join",
+    "x22_fuzzy_match",
     # --- proven representatives (driver-green r1/r2, unchanged) filling the
     # remaining slots so every §2 family keeps a row in this round's gate ---
     "flagship_hitrate_last10",
@@ -105,7 +106,6 @@ _FRONT: tuple[str, ...] = (
     "d5_ngram_jaccard_topk",
     "sim_lsh_neardup_pairs",
     "s1_stream_ingest_counts",
-    "s6_tumbling_windows",
     "nba_fixture_normalize",
     "f4_multi_dim_selection",
     "j10_bucketed_join",

@@ -1331,3 +1331,73 @@ def ta_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x22_fuzzy_match",
+    oracle="""
+WITH src AS (
+  SELECT n_nationkey, n_name,
+         CAST(n_nationkey % length(n_name) AS INT) + 1 AS p
+  FROM nation
+),
+misspelled AS (
+  SELECT n_nationkey, n_name,
+         concat(substr(n_name, 1, p - 1), substr(n_name, p + 1)) AS typo
+  FROM src
+),
+scored AS (
+  SELECT m.n_nationkey, m.typo, m.n_name AS true_name,
+         c.n_name AS cand, levenshtein(m.typo, c.n_name) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY m.n_nationkey
+                            ORDER BY levenshtein(m.typo, c.n_name), c.n_name)
+           AS rn
+  FROM misspelled m CROSS JOIN (SELECT DISTINCT n_name FROM nation) c
+)
+SELECT n_nationkey, typo, cand AS matched_name, CAST(dist AS INT) AS edit_dist,
+       (cand = true_name) AS recovered
+FROM scored WHERE rn = 1
+ORDER BY n_nationkey
+""",
+)
+def x22_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22 (extends X11/X14): FUZZY canonicalization — map a misspelled
+    name to its nearest canonical entry by Levenshtein distance with a
+    deterministic lexicographic tie-break. The reference's alias maps
+    (DEFENSEVSPOSTION.PY:83-148) only handle exact known variants; edit
+    distance is what catches the long tail of scraped typos. Each name is
+    corrupted deterministically (drop the (key mod len)-th character) and
+    must be recovered.
+
+    Scale shape: the canonical dictionary is dim-sized and BROADCASTS; the
+    dirty-name stream cross-joins only against that broadcast (a
+    BroadcastNestedLoopJoin against a 25-row frame, not a shuffle
+    cartesian), and the per-name argmin is a bounded window. At 100 TB
+    the dictionary side stays small — that asymmetry is the whole
+    design."""
+    from pyspark.sql import Window as W
+
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    misspelled = n.select(
+        "n_nationkey",
+        F.col("n_name").alias("true_name"),
+        F.concat(
+            F.expr("substr(n_name, 1, CAST(n_nationkey % length(n_name) AS INT))"),
+            F.expr("substr(n_name, CAST(n_nationkey % length(n_name) AS INT) + 2)"),
+        ).alias("typo"),
+    )
+    cand = n.select(F.col("n_name").alias("cand")).distinct()
+    w = W.partitionBy("n_nationkey").orderBy(F.levenshtein("typo", "cand"), "cand")
+    return (
+        misspelled.crossJoin(F.broadcast(cand))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_nationkey",
+            "typo",
+            F.col("cand").alias("matched_name"),
+            F.levenshtein("typo", "cand").cast("int").alias("edit_dist"),
+            (F.col("cand") == F.col("true_name")).alias("recovered"),
+        )
+        .orderBy("n_nationkey")
+    )
