@@ -157,3 +157,33 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
     )
+
+
+def winnow_minima_fast(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Arrow-vectorized winnowing fingerprints: distinct sliding-window
+    (width ``w``) minima over the md5 hashes of the document's k-gram
+    sequence. The pure-expression form (higher-order ``transform`` with a
+    per-element md5 + a per-doc ROWS window) is interpreted per element and
+    measured ~25 s on the sf0.1 corpus; this computes identical strings in
+    one Python pass (~1 s), the same trade ``distinct_word_shingles_fast``
+    makes for shingling. Output order is the document's window order —
+    callers that need set semantics get it for free (duplicates removed,
+    first occurrence kept)."""
+    import hashlib
+
+    @F.pandas_udf("array<string>")
+    def _winnow(s: pd.Series) -> pd.Series:
+        def f(t: str):
+            toks = (t or "").split()
+            n = len(toks) - (k - 1)
+            if n < w:
+                return []
+            hashes = [
+                hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+                for i in range(n)
+            ]
+            return list(dict.fromkeys(min(hashes[i : i + w]) for i in range(n - w + 1)))
+
+        return s.map(f)
+
+    return _winnow(text)

@@ -98,13 +98,15 @@ _FRONT: tuple[str, ...] = (
     "ta_winnow_fingerprint",
     "j11_salted_skew_join",
     "x22_fuzzy_match",
+    # --- replanned this round (same semantics, new physical shape:
+    # shingling repartition / per-bucket BLAS verify); re-verify ---
+    "d5_ngram_jaccard_topk",
+    "sim_lsh_neardup_pairs",
     # --- proven representatives (driver-green r1/r2, unchanged) filling the
     # remaining slots so every §2 family keeps a row in this round's gate ---
     "flagship_hitrate_last10",
     "x_prop_extraction",
     "ud13_prop_line_walker",
-    "d5_ngram_jaccard_topk",
-    "sim_lsh_neardup_pairs",
     "s1_stream_ingest_counts",
     "nba_fixture_normalize",
     "f4_multi_dim_selection",
