@@ -1,8 +1,9 @@
 """Round-3 training-data-curation catalog queries (north-star LLM-pipeline
 ops beyond the r1/r2 ta_* suite): token-entropy quality, per-domain quota
 sampling, Bloom-filter URL blocklisting, UTF-8/control-char sanitization,
-train-vs-eval contamination audit matrix, and exact-substring (chunk)
-boilerplate detection.
+train-vs-eval contamination audit matrix, exact-substring (chunk)
+boilerplate detection, winnowing (MOSS) fingerprints, and a BPE
+tokenizer-training merge round.
 
 Every query follows the house determinism rules (registry docstring):
 aliased columns on both sides, decimal-summed floating aggregates, md5-only
@@ -541,4 +542,75 @@ def ta_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("df") > 1, 1)).alias("n_shared_fp"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ta_bpe_merge_round — one BPE tokenizer-training merge round
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ta_bpe_merge_round",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS word FROM documents),
+wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+pairs AS (
+  SELECT substr(word, CAST(unnest(range(1, greatest(length(word), 1))) AS INT), 2)
+           AS pair,
+         freq
+  FROM wf WHERE length(word) >= 2
+),
+pc AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+       FROM pairs GROUP BY pair)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank,
+       pair, pair_count
+FROM pc
+ORDER BY pair_count DESC, pair
+LIMIT 20
+""",
+)
+def ta_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training merge round: corpus word frequencies →
+    frequency-weighted adjacent-symbol-pair counts → the top-20 merge
+    candidates (the pair a BPE trainer would fuse next, with the
+    deterministic lexicographic tie-break real trainers need for
+    reproducible vocabularies). Iterating this op IS BPE training; the
+    engine runs each round as two map-side-combined aggregates.
+
+    Scale shape: pair counting aggregates over the DISTINCT-WORD table
+    (vocabulary-sized, orders of magnitude below the corpus) weighted by
+    word frequency — the standard trick that makes corpus-scale BPE
+    training cheap; adjacent pairs are 2-char substrings via a native
+    column-position transform, JVM-side, no UDF."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wf = (
+        d.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    n_pairs = F.length("word") - 1
+    idx = F.when(n_pairs >= 1, F.sequence(F.lit(1), n_pairs)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.transform(idx, lambda i: F.substr(F.col("word"), i, F.lit(2)))
+        ).alias("pair"),
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("pair_count"), "pair")
+    return (
+        pc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "pair", "pair_count")
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
     )

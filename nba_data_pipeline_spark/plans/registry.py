@@ -98,6 +98,7 @@ _FRONT: tuple[str, ...] = (
     "ta_winnow_fingerprint",
     "j11_salted_skew_join",
     "x22_fuzzy_match",
+    "ta_bpe_merge_round",
     # --- replanned this round (same semantics, new physical shape:
     # shingling repartition / per-bucket BLAS verify); re-verify ---
     "d5_ngram_jaccard_topk",
@@ -107,7 +108,6 @@ _FRONT: tuple[str, ...] = (
     "flagship_hitrate_last10",
     "x_prop_extraction",
     "ud13_prop_line_walker",
-    "s1_stream_ingest_counts",
     "nba_fixture_normalize",
     "f4_multi_dim_selection",
     "j10_bucketed_join",

@@ -74,3 +74,58 @@ def test_session_tmpdir_single_root_and_nested(tmp_path, monkeypatch):
         assert os.path.isdir(a) and os.path.isdir(b)
     finally:
         tempfile.tempdir = None
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. §3): two documents sharing
+    a token run of length >= w + k - 1 share at least one fingerprint.
+    Construct two docs overlapping in an 8-token run (w=4, k=3 → any
+    shared 6-token run suffices) with distinct surroundings."""
+    from nba_data_pipeline_spark.operators.textops import winnow_minima_fast
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight nine {shared} ten eleven twelve"),
+            (3, "completely different words everywhere nothing matches here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in docs.select(
+            "doc_id", winnow_minima_fast(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "docs sharing an 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnowing_too_short_doc_yields_no_fingerprints(spark):
+    from nba_data_pipeline_spark.operators.textops import winnow_minima_fast
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "only five little words here"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", winnow_minima_fast(F.col("text")).alias("fp")
+        ).collect()
+    }
+    # 5 tokens -> 3 kgrams < w=4 windows -> none; 2 tokens -> no kgrams
+    assert out[1] == [] and out[2] == []
+
+
+def test_salted_join_plan_has_no_shuffle_on_dim(spark):
+    """j11's dim side must reach the join through a broadcast (replicated
+    per salt), never an Exchange — the whole point of salting."""
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    df = load_all()["j11_salted_skew_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
