@@ -1016,3 +1016,95 @@ def a19_windowed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+
+_CMS_DEPTH = 3  # hash rows; bucket id = first hex byte-pair of md5(seed:token)
+
+
+@query(
+    "a20_cms_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+),
+exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM tok GROUP BY token),
+buckets AS (
+  {" UNION ALL ".join(f"SELECT {i} AS seed, token, exact_count, substr(md5(concat('{i}:', token)), 1, 2) AS bucket FROM exact" for i in range(_CMS_DEPTH))}
+),
+sums AS (SELECT seed, bucket, CAST(SUM(exact_count) AS BIGINT) AS bsum
+         FROM buckets GROUP BY seed, bucket),
+est AS (
+  SELECT b.token, CAST(MIN(s.bsum) AS BIGINT) AS cms_estimate
+  FROM buckets b JOIN sums s ON b.seed = s.seed AND b.bucket = s.bucket
+  GROUP BY b.token
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY e.exact_count DESC, e.token) AS INT)
+         AS rank,
+       e.token, e.exact_count, m.cms_estimate,
+       CAST(m.cms_estimate - e.exact_count AS BIGINT) AS overcount
+FROM exact e JOIN est m USING (token)
+ORDER BY e.exact_count DESC, e.token
+LIMIT 20
+""",
+)
+def a20_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: Count-Min-Sketch heavy hitters — the mergeable bounded-memory
+    frequency sketch (depth 3 x width 256, md5-derived buckets) behind
+    streaming top-k: every estimate is min over the token\'s 3 bucket sums,
+    provably >= the exact count. Output is the exact top-20 tokens with
+    their CMS estimates and overcounts, so the oracle verifies BOTH the
+    sketch arithmetic and the one-sided error property on real data.
+
+    Why it scales: the sketch is 3x256 counters per partition regardless
+    of cardinality — partials merge by cell-wise addition exactly like the
+    relational (seed, bucket) SUM here, so the same query shape serves
+    map-side-combined batch and incremental streaming alike. Probing is a
+    broadcast-sized join (the sketch table is 768 rows)."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    from nba_data_pipeline_spark.operators.textops import ws_tokens
+    from pyspark.sql import Window as W
+
+    exact = (
+        d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    buckets = None
+    for i in range(_CMS_DEPTH):
+        b = exact.select(
+            F.lit(i).alias("seed"),
+            "token",
+            "exact_count",
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("token")).cast("binary")), 1, 2
+            ).alias("bucket"),
+        )
+        buckets = b if buckets is None else buckets.unionByName(b)
+    sums = buckets.groupBy("seed", "bucket").agg(
+        F.sum("exact_count").alias("bsum")
+    )
+    est = (
+        buckets.join(F.broadcast(sums), ["seed", "bucket"])
+        .groupBy("token")
+        .agg(F.min("bsum").alias("cms_estimate"))
+    )
+    w = W.orderBy(F.desc("exact_count"), "token")
+    return (
+        exact.join(est, "token")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_count"), "token")
+        .limit(20)
+    )
