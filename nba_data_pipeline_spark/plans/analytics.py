@@ -1108,3 +1108,47 @@ def a20_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_count"), "token")
         .limit(20)
     )
+
+
+@query(
+    "a21_bitmap_rollup_reuse",
+    oracle="""
+SELECT event_type AS scope, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS scope, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+ORDER BY scope
+""",
+)
+def a21_bitmap_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: the REUSE property a18 claims, demonstrated — one set of
+    per-(event_type, bucket) bitmap partials answers BOTH the per-type
+    distinct counts AND the global distinct, the second level built by
+    OR-merging the first level's bitmaps WITHOUT rescanning the base
+    table. COUNT(DISTINCT) can't do this (its partials are the distinct
+    values themselves); mergeable-sketch partials are what make
+    multi-level distinct rollups one-scan at 100 TB. The plan shows one
+    Scan feeding both aggregate levels through the cached partial frame."""
+    e = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    partials = (
+        e.groupBy(
+            "event_type", F.bitmap_bucket_number(F.col("user_id")).alias("bucket")
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias(
+                "bm"
+            )
+        )
+        .persist()
+    )
+    per_type = partials.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
+    ).select(F.col("event_type").alias("scope"), "n_users")
+    global_ = (
+        partials.groupBy("bucket")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("gbm"))
+        .agg(F.sum(F.bitmap_count(F.col("gbm"))).alias("n_users"))
+        .select(F.lit("ALL").alias("scope"), "n_users")
+    )
+    return per_type.unionByName(global_).orderBy("scope")

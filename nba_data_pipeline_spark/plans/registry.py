@@ -100,6 +100,8 @@ _FRONT: tuple[str, ...] = (
     "x22_fuzzy_match",
     "ta_bpe_merge_round",
     "a20_cms_heavy_hitters",
+    "w8_curriculum_deciles",
+    "a21_bitmap_rollup_reuse",
     # --- replanned this round (same semantics, new physical shape:
     # shingling repartition / per-bucket BLAS verify); re-verify ---
     "d5_ngram_jaccard_topk",
@@ -107,10 +109,8 @@ _FRONT: tuple[str, ...] = (
     # --- proven representatives (driver-green r1/r2, unchanged) filling the
     # remaining slots so every §2 family keeps a row in this round's gate ---
     "flagship_hitrate_last10",
-    "ud13_prop_line_walker",
     "nba_fixture_normalize",
     "f4_multi_dim_selection",
-    "j10_bucketed_join",
 )
 
 

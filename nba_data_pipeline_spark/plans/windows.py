@@ -350,3 +350,48 @@ def w7_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "w8_curriculum_deciles",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS decile
+  FROM documents
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       MIN(doc_id) AS first_doc
+FROM ranked
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def w8_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: NTILE curriculum bucketing — split the corpus into 10
+    equal-count difficulty deciles by document length (the stand-in
+    difficulty signal), the ordering primitive behind curriculum training
+    schedules and quality-stratified mixing. The tile order carries
+    doc_id as tiebreaker so bucket membership is deterministic.
+
+    Scale note: a global NTILE is a total order — one range-partitioned
+    sort. That's acceptable for schedule construction (run once per
+    corpus snapshot); for per-epoch resharding the md5 shuffle-shard
+    (ta_global_shuffle_shard) composes downstream of the decile label."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = d.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("n_chars", "doc_id")).cast("int")
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("decile")
+    )
