@@ -479,7 +479,10 @@ def s8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND p_ts <= c_ts + INTERVAL 10 MINUTES"
         ),
     )
-    with _small_state_shuffle(spark):
+    # Stream-stream join state doubles the per-partition store-commit cost
+    # (each side keeps its own store); 4 partitions instead of the default
+    # 8 measured 3.2 s -> 2.5 s at sf0.1 with identical results.
+    with _small_state_shuffle(spark, n=4):
         q = (
             pairs.writeStream.format("memory")
             .queryName("s8_pairs_mem")

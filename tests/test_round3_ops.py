@@ -129,3 +129,55 @@ def test_salted_join_plan_has_no_shuffle_on_dim(spark):
     df = load_all()["j11_salted_skew_join"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_entropy_quality_invariants(spark):
+    """Shannon-entropy bounds: 0 <= H <= ln(n_tokens) (+5e-5 slack for the
+    4-digit output rounding); TTR in (0, 1]; types never exceed tokens."""
+    import math
+
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["ta_entropy_quality"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.token_entropy <= math.log(r.n_tokens) + 5e-5
+        assert 0 < r.ttr <= 1
+        assert r.n_types <= r.n_tokens
+
+
+def test_dup_chunk_ratio_invariants(spark):
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["ta_dup_line_prefix"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert 0.0 <= r.dup_chunk_ratio <= 1.0
+
+
+def test_cms_one_sided_error(spark):
+    """CMS estimates can only overcount — never undercount."""
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["a20_cms_heavy_hitters"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count
+        assert r.overcount == r.cms_estimate - r.exact_count
+
+
+def test_domain_quota_caps_and_is_dense(spark):
+    """Every source is capped at 10 and ranks are the dense prefix 1..k."""
+    from collections import defaultdict
+
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["ta_domain_quota_sample"].fn(spark, SF_DIR).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r.quota_rank)
+    assert by_src
+    for ranks in by_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
