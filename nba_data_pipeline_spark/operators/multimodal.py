@@ -202,6 +202,53 @@ def decode_nvid(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, n_frames, pixels
 
 
+def encode_png(width: int, height: int, pixels: bytes, color: int = 2) -> bytes:
+    """Minimal PNG encoder (filter-0 scanlines, 8-bit) — the sink half of
+    the real-codec seam; ``decode_png`` round-trips it exactly."""
+    channels = _PNG_CHANNELS[color]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(rate: int, n_channels: int, pcm: bytes) -> bytes:
+    """Minimal PCM-16 WAV encoder; ``decode_wav`` round-trips it exactly."""
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, rate, rate * n_channels * 2, n_channels * 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_nvid(frames: list[tuple[int, int, bytes]]) -> bytes:
+    """NVID container encoder: length-prefixed PNG frames at 25 fps."""
+    out = _NVID_MAGIC + struct.pack(">I", len(frames))
+    for width, height, pixels in frames:
+        png = encode_png(width, height, pixels)
+        out += struct.pack(">I", len(png)) + png
+    return out
+
+
 def real_decode(media_type: str, payload: bytes) -> dict:
     """The real-codec decode path: same output contract as ``_fake_decode``
     but every value comes from actually decoding the payload — PNG via

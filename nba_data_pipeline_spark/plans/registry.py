@@ -102,13 +102,14 @@ _FRONT: tuple[str, ...] = (
     "a20_cms_heavy_hitters",
     "w8_curriculum_deciles",
     "a21_bitmap_rollup_reuse",
+    "mm_real_codec_roundtrip",
     # --- replanned this round (same semantics, new physical shape:
     # shingling repartition / per-bucket BLAS verify); re-verify ---
     "d5_ngram_jaccard_topk",
     "sim_lsh_neardup_pairs",
     # --- proven representatives (driver-green r1/r2, unchanged) filling the
-    # remaining slots so every §2 family keeps a row in this round's gate ---
-    "flagship_hitrate_last10",
+    # remaining slots so every §2 family keeps a row in this round's gate
+    # (flagship stays smoke-checked every round via entry()) ---
     "nba_fixture_normalize",
     "f4_multi_dim_selection",
 )
