@@ -495,3 +495,59 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "j12_bloom_runtime_filter",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o.o_totalprice")} AS total_spend
+FROM orders o
+WHERE o.o_custkey IN (
+    SELECT c_custkey FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7000
+)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def j12_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: Bloom RUNTIME FILTER under a selective fact⋈dim semi-join —
+    the shuffle-reduction pattern Spark itself injects with
+    ``runtime.bloomFilter.enabled``, built here as a first-class
+    relational operator (``operators/bloom.py``). The selective customer
+    subset packs into a fixed 16 KiB word bitmap via ``bit_or``; orders
+    probe it through k=3 broadcast word-joins with native bit-tests (no
+    shuffle, no Python), and only the surviving ~few-% reach the exact
+    semi-join that removes bloom false positives. At 100 TB the exchange
+    under the semi-join carries the bloom survivors instead of the whole
+    fact table — the bitmap stays 16 KiB no matter the scale. Exact by
+    construction (bloom has no false negatives; the semi-join re-checks
+    membership), which is precisely what the bloom-free oracle verifies."""
+    from nba_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7000))
+        .select("c_custkey")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    bloom = bloom_build(cust, "c_custkey")
+    survivors = bloom_prefilter(orders, "o_custkey", bloom)
+    exact = survivors.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    )
+    return (
+        exact.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -181,3 +181,42 @@ def test_domain_quota_caps_and_is_dense(spark):
     for ranks in by_src.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 10
+
+
+def test_bloom_prefilter_no_false_negatives_and_reduces(spark):
+    """Every build key survives the bloom gate; non-members are mostly cut."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    keys = spark.range(0, 200).select((F.col("id") * 7 + 3).alias("k"))
+    probes = spark.range(0, 20000).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", words=256)
+    kept = bloom_prefilter(probes, "k", bloom, words=256)
+    kept_set = {r.k for r in kept.collect()}
+    member_set = {r.k for r in keys.collect() if r.k < 20000}
+    # no false negatives: every true member in probe range survives
+    assert member_set <= kept_set
+    # the gate actually filters: survivors are a small superset of members
+    # (256 words = 16384 bits over 200 keys -> FP rate well under 5%)
+    assert len(kept_set) < len(member_set) + 0.05 * 20000
+
+
+def test_bloom_probe_plan_is_broadcast_only(spark):
+    """The probe side is never shuffled: all k word-joins broadcast."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    probes = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = bloom_prefilter(probes, "k", bloom_build(keys, "k"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
