@@ -395,3 +395,58 @@ def w8_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "w9_scd2_intervals",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id % 20 = 0
+), ch AS (
+  SELECT user_id, ts, event_id, event_type FROM e
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+       event_type AS state,
+       ts AS valid_from,
+       LEAD(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM ch
+ORDER BY user_id, version
+""",
+)
+def w9_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: SCD-Type-2 interval build — compress a per-key event history
+    into versioned validity intervals ``[valid_from, valid_to)``, the CDC
+    backbone of every warehouse dimension (the reference keeps only the
+    latest snapshot per key, ctg_export_league.py:300-307; this is the
+    full-history generalization). Gaps-and-islands via lag-change
+    detection, then interval edges via lead — all in ONE shuffle on
+    user_id: Spark sorts each key's partition once and both window passes
+    reuse that order (the change-filter between them is
+    partitioning-preserving, so no second exchange; same single-sort
+    discipline as the flagship's frame+rank stack). The (ts, event_id)
+    tiebreaker makes the version history a total order, so the interval
+    set is deterministic on both engines. At 100 TB this is the plan you
+    want: state never leaves the key's partition and the output is
+    change-rows-only (≪ input)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 20 == 0)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+    )
+    ch = e.where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    return ch.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).orderBy("user_id", "version")

@@ -220,3 +220,35 @@ def test_bloom_probe_plan_is_broadcast_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_hash_exchange(spark):
+    """Both window passes of w9 share one shuffle on user_id; the only
+    other exchange is the presentation orderBy's range partitioning."""
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    df = load_all()["w9_scd2_intervals"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_intervals_chain(spark):
+    """Per user: versions are 1..n, intervals chain (valid_to == next
+    valid_from), only the last interval is open-ended, and adjacent
+    versions change state."""
+    from collections import defaultdict
+
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["w9_scd2_intervals"].fn(spark, SF_DIR).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    for vs in by_user.values():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state
+        assert vs[-1].valid_to is None
