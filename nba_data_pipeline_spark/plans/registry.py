@@ -124,6 +124,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         filters,
         joins,
+        layout_plans,
         multimodal_plans,
         normalize_plans,
         similarity,

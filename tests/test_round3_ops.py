@@ -252,3 +252,16 @@ def test_scd2_intervals_chain(spark):
             assert a.valid_to == b.valid_from
             assert a.state != b.state
         assert vs[-1].valid_to is None
+
+
+def test_zorder_bounds_both_dimension_spans(spark):
+    """The z-property: every file's span is <= 16 of 256 in BOTH
+    dimensions (top 4+4 interleaved bits fix a 16x16 tile), so point
+    predicates on either dimension prune >= 15/16 of files."""
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["lo1_zorder_layout"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.span_part <= 16
+        assert 1 <= r.span_supp <= 16
