@@ -22,9 +22,11 @@ from nba_data_pipeline_spark.functions.extract import (
 from nba_data_pipeline_spark.io import read_table
 from nba_data_pipeline_spark.operators.textops import (
     LANG_STOPWORDS,
+    PUNCT_PATTERN,
     doc_fingerprint,
     predict_lang_fast,
     quality_features,
+    stopword_hits,
     token_count_bpe,
     token_count_ws,
     ws_tokens,
@@ -1400,4 +1402,106 @@ def x22_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cand") == F.col("true_name")).alias("recovered"),
         )
         .orderBy("n_nationkey")
+    )
+
+
+# Linear quality-classifier weights — stands in for a fastText/logreg model
+# trained offline; inference is broadcast-literal arithmetic. Cross-engine
+# float discipline: the logit z = -1.5 + 2.5*(s/t) + 0.8*(m/400) - 6*(p/c)
+# + 0.15*(w/t) is never computed in floating point. Multiplying through by
+# 100 * 400*t*c gives the EXACT BIGINT numerator
+#   Z = -60000*t*c + 100000*c*s + 80*t*c*m - 240000*t*p + 6000*c*w
+# (t=tokens, c=chars, s=stop hits, m=min(t,400), p=punct, w=non-ws chars),
+# so bucket thresholds are integer comparisons (z > 0.55 <=> Z > 22000*t*c)
+# and the reported logit is ONE double division of identical integers —
+# thresholds (-0.50 / -0.60) sit at the corpus logit terciles —
+# bit-stable on both engines, no transcendental calls, no rounding drift.
+_QC_SQL_Z = (
+    "(-60000 * t * c + 100000 * c * s + 80 * t * c * m"
+    " - 240000 * t * p + 6000 * c * w)"
+)
+
+
+@query(
+    "ta_quality_classifier",
+    oracle=f"""
+WITH feats AS (
+  SELECT source,
+         CAST(len({_TOKS}) AS BIGINT) AS t,
+         CAST(length(text) AS BIGINT) AS c,
+         CAST({_sql_stop_hits("en")} AS BIGINT) AS s,
+         CAST(LEAST(len({_TOKS}), 400) AS BIGINT) AS m,
+         CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS p,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS w
+  FROM documents
+), scored AS (
+  SELECT source, {_QC_SQL_Z} AS z_num, 40000 * t * c AS z_den FROM feats
+), bucketed AS (
+  SELECT source,
+         CASE WHEN 100 * z_num > -50 * z_den THEN 'keep'
+              WHEN 100 * z_num > -60 * z_den THEN 'review'
+              ELSE 'discard' END AS bucket,
+         CAST(z_num AS DOUBLE) / CAST(z_den AS DOUBLE) AS logit
+  FROM scored
+)
+SELECT source, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(logit AS DECIMAL(18,6))) AS DOUBLE) AS sum_logit
+FROM bucketed
+GROUP BY source, bucket
+ORDER BY source, bucket
+""",
+)
+def ta_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-CLASSIFIER inference — the model-based keep/review/discard
+    gate every LLM curation stack runs after the rule-based (Gopher)
+    pass: a linear model over the quality features scores each document
+    and routes it to a bucket. Weights are broadcast literals (a real
+    model's coefficients ship the same way); inference is whole-stage-
+    codegen integer arithmetic (see ``_QC_SQL_Z``) with zero Python and
+    zero shuffle before the per-source rollup, so it scales to 100 TB as
+    a pure map. Bucketing compares exact integer numerators (the logit is
+    decision-equivalent to the sigmoid probability — monotone — so no
+    exp() crosses the engine boundary) and the audited ``sum_logit`` is a
+    decimal-exact sum of bit-identical doubles."""
+    d = _docs_wide(spark, sf_dir)
+    feats = quality_features(F.col("text"))
+    t = feats["n_tokens"].cast("long")
+    c = feats["n_chars"].cast("long")
+    s = stopword_hits(F.col("text"), "en").cast("long")
+    m = F.least(feats["n_tokens"], F.lit(400)).cast("long")
+    p = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_PATTERN), 0)).cast("long")
+    w = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("long")
+    z_num = (
+        F.lit(-60000) * t * c
+        + F.lit(100000) * c * s
+        + F.lit(80) * t * c * m
+        - F.lit(240000) * t * p
+        + F.lit(6000) * c * w
+    )
+    z_den = F.lit(40000) * t * c
+    scored = d.select(
+        "source",
+        z_num.alias("z_num"),
+        z_den.alias("z_den"),
+    )
+    bucket = (
+        F.when(F.lit(100) * F.col("z_num") > F.lit(-50) * F.col("z_den"), "keep")
+        .when(F.lit(100) * F.col("z_num") > F.lit(-60) * F.col("z_den"), "review")
+        .otherwise("discard")
+    )
+    return (
+        scored.withColumn("bucket", bucket)
+        .withColumn(
+            "logit",
+            F.col("z_num").cast("double") / F.col("z_den").cast("double"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("logit").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_logit"),
+        )
+        .orderBy("source", "bucket")
     )

@@ -265,3 +265,20 @@ def test_zorder_bounds_both_dimension_spans(spark):
     for r in rows:
         assert 1 <= r.span_part <= 16
         assert 1 <= r.span_supp <= 16
+
+
+def test_quality_classifier_buckets_nonempty_and_consistent(spark):
+    """All three buckets appear across the corpus and per-bucket mean
+    logits order as discard < review < keep."""
+    from collections import defaultdict
+
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["ta_quality_classifier"].fn(spark, SF_DIR).collect()
+    agg = defaultdict(lambda: [0, 0.0])
+    for r in rows:
+        agg[r.bucket][0] += r.n_docs
+        agg[r.bucket][1] += r.sum_logit
+    assert set(agg) == {"keep", "review", "discard"}
+    means = {b: s / n for b, (n, s) in agg.items()}
+    assert means["discard"] < means["review"] < means["keep"]
