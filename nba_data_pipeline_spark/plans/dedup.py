@@ -640,3 +640,97 @@ def ta_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 5)
         .orderBy("doc_id")
     )
+
+
+# Positional Hamming distance between two 16-char bit strings — one string
+# of 16 CASE terms, valid in BOTH dialects (substring/CASE/<> are common
+# SQL), so the Spark side F.expr()s the exact text the oracle runs.
+_SQL_HAMMING16 = " + ".join(
+    f"(CASE WHEN substring(sa, {i}, 1) <> substring(sb, {i}, 1) THEN 1 ELSE 0 END)"
+    for i in range(1, 17)
+)
+
+
+@query(
+    "d5_simhash_hamming_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+sig AS (
+  SELECT doc_id, {_SQL_SIMHASH_BITS} AS sh FROM tok GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, sh, 0 AS b, substring(sh, 1, 8) AS bits FROM sig
+  UNION ALL
+  SELECT doc_id, sh, 1 AS b, substring(sh, 9, 8) AS bits FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sh AS sa, b.sh AS sb
+  FROM blocks a JOIN blocks b
+    ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST({_SQL_HAMMING16} AS INT) AS hamming
+FROM cand
+WHERE {_SQL_HAMMING16} <= 1
+ORDER BY id_a, id_b
+""",
+)
+def d5_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5c': SimHash NEAR-dup pairs at Hamming distance ≤ 1 — the
+    multi-index (pigeonhole) trick that makes Hamming search linear: two
+    signatures within distance 1 must agree EXACTLY on at least one of
+    the two 8-bit halves, so candidates come from two equi-joins on
+    (half-id, half-bits) instead of an all-pairs scan, and only
+    candidates pay the 16-position verify. This is the bit-signature
+    sibling of MinHash banding (band = block, r = 8): recall is exact
+    (pigeonhole, not probabilistic) and the join keys are short strings
+    that hash-partition evenly. At 100 TB: candidates per doc ≈ bucket
+    occupancy of an 8-bit key — widen the signature and blocks (64-bit /
+    4 blocks for d ≤ 3) to keep buckets sparse; the shape is unchanged.
+    The verify expression is the SAME SQL text the oracle runs
+    (``_SQL_HAMMING16``) — zero drift between engines."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    bit_cols = [
+        F.when(
+            F.sum(F.when(F.substring("h", b, 1) >= "8", 1).otherwise(-1)) > 0, "1"
+        ).otherwise("0")
+        for b in range(1, 17)
+    ]
+    sig = tok.groupBy("doc_id").agg(F.concat(*bit_cols).alias("sh"))
+    blocks = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"), F.substring("sh", 1, 8).alias("bits")),
+                F.struct(F.lit(1).alias("b"), F.substring("sh", 9, 8).alias("bits")),
+            )
+        ).alias("blk"),
+    ).select("doc_id", "sh", F.col("blk.b").alias("b"), F.col("blk.bits").alias("bits"))
+    a = blocks.select(
+        F.col("b"), F.col("bits"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")
+    )
+    b = blocks.select(
+        F.col("b"), F.col("bits"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")
+    )
+    cand = (
+        a.join(b, ["b", "bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.expr(_SQL_HAMMING16)
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= 1)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

@@ -282,3 +282,42 @@ def test_quality_classifier_buckets_nonempty_and_consistent(spark):
     assert set(agg) == {"keep", "review", "discard"}
     means = {b: s / n for b, (n, s) in agg.items()}
     assert means["discard"] < means["review"] < means["keep"]
+
+
+def test_simhash_hamming_pigeonhole_complete(spark):
+    """Brute-force all-pairs Hamming<=1 equals the block-indexed result
+    (pigeonhole recall is exact, not probabilistic)."""
+    from itertools import combinations
+
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    specs = load_all()
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in specs["d5_simhash_hamming_pairs"].fn(spark, SF_DIR).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.io import read_table
+    from nba_data_pipeline_spark.operators.textops import ws_tokens
+
+    d = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    bit_cols = [
+        F.when(
+            F.sum(F.when(F.substring("h", b, 1) >= "8", 1).otherwise(-1)) > 0, "1"
+        ).otherwise("0")
+        for b in range(1, 17)
+    ]
+    sigs = {
+        r.doc_id: r.sh
+        for r in tok.groupBy("doc_id").agg(F.concat(*bit_cols).alias("sh")).collect()
+    }
+    brute = {}
+    for x, y in combinations(sorted(sigs), 2):
+        hd = sum(a != b for a, b in zip(sigs[x], sigs[y]))
+        if hd <= 1:
+            brute[(x, y)] = hd
+    assert got == brute
