@@ -86,3 +86,73 @@ def lo1_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+@query(
+    "lo2_compaction_bins",
+    oracle="""
+WITH files AS (
+  SELECT o_orderpriority AS part,
+         CAST(o_custkey % 200 AS BIGINT) AS file_key,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders
+  GROUP BY 1, 2
+), planned AS (
+  SELECT part, file_key, n_rows,
+         CAST(FLOOR((SUM(n_rows) OVER (
+             PARTITION BY part ORDER BY file_key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_rows) / 400) AS INT) AS bin_id
+  FROM files
+)
+SELECT part, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       MIN(file_key) AS first_file,
+       MAX(file_key) AS last_file
+FROM planned
+GROUP BY part, bin_id
+ORDER BY part, bin_id
+""",
+)
+def lo2_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LO2: small-file COMPACTION planner — the maintenance job that keeps
+    a 100 TB table scannable: thousands of small files per partition
+    (here simulated as per-custkey-slot row groups inside each order
+    priority) are assigned to target-sized rewrite bins by an exclusive
+    running sum over the key order, i.e. the same sort+split plan Delta's
+    OPTIMIZE or Iceberg's rewrite_data_files computes per partition. Key
+    order (not size order) keeps each bin a CONTIGUOUS key range, so the
+    compacted files preserve clustering and their min/max footers stay
+    prune-tight (first_file/last_file in the output ARE those footers).
+    The cumulative sum partitions by table-partition — every partition
+    plans in parallel, no global ordering bottleneck at scale."""
+    files = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("part"),
+            (F.col("o_custkey") % 200).cast("long").alias("file_key"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("part")
+        .orderBy("file_key")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    planned = files.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_rows").over(w) - F.col("n_rows")) / 400).cast("int"),
+    )
+    return (
+        planned.groupBy("part", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("file_key").alias("first_file"),
+            F.max("file_key").alias("last_file"),
+        )
+        .orderBy("part", "bin_id")
+    )

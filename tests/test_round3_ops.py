@@ -321,3 +321,25 @@ def test_simhash_hamming_pigeonhole_complete(spark):
         if hd <= 1:
             brute[(x, y)] = hd
     assert got == brute
+
+
+def test_compaction_bins_contiguous_and_sized(spark):
+    """Within each partition: bins cover contiguous non-overlapping key
+    ranges in order, and every bin but the last holds >= the 400-row
+    target (the split rule can only overshoot, never undershoot)."""
+    from collections import defaultdict
+
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["lo2_compaction_bins"].fn(spark, SF_DIR).collect()
+    by_part = defaultdict(list)
+    for r in rows:
+        by_part[r.part].append(r)
+    assert by_part
+    for bins in by_part.values():
+        bins.sort(key=lambda r: r.bin_id)
+        assert [b.bin_id for b in bins] == list(range(len(bins)))
+        for a, b in zip(bins, bins[1:]):
+            assert a.last_file < b.first_file
+        for b in bins[:-1]:
+            assert b.total_rows >= 400
