@@ -123,6 +123,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation_plans,
         dedup,
         filters,
+        graph_plans,
         joins,
         layout_plans,
         multimodal_plans,

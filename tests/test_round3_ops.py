@@ -343,3 +343,21 @@ def test_compaction_bins_contiguous_and_sized(spark):
             assert a.last_file < b.first_file
         for b in bins[:-1]:
             assert b.total_rows >= 400
+
+
+def test_pagerank_mass_and_ranks(spark):
+    """Total PR mass stays within floor-loss of SCALE (each of 3 rounds
+    drops < 1 unit per edge + per node), ranks are the dense 1..N."""
+    from nba_data_pipeline_spark.plans.graph_plans import _SCALE
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["g1_pagerank_trade"].fn(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 1
+    assert sorted(r.pr_rank for r in rows) == list(range(1, n + 1))
+    total = sum(r.pr_scaled for r in rows)
+    # floor losses: <= (edges + nodes + 1) units per iteration; bound loosely
+    assert _SCALE * 0.98 <= total <= _SCALE
+    # scores all positive and above the bare teleport floor
+    base = (15 * _SCALE) // (100 * n)
+    assert all(r.pr_scaled >= base for r in rows)
