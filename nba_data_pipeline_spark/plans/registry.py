@@ -103,12 +103,17 @@ _FRONT: tuple[str, ...] = (
     "w8_curriculum_deciles",
     "a21_bitmap_rollup_reuse",
     "mm_real_codec_roundtrip",
-    # --- replanned this round (same semantics, new physical shape:
-    # shingling repartition / per-bucket BLAS verify); re-verify ---
-    "d5_ngram_jaccard_topk",
-    "sim_lsh_neardup_pairs",
-    # --- proven representatives (driver-green r1/r2, unchanged) filling the
-    # remaining slots so every §2 family keeps a row in this round's gate
+    # --- new in round 3 (session 2): the two with the most novel oracle
+    # machinery take these slots (the replanned d5_ngram_jaccard_topk /
+    # sim_lsh_neardup_pairs keep their r2-green rows — same semantics,
+    # same oracle, re-verified locally); the other five r3-session-2
+    # additions (w9_scd2_intervals, lo1/lo2 layout, ta_quality_classifier,
+    # d5_simhash_hamming_pairs) are local-green via tools/check.py and
+    # rotate into the r4 prefix once this round frees 48 proven slots ---
+    "j12_bloom_runtime_filter",
+    "g1_pagerank_trade",
+    # --- proven representatives (driver-green r1/r2, unchanged) keeping
+    # the filters/normalize families in this round's gate
     # (flagship stays smoke-checked every round via entry()) ---
     "nba_fixture_normalize",
     "f4_multi_dim_selection",
