@@ -551,3 +551,100 @@ def j12_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "cdc_merge_apply",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t WHERE rn = 1
+), changes AS (
+  SELECT user_id AS key,
+         CASE event_type WHEN 'error' THEN 'delete'
+                         WHEN 'signup' THEN 'upsert'
+                         ELSE 'update' END AS action,
+         CAST(value AS DECIMAL(18,2)) AS new_bal
+  FROM latest
+), snap AS (
+  SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey <= 150
+)
+SELECT COALESCE(s.key, ch.key) AS custkey,
+       CAST(CASE WHEN ch.key IS NULL THEN s.acctbal ELSE ch.new_bal END
+            AS DOUBLE) AS acctbal,
+       CASE WHEN s.key IS NULL THEN 'STREAM' ELSE s.c_mktsegment END
+           AS mktsegment,
+       CASE WHEN ch.key IS NULL THEN 'kept'
+            WHEN s.key IS NULL THEN 'inserted'
+            ELSE 'updated' END AS action
+FROM snap s FULL OUTER JOIN changes ch ON ch.key = s.key
+WHERE COALESCE(ch.action, '') <> 'delete'
+  AND NOT (s.key IS NULL AND ch.action = 'update')
+ORDER BY custkey
+""",
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply — the batch upsert that keeps a warehouse dimension
+    current from a change feed: the newest change per key (deterministic
+    latest via row_number over (ts, event_id) DESC) is classified
+    delete / upsert / update and applied to the snapshot through ONE full
+    outer join — exactly the reduction Delta's MERGE INTO compiles to.
+    Semantics pinned by the oracle: deletes drop the row, upserts insert
+    or overwrite, updates touch only existing keys (an update for an
+    absent key is a no-op, not an insert), untouched rows pass through as
+    'kept'. Both inputs shuffle once on the merge key and the change feed
+    is pre-shrunk to one row per key BEFORE the join (the window runs on
+    the feed, never on the snapshot) — at 100 TB the snapshot-side
+    shuffle is the cost, and bucketing the snapshot on the key (j10)
+    removes even that. Balances are DECIMAL(18,2) end-to-end."""
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    changes = latest.select(
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "upsert")
+        .otherwise("update")
+        .alias("action"),
+        F.col("value").cast("decimal(18,2)").alias("new_bal"),
+    )
+    snap = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 150)
+        .select(
+            F.col("c_custkey").alias("skey"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
+            "c_mktsegment",
+        )
+    )
+    m = snap.join(changes, snap["skey"] == changes["key"], "full_outer")
+    return (
+        m.where(
+            (F.coalesce(F.col("action"), F.lit("")) != "delete")
+            & ~(F.col("skey").isNull() & (F.col("action") == "update"))
+        )
+        .select(
+            F.coalesce("skey", "key").alias("custkey"),
+            F.when(F.col("key").isNull(), F.col("acctbal"))
+            .otherwise(F.col("new_bal"))
+            .cast("double")
+            .alias("acctbal"),
+            F.when(F.col("skey").isNull(), "STREAM")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("mktsegment"),
+            F.when(F.col("key").isNull(), "kept")
+            .when(F.col("skey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("action"),
+        )
+        .orderBy("custkey")
+    )
