@@ -642,54 +642,72 @@ def ta_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Positional Hamming distance between two 16-char bit strings — one string
-# of 16 CASE terms, valid in BOTH dialects (substring/CASE/<> are common
-# SQL), so the Spark side F.expr()s the exact text the oracle runs.
-_SQL_HAMMING16 = " + ".join(
-    f"(CASE WHEN substring(sa, {i}, 1) <> substring(sb, {i}, 1) THEN 1 ELSE 0 END)"
-    for i in range(1, 17)
+# One-bit flips of a 16-char bit string: variant i is the signature with
+# bit i inverted. The Hamming-1 index of Manku et al.'s simhash dedup —
+# a signature's neighbors at distance exactly 1 are precisely the
+# signatures matching one of its 16 flip variants, so neighbor search is
+# an EQUI-join on short keys, never a pairwise Hamming scan.
+def _flip16(col, i: int):
+    return F.concat(
+        F.substring(col, 1, i - 1),
+        F.when(F.substring(col, i, 1) == "1", "0").otherwise("1"),
+        F.substring(col, i + 1, 16 - i),
+    )
+
+
+_SQL_FLIP16 = (
+    "substring({c}, 1, {im1}) || "
+    "(CASE WHEN substring({c}, {i}, 1) = '1' THEN '0' ELSE '1' END) || "
+    "substring({c}, {ip1}, {rest})"
 )
 
 
 @query(
-    "d5_simhash_hamming_pairs",
+    "d5_simhash_hamming_neighbors",
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
 sig AS (
   SELECT doc_id, {_SQL_SIMHASH_BITS} AS sh FROM tok GROUP BY doc_id
 ),
-blocks AS (
-  SELECT doc_id, sh, 0 AS b, substring(sh, 1, 8) AS bits FROM sig
-  UNION ALL
-  SELECT doc_id, sh, 1 AS b, substring(sh, 9, 8) AS bits FROM sig
+g AS (
+  SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS canonical_doc
+  FROM sig GROUP BY sh
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.sh AS sa, b.sh AS sb
-  FROM blocks a JOIN blocks b
-    ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id
+flips AS (
+  SELECT g.sh, u.flipped FROM g, UNNEST([{", ".join(
+      _SQL_FLIP16.format(c="g.sh", i=i, im1=i - 1, ip1=i + 1, rest=16 - i)
+      for i in range(1, 17))}]) AS u(flipped)
+),
+nb AS (
+  SELECT f.sh,
+         CAST(COUNT(*) AS BIGINT) AS n_neighbor_sigs,
+         CAST(SUM(g2.n_docs) AS BIGINT) AS n_neighbor_docs
+  FROM flips f JOIN g g2 ON g2.sh = f.flipped
+  GROUP BY f.sh
 )
-SELECT id_a, id_b, CAST({_SQL_HAMMING16} AS INT) AS hamming
-FROM cand
-WHERE {_SQL_HAMMING16} <= 1
-ORDER BY id_a, id_b
+SELECT g.sh AS simhash16, g.n_docs, g.canonical_doc,
+       COALESCE(nb.n_neighbor_sigs, 0) AS n_neighbor_sigs,
+       COALESCE(nb.n_neighbor_docs, 0) AS n_neighbor_docs
+FROM g LEFT JOIN nb ON nb.sh = g.sh
+ORDER BY simhash16
 """,
 )
-def d5_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5c': SimHash NEAR-dup pairs at Hamming distance ≤ 1 — the
-    multi-index (pigeonhole) trick that makes Hamming search linear: two
-    signatures within distance 1 must agree EXACTLY on at least one of
-    the two 8-bit halves, so candidates come from two equi-joins on
-    (half-id, half-bits) instead of an all-pairs scan, and only
-    candidates pay the 16-position verify. This is the bit-signature
-    sibling of MinHash banding (band = block, r = 8): recall is exact
-    (pigeonhole, not probabilistic) and the join keys are short strings
-    that hash-partition evenly. At 100 TB: candidates per doc ≈ bucket
-    occupancy of an 8-bit key — widen the signature and blocks (64-bit /
-    4 blocks for d ≤ 3) to keep buckets sparse; the shape is unchanged.
-    The verify expression is the SAME SQL text the oracle runs
-    (``_SQL_HAMMING16``) — zero drift between engines."""
+def d5_simhash_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5c': SimHash Hamming-1 NEIGHBOR index — the scale-correct form of
+    "which docs are one signature bit apart": collapse docs to DISTINCT
+    signatures first (the hamming-0 clusters, linear in corpus size),
+    then find each signature's distance-1 neighbors by equi-joining its
+    16 one-bit FLIP variants against the signature set (Manku et al.'s
+    permuted-probe simhash index, flip-indexed for d=1). Output is one
+    row per distinct signature with its doc count, canonical doc, and
+    neighbor mass — NEVER a pair list: this corpus's largest duplicate
+    cluster holds >1000 identical signatures at sf0.1, so any
+    emit-all-pairs formulation is quadratic in cluster size (~10^6 rows
+    and 30+ s measured) while this one is |sigs|×16 join probes (~10^4).
+    The same collapse-then-index shape is what a 100 TB dedup runs:
+    signature dimension ≪ corpus, neighbor edges feed the d6 closure.
+    The flip expression is shared SQL text on both engines."""
     d = (
         read_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -705,32 +723,30 @@ def d5_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(1, 17)
     ]
     sig = tok.groupBy("doc_id").agg(F.concat(*bit_cols).alias("sh"))
-    blocks = sig.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("b"), F.substring("sh", 1, 8).alias("bits")),
-                F.struct(F.lit(1).alias("b"), F.substring("sh", 9, 8).alias("bits")),
-            )
-        ).alias("blk"),
-    ).select("doc_id", "sh", F.col("blk.b").alias("b"), F.col("blk.bits").alias("bits"))
-    a = blocks.select(
-        F.col("b"), F.col("bits"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")
+    g = sig.groupBy("sh").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    ).persist()
+    flips = g.select(
+        "sh", F.explode(F.array(*[_flip16(F.col("sh"), i) for i in range(1, 17)])).alias("flipped")
     )
-    b = blocks.select(
-        F.col("b"), F.col("bits"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")
+    g2 = g.select(F.col("sh").alias("flipped"), F.col("n_docs").alias("nb_docs"))
+    nb = (
+        flips.join(g2, "flipped")
+        .groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbor_sigs"),
+            F.sum("nb_docs").cast("long").alias("n_neighbor_docs"),
+        )
     )
-    cand = (
-        a.join(b, ["b", "bits"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
-        .distinct()
-    )
-    ham = F.expr(_SQL_HAMMING16)
     return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .where(F.col("hamming") <= 1)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+        g.join(nb, "sh", "left")
+        .select(
+            F.col("sh").alias("simhash16"),
+            "n_docs",
+            "canonical_doc",
+            F.coalesce("n_neighbor_sigs", F.lit(0)).alias("n_neighbor_sigs"),
+            F.coalesce("n_neighbor_docs", F.lit(0)).alias("n_neighbor_docs"),
+        )
+        .orderBy("simhash16")
     )

@@ -648,3 +648,62 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "j13_incremental_join_maintenance",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_dsum("l.l_extendedprice")} AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def j13_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: incremental JOIN maintenance — the delta-join identity that
+    keeps a materialized join view current without rejoining history:
+      Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB
+    (a17 is the aggregate half of view maintenance; this is the join
+    half). Both tables split at the same logical cut (orders by order
+    date, lineitem by ship date), the view is rebuilt as the union of the
+    old-view join plus the three delta terms, and the oracle recomputes
+    the monolithic join — a hash match proves the identity held row-for-
+    row. At 100 TB the three delta terms are each delta-sized on one side
+    (ΔA⋈B_old probes the STORED view's build side; only ΔA shuffles), so
+    a nightly refresh scans deltas, never the 100 TB history — the
+    difference between an hourly view and an impossible one. Each term
+    shuffles on the same orderkey, so AQE coalesces them into one
+    exchange footprint per side."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    cut = "1996-01-01"
+    a_old = o.filter(F.col("o_orderdate") < cut)
+    a_new = o.filter(F.col("o_orderdate") >= cut)
+    b_old = l.filter(F.col("l_shipdate") < cut)
+    b_new = l.filter(F.col("l_shipdate") >= cut)
+
+    def j(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a["o_orderkey"] == b["l_orderkey"]).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+
+    view = (
+        j(a_old, b_old)          # the stored view
+        .unionByName(j(a_new, b_old))   # ΔA ⋈ B_old
+        .unionByName(j(a_old, b_new))   # A_old ⋈ ΔB
+        .unionByName(j(a_new, b_new))   # ΔA ⋈ ΔB
+    )
+    return (
+        view.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -284,43 +284,84 @@ def test_quality_classifier_buckets_nonempty_and_consistent(spark):
     assert means["discard"] < means["review"] < means["keep"]
 
 
-def test_simhash_hamming_pigeonhole_complete(spark):
-    """Brute-force all-pairs Hamming<=1 equals the block-indexed result
-    (pigeonhole recall is exact, not probabilistic)."""
-    from itertools import combinations
+def test_simhash_hamming_neighbor_index_exact(spark):
+    """Brute-force signature-level Hamming-1 neighborhoods equal the
+    flip-indexed result (flip indexing is exact for d=1, not heuristic)."""
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["d5_simhash_hamming_neighbors"].fn(spark, SF_DIR).collect()
+    sigs = {r.simhash16: r for r in rows}
+    assert sigs
+    for sh, r in sigs.items():
+        nb = [
+            o
+            for o in sigs
+            if sum(a != b for a, b in zip(sh, o)) == 1
+        ]
+        assert r.n_neighbor_sigs == len(nb)
+        assert r.n_neighbor_docs == sum(sigs[o].n_docs for o in nb)
+
+
+def test_scd2_single_hash_exchange(spark):
+    """Both window passes of w9 share one shuffle on user_id; the only
+    other exchange is the presentation orderBy's range partitioning."""
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    df = load_all()["w9_scd2_intervals"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_intervals_chain(spark):
+    """Per user: versions are 1..n, intervals chain (valid_to == next
+    valid_from), only the last interval is open-ended, and adjacent
+    versions change state."""
+    from collections import defaultdict
 
     from nba_data_pipeline_spark.plans.registry import load_all
 
-    specs = load_all()
-    got = {
-        (r.id_a, r.id_b): r.hamming
-        for r in specs["d5_simhash_hamming_pairs"].fn(spark, SF_DIR).collect()
-    }
-    from pyspark.sql import functions as F
+    rows = load_all()["w9_scd2_intervals"].fn(spark, SF_DIR).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    for vs in by_user.values():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state
+        assert vs[-1].valid_to is None
 
-    from nba_data_pipeline_spark.io import read_table
-    from nba_data_pipeline_spark.operators.textops import ws_tokens
 
-    d = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("h"))
-    bit_cols = [
-        F.when(
-            F.sum(F.when(F.substring("h", b, 1) >= "8", 1).otherwise(-1)) > 0, "1"
-        ).otherwise("0")
-        for b in range(1, 17)
-    ]
-    sigs = {
-        r.doc_id: r.sh
-        for r in tok.groupBy("doc_id").agg(F.concat(*bit_cols).alias("sh")).collect()
-    }
-    brute = {}
-    for x, y in combinations(sorted(sigs), 2):
-        hd = sum(a != b for a, b in zip(sigs[x], sigs[y]))
-        if hd <= 1:
-            brute[(x, y)] = hd
-    assert got == brute
+def test_zorder_bounds_both_dimension_spans(spark):
+    """The z-property: every file's span is <= 16 of 256 in BOTH
+    dimensions (top 4+4 interleaved bits fix a 16x16 tile), so point
+    predicates on either dimension prune >= 15/16 of files."""
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["lo1_zorder_layout"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.span_part <= 16
+        assert 1 <= r.span_supp <= 16
+
+
+def test_quality_classifier_buckets_nonempty_and_consistent(spark):
+    """All three buckets appear across the corpus and per-bucket mean
+    logits order as discard < review < keep."""
+    from collections import defaultdict
+
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["ta_quality_classifier"].fn(spark, SF_DIR).collect()
+    agg = defaultdict(lambda: [0, 0.0])
+    for r in rows:
+        agg[r.bucket][0] += r.n_docs
+        agg[r.bucket][1] += r.sum_logit
+    assert set(agg) == {"keep", "review", "discard"}
+    means = {b: s / n for b, (n, s) in agg.items()}
+    assert means["discard"] < means["review"] < means["keep"]
 
 
 def test_compaction_bins_contiguous_and_sized(spark):
@@ -361,3 +402,45 @@ def test_pagerank_mass_and_ranks(spark):
     # scores all positive and above the bare teleport floor
     base = (15 * _SCALE) // (100 * n)
     assert all(r.pr_scaled >= base for r in rows)
+
+
+def test_cdc_merge_action_semantics(spark):
+    """Updates never insert, deletes remove, upserts insert; every change
+    key below the snapshot bound resolves to exactly one outcome."""
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["cdc_merge_apply"].fn(spark, SF_DIR).collect()
+    by_key = {r.custkey: r for r in rows}
+    assert len(by_key) == len(rows)  # merge never duplicates a key
+    assert {r.action for r in rows} <= {"kept", "updated", "inserted"}
+    # inserted rows exist only for keys absent from the snapshot (custkey
+    # range [1, 150] is the snapshot domain; user_id 0 is outside it)
+    for r in rows:
+        if r.action == "inserted":
+            assert r.mktsegment == "STREAM"
+
+
+def test_incremental_join_terms_partition_the_join(spark):
+    """The four delta-join terms are disjoint and their union is the full
+    join (checked on counts per priority against a monolithic join)."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.io import read_table
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    inc = {
+        (r.o_orderpriority): r.n_items
+        for r in load_all()["j13_incremental_join_maintenance"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    o = read_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    l = read_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    mono = {
+        r.o_orderpriority: r.n
+        for r in o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert inc == mono
