@@ -138,6 +138,7 @@ def load_all() -> dict[str, QuerySpec]:
         sources_plans,
         streaming_plans,
         text_plans,
+        timeseries_plans,
         windows,
     )
 

@@ -1,0 +1,156 @@
+"""Time-series queries (TS family): gap filling and resampling — the
+feed-repair operators between raw event streams and windowed analytics
+(the reference consumes pre-dense per-game tables; a real feed has holes
+and irregular sampling, and A9/A10-style rolling frames silently skew on
+them).
+
+Both queries shuffle once on the series key and everything after runs
+inside that key's partition — the only shape that survives 100 TB of
+events, where a series is small but there are billions of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.plans.registry import query
+
+
+@query(
+    "ts1_locf_gapfill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id % 25 = 0) t
+  WHERE rn = 1
+), spine AS (
+  SELECT user_id, UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE AS day
+  FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       LAST_VALUE(d.value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       CAST(d.value IS NULL AS BOOLEAN) AS is_filled
+FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+ORDER BY s.user_id, s.day
+""",
+)
+def ts1_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS1: LOCF gap filling — densify each series to a daily grid and
+    carry the last observation forward over the holes, the repair step
+    that makes rolling frames (A9/A10) honest on sparse feeds. Per-series
+    spine via ``sequence(min_day, max_day)`` (no calendar dim join, no
+    cross join: each series generates exactly its own range), one left
+    join back to the observed days, and one ignore-nulls ``last`` window
+    — all three stages share the single shuffle on user_id. The per-day
+    observation is the deterministic latest (row_number over ts,
+    event_id), and the fill value passes through un-arithmetic'd, so the
+    double survives both engines bit-identically."""
+    w_day = W.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 25 == 0)
+        .select("user_id", "ts", "event_id", "value", F.to_date("ts").alias("day"))
+        .withColumn("rn", F.row_number().over(w_day))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w_fill = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("value", ignorenulls=True).over(w_fill).alias("value"),
+            F.col("value").isNull().alias("is_filled"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "ts2_ohlc_bars",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         FIRST_VALUE(value) OVER (
+             PARTITION BY user_id, CAST(ts AS DATE)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+         LAST_VALUE(value) OVER (
+             PARTITION BY user_id, CAST(ts AS DATE)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+  FROM events WHERE user_id % 25 = 0
+)
+SELECT user_id, day,
+       MIN(open) AS open, MAX(close) AS close,
+       MAX(value) AS high, MIN(value) AS low,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM seq
+GROUP BY user_id, day
+ORDER BY user_id, day
+""",
+)
+def ts2_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS2: downsampling to OHLC bars — the canonical irregular→regular
+    resample: per series per day, the first/last observation in event
+    order (open/close, with the (ts, event_id) total order making both
+    deterministic under same-timestamp ticks) and the extremes
+    (high/low). first/last come from one full-frame window pass, the bar
+    rollup from the group-by that follows — both on the same
+    (user, day)-clustered shuffle. min/max/first/last only MOVE input
+    doubles (no arithmetic), so the bars hash identically on both
+    engines. At scale this is the map-side-combining shape: the window
+    runs within day-partitions and the aggregate collapses before any
+    further exchange."""
+    w_frame = (
+        W.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    seq = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 25 == 0)
+        .select("user_id", "ts", "event_id", "value", F.to_date("ts").alias("day"))
+        .select(
+            "user_id",
+            "day",
+            "value",
+            F.first("value").over(w_frame).alias("open"),
+            F.last("value").over(w_frame).alias("close"),
+        )
+    )
+    return (
+        seq.groupBy("user_id", "day")
+        .agg(
+            F.min("open").alias("open"),
+            F.max("close").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+        .orderBy("user_id", "day")
+    )

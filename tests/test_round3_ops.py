@@ -444,3 +444,38 @@ def test_incremental_join_terms_partition_the_join(spark):
         .collect()
     }
     assert inc == mono
+
+
+def test_locf_gapfill_dense_and_carried(spark):
+    """Each series is a dense daily grid; filled days carry the most
+    recent observed value backward-contiguously."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["ts1_locf_gapfill"].fn(spark, SF_DIR).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    for series in by_user.values():
+        series.sort(key=lambda r: r.day)
+        for a, b in zip(series, series[1:]):
+            assert b.day - a.day == timedelta(days=1)  # dense grid
+            if b.is_filled:
+                assert b.value == a.value  # carried forward
+        assert not series[0].is_filled  # grid starts at an observation
+
+
+def test_ohlc_bars_order_and_bounds(spark):
+    """low <= open/close <= high, and single-tick bars collapse."""
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["ts2_ohlc_bars"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        if r.n_ticks == 1:
+            assert r.open == r.close == r.high == r.low
