@@ -1193,3 +1193,99 @@ FROM a22_lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
 ORDER BY grouping_lvl, returnflag, linestatus
 """)
+
+
+@query(
+    "a23_equiwidth_histogram",
+    oracle="""
+WITH b AS (
+  SELECT o_orderpriority,
+         CAST(LEAST(FLOOR(o_totalprice / 30000), 19) AS INT) AS bucket
+  FROM orders
+)
+SELECT o_orderpriority, bucket,
+       CAST(30000 * bucket AS BIGINT) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b
+GROUP BY o_orderpriority, bucket
+ORDER BY o_orderpriority, bucket
+""",
+)
+def a23_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: equi-width histogram — the profiling aggregate behind every
+    optimizer statistics job and data-quality dashboard: 20 fixed 30k
+    buckets over order value (top bucket open-ended via LEAST-clamp),
+    counted per priority class. Bucketing is a pure projection (floor
+    division — deterministic on both engines, no CASE ladder), so the
+    whole query is scan → map → one partial-aggregated shuffle of at most
+    |priorities|×20 groups; at 100 TB the shuffle carries group partials,
+    never rows. The same expression with a column-derived width is how
+    ANALYZE-style stats collection runs as a query."""
+    b = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.least(F.floor(F.col("o_totalprice") / 30000), F.lit(19))
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        b.groupBy("o_orderpriority", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            "bucket",
+            (F.lit(30000) * F.col("bucket")).cast("long").alias("bucket_lo"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority", "bucket")
+    )
+
+
+@query(
+    "a24_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(FLOOR(datediff('day', f.cohort_week,
+              CAST(date_trunc('week', e.ts) AS DATE)) / 7) AS INT) AS week_offset
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def a24_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: cohort retention matrix — users grouped by first-seen week,
+    counted per weeks-since-signup: the canonical product-analytics
+    rollup (the reference's per-player "last N games" view is the
+    single-entity cut of this population matrix). Two shuffles, both on
+    user_id — the first-seen aggregate and the distinct-week contraction
+    — then a matrix-sized group-by; the fact table is never joined to
+    itself, and the first_seen side arrives pre-shrunk to one row per
+    user. Calendar math is integer throughout (week-truncated dates,
+    day-diff floor-divided by 7)."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

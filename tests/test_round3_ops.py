@@ -479,3 +479,44 @@ def test_ohlc_bars_order_and_bounds(spark):
         assert r.low <= r.close <= r.high
         if r.n_ticks == 1:
             assert r.open == r.close == r.high == r.low
+
+
+def test_histogram_partitions_all_orders(spark):
+    """Bucket counts per priority sum to the priority's order count and
+    buckets stay in [0, 19]."""
+    from collections import Counter
+
+    from nba_data_pipeline_spark.io import read_table
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["a23_equiwidth_histogram"].fn(spark, SF_DIR).collect()
+    got = Counter()
+    for r in rows:
+        assert 0 <= r.bucket <= 19
+        assert r.bucket_lo == 30000 * r.bucket
+        got[r.o_orderpriority] += r.n_orders
+    want = Counter(
+        {
+            r.o_orderpriority: r["count"]
+            for r in read_table(spark, SF_DIR, "orders")
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        }
+    )
+    assert got == want
+
+
+def test_cohort_retention_week_zero_counts_every_user(spark):
+    """Offset-0 cells across cohorts sum to the distinct-user total (every
+    user is active in their own signup week) and offsets are nonnegative."""
+    from nba_data_pipeline_spark.io import read_table
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["a24_cohort_retention"].fn(spark, SF_DIR).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    week0 = sum(r.n_active_users for r in rows if r.week_offset == 0)
+    n_users = (
+        read_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert week0 == n_users
