@@ -1505,3 +1505,88 @@ def ta_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+@query(
+    "x23_deletion_neighborhood_join",
+    oracle="""
+WITH probe AS (
+  SELECT c_name AS a FROM customer WHERE c_custkey % 10 = 0
+), dict AS (
+  SELECT c_name AS b FROM customer
+), pv AS (
+  SELECT DISTINCT a, a AS var FROM probe
+  UNION
+  SELECT DISTINCT a, substr(a, 1, i - 1) || substr(a, i + 1, len(a) - i)
+  FROM probe, UNNEST(range(1, len(a) + 1)) AS t(i)
+), dv AS (
+  SELECT DISTINCT b, b AS var FROM dict
+  UNION
+  SELECT DISTINCT b, substr(b, 1, i - 1) || substr(b, i + 1, len(b) - i)
+  FROM dict, UNNEST(range(1, len(b) + 1)) AS t(i)
+), cand AS (
+  SELECT DISTINCT pv.a, dv.b FROM pv JOIN dv USING (var) WHERE pv.a <> dv.b
+), ver AS (
+  SELECT a, b FROM cand WHERE levenshtein(a, b) <= 1
+)
+SELECT p.a AS name,
+       CAST(COALESCE(COUNT(v.b), 0) AS BIGINT) AS n_neighbors,
+       MIN(v.b) AS closest
+FROM probe p LEFT JOIN ver v ON v.a = p.a
+GROUP BY p.a
+ORDER BY name
+""",
+)
+def x23_deletion_neighborhood_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: fuzzy JOIN at edit distance ≤ 1 via DELETION NEIGHBORHOODS
+    (the SymSpell index) — the set-to-set sibling of x22's
+    broadcast-dictionary argmin, for when BOTH sides are too big to
+    broadcast: every string expands to its ≤ len+1 one-char-deletion
+    variants, candidates come from a plain equi-join on the variant key
+    (any two strings within one edit share a variant — substitution ⇒
+    same deletion at the edit position, insert/delete ⇒ one side's
+    identity equals the other's deletion), and only candidates pay the
+    exact ``levenshtein`` verify. Candidate volume is Σ(len+1) per side —
+    LINEAR, against the quadratic all-pairs Levenshtein x22 would cost
+    without a broadcastable side. Output is per-probe neighbor stats
+    (count + lexicographic closest), never the pair list, so result size
+    is probe-bounded at any scale."""
+    cust = read_table(spark, sf_dir, "customer")
+    probe = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_name").alias("a")
+    )
+    dict_ = cust.select(F.col("c_name").alias("b"))
+
+    def variants(df: DataFrame, col: str) -> DataFrame:
+        ident = df.select(col, F.col(col).alias("var"))
+        deleted = (
+            df.select(col, F.explode(F.sequence(F.lit(1), F.length(col))).alias("i"))
+            .select(
+                col,
+                F.expr(
+                    f"substring({col}, 1, i - 1) || "
+                    f"substring({col}, i + 1, length({col}) - i)"
+                ).alias("var"),
+            )
+        )
+        return ident.unionByName(deleted).distinct()
+
+    pv = variants(probe, "a")
+    dv = variants(dict_, "b")
+    cand = (
+        pv.join(dv, "var")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ver = cand.where(F.levenshtein("a", "b") <= 1)
+    return (
+        probe.join(ver, "a", "left")
+        .groupBy("a")
+        .agg(
+            F.count("b").cast("long").alias("n_neighbors"),
+            F.min("b").alias("closest"),
+        )
+        .select(F.col("a").alias("name"), "n_neighbors", "closest")
+        .orderBy("name")
+    )

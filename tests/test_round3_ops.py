@@ -520,3 +520,34 @@ def test_cohort_retention_week_zero_counts_every_user(spark):
         read_table(spark, SF_DIR, "events").select("user_id").distinct().count()
     )
     assert week0 == n_users
+
+
+def test_deletion_neighborhood_matches_brute_force(spark):
+    """The deletion-neighborhood index finds exactly the brute-force
+    edit-distance-1 neighbor sets (the SymSpell candidate rule is exact
+    for d<=1, not approximate)."""
+    from nba_data_pipeline_spark.io import read_table
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    rows = load_all()["x23_deletion_neighborhood_join"].fn(spark, SF_DIR).collect()
+    names = [r.c_name for r in read_table(spark, SF_DIR, "customer").collect()]
+
+    def lev1(a, b):
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    for r in rows:
+        brute = sorted(b for b in names if lev1(r.name, b))
+        assert r.n_neighbors == len(brute)
+        assert r.closest == (brute[0] if brute else None)
