@@ -1289,3 +1289,118 @@ def a24_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "dq1_constraint_audit",
+    oracle="""
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+  FROM orders
+), l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                         OR l_shipdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+  FROM lineitem
+), fko AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM orders o2 LEFT JOIN customer c ON c.c_custkey = o2.o_custkey
+), fkl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o3.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM lineitem li LEFT JOIN orders o3 ON o3.o_orderkey = li.l_orderkey
+), rows_ AS (
+  SELECT 'orders.custkey_fk_customer' AS constraint_name, n, v FROM fko
+  UNION ALL SELECT 'orders.orderdate_not_null', n, v_date FROM o
+  UNION ALL SELECT 'orders.status_in_domain', n, v_status FROM o
+  UNION ALL SELECT 'orders.totalprice_positive', n, v_price FROM o
+  UNION ALL SELECT 'lineitem.orderkey_fk_orders', n, v FROM fkl
+  UNION ALL SELECT 'lineitem.discount_in_unit_range', n, v_disc FROM l
+  UNION ALL SELECT 'lineitem.shipdate_in_horizon', n, v_ship FROM l
+)
+SELECT constraint_name, n AS n_checked, v AS n_violations,
+       CAST(v AS DOUBLE) / n AS violation_rate
+FROM rows_ ORDER BY constraint_name
+""",
+)
+def dq1_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ1: declarative data-quality constraint audit — the contract
+    checker every ingest gate runs (the reference's scattered row-count /
+     30-teams asserts, DEFENSEVSPOSTION.PY:524-541, generalized to a
+    constraint catalog): range, domain, not-null, and two referential
+    checks, each reported as (checked, violations, rate). All per-table
+    predicates fold into ONE conditional aggregate per table (one scan of
+    orders covers three constraints; map-side partials, 1-row output),
+    and each FK audit is a left join + null-count — shuffle on the key,
+    counts collapse map-side, no anti-join-then-count double pass. At
+    100 TB the audit costs two fact scans + two key shuffles TOTAL for
+    seven constraints — the amortization is the point of a constraint
+    CATALOG versus per-check queries."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_discount", "l_shipdate"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    okeys = o.select("o_orderkey")
+
+    def cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt(~(F.col("o_totalprice") > 0)).alias("v_price"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v_status"),
+        cnt(F.col("o_orderdate").isNull()).alias("v_date"),
+    )
+    l_agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("v_disc"),
+        cnt(
+            (F.col("l_shipdate") < "1992-01-01")
+            | (F.col("l_shipdate") >= "1999-01-01")
+        ).alias("v_ship"),
+    )
+    fko = (
+        o.select("o_custkey")
+        .join(cust, o["o_custkey"] == cust["c_custkey"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            cnt(F.col("c_custkey").isNull()).alias("v"),
+        )
+    )
+    fkl = (
+        li.select("l_orderkey")
+        .join(okeys, li["l_orderkey"] == okeys["o_orderkey"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            cnt(F.col("o_orderkey").isNull()).alias("v"),
+        )
+    )
+
+    def row(src: DataFrame, name: str, vcol: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n"),
+            F.col(vcol).alias("v"),
+        )
+
+    rows = (
+        row(fko, "orders.custkey_fk_customer", "v")
+        .unionByName(row(o_agg, "orders.orderdate_not_null", "v_date"))
+        .unionByName(row(o_agg, "orders.status_in_domain", "v_status"))
+        .unionByName(row(o_agg, "orders.totalprice_positive", "v_price"))
+        .unionByName(row(fkl, "lineitem.orderkey_fk_orders", "v"))
+        .unionByName(row(l_agg, "lineitem.discount_in_unit_range", "v_disc"))
+        .unionByName(row(l_agg, "lineitem.shipdate_in_horizon", "v_ship"))
+    )
+    return rows.select(
+        "constraint_name",
+        F.col("n").alias("n_checked"),
+        F.col("v").alias("n_violations"),
+        (F.col("v").cast("double") / F.col("n")).alias("violation_rate"),
+    ).orderBy("constraint_name")
