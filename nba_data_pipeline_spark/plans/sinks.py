@@ -171,3 +171,63 @@ def snk7_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("total_cents").cast("bigint").alias("total_cents"),
     ).orderBy("o_orderstatus")
+
+
+#: Partitioned-parquet landing per (sf_dir, source mtime) — same caching
+#: contract as the other sink fixtures.
+_PARQUET_CACHE: dict[tuple[str, float], str] = {}
+
+
+@query(
+    "snk8_partitioned_parquet_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def snk8_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK8: hive-partitioned PARQUET sink + partition-PRUNED read-back —
+    the warehouse-native layout the JSON/CSV/XLSX sinks don't cover:
+    orders land once as ``parquet partitionBy(o_orderpriority)`` (a fully
+    distributed write — every task writes its own partition files, no
+    driver collect), then the query reads the landed dataset back with a
+    partition filter and aggregates. The filter resolves against
+    DIRECTORY names, not data (``PartitionFilters`` in the scan,
+    asserted by pytest), so 3 of 5 partitions are never opened — the
+    read-side payoff that justifies partitioned layout at 100 TB, where
+    a priority-scoped job touches 40% of the files instead of re-scanning
+    the table. The oracle aggregates the original table under the same
+    predicate: a hash match proves the round-trip lost nothing and the
+    partition column rehydrated exactly (it is stored as a directory
+    value, not in the data files)."""
+    key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
+    if key not in _PARQUET_CACHE:
+        path = os.path.join(session_tmpdir("snk8_"), "orders_by_priority")
+        (
+            read_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.partitionBy("o_orderpriority")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        _PARQUET_CACHE[key] = path
+    landed = spark.read.parquet(_PARQUET_CACHE[key])
+    return (
+        landed.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            )
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -551,3 +551,14 @@ def test_deletion_neighborhood_matches_brute_force(spark):
         brute = sorted(b for b in names if lev1(r.name, b))
         assert r.n_neighbors == len(brute)
         assert r.closest == (brute[0] if brute else None)
+
+
+def test_partitioned_parquet_scan_prunes_partitions(spark):
+    """The snk8 read-back plan carries a PartitionFilters entry on the
+    priority directory column — the filter never touches data files."""
+    from nba_data_pipeline_spark.plans.registry import load_all
+
+    df = load_all()["snk8_partitioned_parquet_roundtrip"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters:")[1][:200]
