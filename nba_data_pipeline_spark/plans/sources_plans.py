@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table, session_tmpdir
+from nba_data_pipeline_spark.plans.exact import dsum, sql_dsum
 from nba_data_pipeline_spark.plans.registry import query
 from nba_data_pipeline_spark.sources.csv_source import read_csv_clean
 from nba_data_pipeline_spark.sources.html_table import html_corpus_cascade
@@ -332,4 +333,151 @@ def src_http_get(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("name").alias("min_name"),
         )
         .orderBy("regionkey")
+    )
+
+# ---------------------------------------------------------------------------
+# SRC-XML: native XML write → distributed XML scan → aggregate
+# ---------------------------------------------------------------------------
+
+#: (sf_dir, part.parquet mtime) → landed XML dir (land once per process per
+#: data generation, same cache posture as _land_csv).
+_XML_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _land_xml(spark: SparkSession, sf_dir: str) -> str:
+    """Land ``part`` as an XML corpus via the DISTRIBUTED writer
+    (``df.write.format("xml")``, built into Spark 4) — unlike the CSV/HTML
+    fixtures there is no driver-side synthesis at all: both halves of the
+    round-trip are executor-parallel jobs. The guard fails loudly if a data
+    regeneration pads a text value with surrounding whitespace, which the
+    XML reader's ignoreSurroundingSpaces default would silently strip (the
+    advisor-mandated posture of _land_csv/_guard_html_fixture)."""
+    cache_key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "part.parquet")))
+    if cache_key in _XML_CACHE:
+        return _XML_CACHE[cache_key]
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"
+    )
+    bad = p.filter(
+        (F.col("p_name") != F.trim("p_name")) | (F.col("p_brand") != F.trim("p_brand"))
+    ).count()
+    if bad:
+        raise ValueError(
+            "src_xml_roundtrip fixture needs whitespace-safe p_name/p_brand; "
+            f"XML surrounding-space trimming would corrupt {bad} rows"
+        )
+    out = os.path.join(session_tmpdir("src_xml_"), "part_xml")
+    p.repartition(8).write.mode("overwrite").format("xml").option(
+        "rowTag", "part"
+    ).save(out)
+    _XML_CACHE[cache_key] = out
+    return out
+
+
+@query(
+    "src_xml_roundtrip",
+    oracle=f"""
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(p_partkey) AS BIGINT) AS sum_partkey,
+       CAST(SUM(p_size) AS BIGINT) AS sum_size,
+       {sql_dsum("p_retailprice")} AS sum_price,
+       MIN(p_name) AS min_name
+FROM part GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC-XML round-trip: ``part`` → Spark 4's native XML datasource
+    (write with rowTag, read back with schema inference over entity-escaped
+    element text) → per-brand aggregate. Hash-matching the parquet-side
+    oracle proves the writer's entity escaping, the reader's type inference
+    (long/double from element text), and Java's shortest-round-trip double
+    formatting lost nothing. The reference ingests markup tables by
+    scraping (Basketball_Refrence_alltables.py); XML is the same
+    semi-structured-markup family as a first-class datasource.
+
+    Scale shape: both directions are distributed (8 writer tasks here; at
+    100 TB parallelism = partitions), the scan carries only the five
+    projected elements, and the aggregate is map-side partial on p_brand.
+    The money sum uses the decimal discipline (plans/exact.py)."""
+    path = _land_xml(spark, sf_dir)
+    df = spark.read.format("xml").option("rowTag", "part").load(path)
+    return (
+        df.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("p_partkey").cast("bigint").alias("sum_partkey"),
+            F.sum("p_size").cast("bigint").alias("sum_size"),
+            dsum("p_retailprice").alias("sum_price"),
+            F.min("p_name").alias("min_name"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRC-VARIANT: schema-on-read JSON querying via Spark 4's VARIANT type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_json_variant",
+    oracle=f"""
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+       {sql_dsum("o_totalprice")} AS sum_price,
+       CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT) AS n_big,
+       CAST(0 AS BIGINT) AS n_miss
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def src_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON via the VARIANT type (Spark 4): orders are
+    serialized to nested JSON documents (object + sub-object + array —
+    the shape the reference's scrapers land, nba_props_scraper.py:824-860),
+    parsed back with ``parse_json`` into VARIANT, and queried with typed
+    path extraction — ``variant_get`` on a nested field, an array index,
+    and ``try_variant_get`` on a missing path (must yield NULL, counted to
+    prove it). Hash-matching the relational oracle proves the binary
+    VARIANT encoding round-trips every key, string, and double exactly.
+
+    Scale shape: VARIANT is the open-format answer to semi-structured
+    columns — the parse and path extraction are JVM-native expressions
+    inside whole-stage codegen (no Python, no UDF), shredding stays
+    columnar, and the aggregate is map-side partial. At 100 TB the JSON
+    column arrives from the lake as-is; only this query's synthesis step
+    (to_json) is fixture plumbing."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("meta"),
+            F.array(F.col("o_totalprice")).alias("amounts"),
+        )
+    )
+    v = o.withColumn("doc", doc).selectExpr("parse_json(doc) AS v")
+    flat = v.selectExpr(
+        "variant_get(v, '$.id', 'bigint') AS id",
+        "variant_get(v, '$.meta.status', 'string') AS status",
+        "variant_get(v, '$.meta.priority', 'string') AS priority",
+        "variant_get(v, '$.amounts[0]', 'double') AS amount",
+        "try_variant_get(v, '$.meta.absent', 'int') AS miss",
+    )
+    return (
+        flat.groupBy("status", "priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("id").cast("bigint").alias("sum_orderkey"),
+            dsum("amount").alias("sum_price"),
+            F.count(F.when(F.col("amount") > 100000, 1)).cast("bigint").alias("n_big"),
+            F.count("miss").cast("bigint").alias("n_miss"),
+        )
+        .orderBy("status", "priority")
     )
