@@ -750,3 +750,137 @@ def d5_simhash_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("simhash16")
     )
+
+
+# ---------------------------------------------------------------------------
+# D9: PPJoin-style prefix-filtered set-similarity join
+# ---------------------------------------------------------------------------
+
+_PF_T_NUM, _PF_T_DEN = 1, 2  # Jaccard threshold t = 1/2, kept rational
+
+
+@query(
+    "d9_prefix_filter_join",
+    oracle=f"""
+{_SQL_SH_REL},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       CAST(x.sz AS BIGINT) AS size_a, CAST(y.sz AS BIGINT) AS size_b,
+       CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
+FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE inter * {_PF_T_DEN} >= (x.sz + y.sz - inter) * {_PF_T_NUM}
+ORDER BY id_a, id_b
+""",
+)
+def d9_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: set-similarity self-join with PREFIX FILTERING (PPJoin family,
+    Xiao et al., "Efficient Similarity Joins for Near Duplicate Detection",
+    WWW'08) — all doc pairs whose 3-shingle-set Jaccard ≥ 1/2, candidates
+    generated from shingle PREFIXES only. Order every doc's shingles by
+    global rarity (document frequency asc, shingle asc); a doc of size L
+    needs only its first L - ceil(t·L) + 1 shingles indexed: if
+    J(A,B) ≥ t the two prefixes provably share a shingle (pigeonhole over
+    the ≥ ceil(t·|A|) intersection shingles — the last-prefix-token
+    argument of the PPJoin lemma), so joining prefixes loses nothing,
+    while the oracle's join-on-ANY-shared-shingle candidate set is the
+    full d5-style fan-out. A symmetric length filter (t·|A| ≤ |B| ≤ |A|/t)
+    prunes further; survivors are verified with an exact intersection
+    count, and the rational-compare threshold (inter·den ≥ union·num)
+    keeps the predicate integer-exact on both engines.
+
+    Scale shape: the prefix relation is one row_number window per doc,
+    candidates come from an equi-join on globally-rare keys (halving the
+    indexed tokens cuts join fan-out superlinearly — the hottest half of
+    every doc's shingles is never indexed), and exact verification touches
+    only surviving pairs. This is the linear-ish plan for million-doc
+    corpora where the any-shingle join pays for every hot shingle."""
+    from pyspark.sql.window import Window as W
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # Shingles carried as 64-bit hashes everywhere past this point (8-byte
+    # shuffle keys; per-doc-distinct, so counts are unchanged — the same
+    # collision budget jaccard_pairs documents).
+    sh = shingle_sets(d).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    ).persist()
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # One window stage (clustered by doc_id) yields both the rarity rank
+    # and the set size — no separate size join.
+    wdoc = W.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "h")
+        .withColumn("pos", F.row_number().over(wdoc.orderBy("df", "h")))
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+    )
+    # prefix length for t = num/den: L - ceil(L*num/den) + 1
+    # (integer ceil: (L*num + den - 1) div den)
+    ceil_tl = F.expr(f"(sz * {_PF_T_NUM} + {_PF_T_DEN} - 1) div {_PF_T_DEN}")
+    prefix = ranked.filter(F.col("pos") <= F.col("sz") - ceil_tl + 1).select(
+        "doc_id", "h", "sz"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # symmetric length filter for t=num/den: den*min_sz >= num*max_sz
+            & (F.col("a.sz") * _PF_T_DEN >= F.col("b.sz") * _PF_T_NUM)
+            & (F.col("b.sz") * _PF_T_DEN >= F.col("a.sz") * _PF_T_NUM),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("size_a"),
+            F.col("b.sz").alias("size_b"),
+        )
+        .distinct()
+    )
+    # Verify with per-doc sorted hash arrays: two BROADCAST joins bring
+    # both sets to the pair (the docset table is doc-count-sized — tiny
+    # next to the pair stream), array_intersect counts exactly — per-pair
+    # O(|doc|) map-side work with NO fan-out join (the pair × shingle
+    # expansion this replaced measured ~10× slower at sf0.1). The explicit
+    # repartition keeps the verify stage at session parallelism — AQE
+    # coalesces the small post-distinct exchange to 2-3 partitions and
+    # would run the array intersections nearly serially. At 100 TB the
+    # docset side outgrows a broadcast: partition BOTH sides on doc id
+    # instead (two shuffle joins), everything else unchanged.
+    docsets = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    inter = (
+        cand.repartition(spark.sparkContext.defaultParallelism, "id_a", "id_b")
+        .join(
+            F.broadcast(
+                docsets.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                docsets.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+    )
+    union_sz = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return (
+        inter.filter(F.col("inter") * _PF_T_DEN >= union_sz * _PF_T_NUM)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            (F.col("inter").cast("double") / union_sz).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
