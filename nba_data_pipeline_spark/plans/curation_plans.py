@@ -13,6 +13,7 @@ hashes so the DuckDB oracle reproduces every bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
@@ -614,3 +615,89 @@ def ta_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-proportional systematic sampling
+# ---------------------------------------------------------------------------
+
+_WS_TARGET = 50  # target sample size
+
+
+@query(
+    "ta_weighted_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, w,
+         CAST(SUM(w) OVER (ORDER BY ord, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(w) OVER () AS BIGINT) AS total
+  FROM w
+),
+stepped AS (
+  SELECT doc_id, source, w, cum,
+         GREATEST(total // {_WS_TARGET}, 1) AS step
+  FROM cum
+)
+SELECT doc_id, source, w, cum,
+       CAST(cum // step - (cum - w) // step AS BIGINT) AS multiplicity
+FROM stepped
+WHERE cum // step > (cum - w) // step
+ORDER BY doc_id
+""",
+)
+def ta_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional SYSTEMATIC sampling — the deterministic sampler
+    a token-budgeted pretraining mix needs: each document's inclusion
+    probability is proportional to its size (n_chars here; tokens in
+    production), with zero RNG state. Lay the docs on a line in a
+    hash-shuffled order (md5(doc_id) — the same deterministic permutation
+    ta_global_shuffle_shard uses), take running character positions, and
+    select every document whose interval (cum-w, cum] covers a multiple of
+    step = total_weight/target. All-integer selection (cum//step
+    comparisons), so both engines agree bit-for-bit; oversized documents
+    legitimately win multiplicity > 1 (reported — a repeat in an
+    epoch-mix sense), and expected sample size = total//step ≈ target
+    with at-most-1 deviation per stratum.
+
+    Scale shape: the running sum is one global-order window — at 100 TB
+    this is a range-partitioned prefix sum (Spark sorts by range then
+    scans; no single-reducer stage); everything after it is map-side.
+    Versus A-ES exponential-jump sampling, systematic needs no floating
+    pow/log — which is exactly what keeps the cross-engine hash stable."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("ord"),
+    )
+    wcum = W.orderBy("ord", "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = d.select(
+        "doc_id",
+        "source",
+        "w",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).alias("total"),
+    )
+    stepped = cum.withColumn(
+        "step", F.greatest(F.expr(f"total div {_WS_TARGET}"), F.lit(1).cast("bigint"))
+    )
+    sel = stepped.filter(
+        F.expr("cum div step") > F.expr("(cum - w) div step")
+    )
+    return sel.select(
+        "doc_id",
+        "source",
+        "w",
+        "cum",
+        (F.expr("cum div step") - F.expr("(cum - w) div step"))
+        .cast("bigint")
+        .alias("multiplicity"),
+    ).orderBy("doc_id")

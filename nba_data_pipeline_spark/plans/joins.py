@@ -707,3 +707,100 @@ def j13_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# J14: as-of join with tolerance, via the sorted-union trick (no range join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j14_asof_tolerance_union",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey, CAST(o_custkey % 150 AS BIGINT) AS user_id,
+         o_orderdate AS t FROM orders
+),
+q0 AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events
+),
+q AS (SELECT user_id, ts, event_id, value FROM q0 WHERE rn = 1)
+SELECT t.o_orderkey, t.user_id,
+       CASE WHEN q.ts >= t.t - INTERVAL 7 DAY THEN q.event_id END AS asof_event_id,
+       CASE WHEN q.ts >= t.t - INTERVAL 7 DAY THEN q.value END AS asof_value,
+       CASE WHEN q.ts >= t.t - INTERVAL 7 DAY
+            THEN CAST(date_diff('second', q.ts, t.t) AS BIGINT) END AS lag_s
+FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND q.ts <= t.t
+ORDER BY t.o_orderkey
+""",
+)
+def j14_asof_tolerance_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14: backward as-of join WITH TOLERANCE (pandas merge_asof
+    semantics, the shape the reference needs for 'latest odds scrape
+    within a week of tip-off', nba_props_scraper.py:837-840): for every
+    order, the user's most recent event at-or-before the order date,
+    nulled out when it is staler than 7 days.
+
+    Spark-first shape — the SORTED-UNION trick, not a range join: tag
+    quotes kind=0 and trades kind=1, union them, and one window per
+    user_id ordered by (ts, kind) makes ``last(value, ignorenulls)`` at
+    each trade row exactly the as-of match. ONE shuffle, ONE sort, zero
+    join fan-out — where j7's range-join form expands every order × all
+    earlier events of the user before keeping rank 1 (quadratic per hot
+    key at 100 TB; the union plan is n log n and is also precisely the
+    watermarked stream-stream state shape). Equal-ts quotes are deduped to
+    the max event_id first so both engines' as-of pick is deterministic;
+    the DuckDB oracle uses its native ASOF LEFT JOIN with a post-hoc
+    tolerance CASE."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).cast("bigint").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+    )
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    )
+    q = ev.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    quotes = q.select(
+        "user_id",
+        F.col("ts").alias("ots"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.col("ts").alias("q_ts"),
+        F.col("event_id").alias("q_event_id"),
+        F.col("value").alias("q_value"),
+    )
+    trades = o.select(
+        "user_id",
+        F.col("t").alias("ots"),
+        F.lit(1).alias("kind"),
+        "o_orderkey",
+        F.lit(None).cast("timestamp").alias("q_ts"),
+        F.lit(None).cast("bigint").alias("q_event_id"),
+        F.lit(None).cast("double").alias("q_value"),
+    )
+    u = quotes.unionByName(trades)
+    wlast = (
+        W.partitionBy("user_id")
+        .orderBy("ots", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        u.withColumn("asof_ts", F.last("q_ts", ignorenulls=True).over(wlast))
+        .withColumn("asof_id", F.last("q_event_id", ignorenulls=True).over(wlast))
+        .withColumn("asof_v", F.last("q_value", ignorenulls=True).over(wlast))
+        .filter(F.col("kind") == 1)
+    )
+    fresh = F.col("asof_ts") >= F.col("ots") - F.expr("INTERVAL 7 DAYS")
+    return carried.select(
+        "o_orderkey",
+        "user_id",
+        F.when(fresh, F.col("asof_id")).alias("asof_event_id"),
+        F.when(fresh, F.col("asof_v")).alias("asof_value"),
+        F.when(
+            fresh, (F.unix_timestamp("ots") - F.unix_timestamp("asof_ts")).cast("bigint")
+        ).alias("lag_s"),
+    ).orderBy("o_orderkey")

@@ -920,3 +920,66 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", "approx_dist2", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss) with a deterministic sign matrix
+# ---------------------------------------------------------------------------
+
+_RP_D = 64  # input dimensionality (embeddings fixture)
+_RP_K = 8  # output dimensionality
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """±1 sign for input dim i → output dim j, derived from md5 so the
+    matrix is reproducible anywhere without an RNG (computed here in
+    Python; baked into BOTH engines' expressions as literals)."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16) < 8 else -1
+
+
+def _rp_exprs(one_based: bool) -> list[str]:
+    """One explicit left-to-right sum per output dim. The chain is built
+    +-left-associative with a fixed term order, so IEEE addition order is
+    identical in Spark and DuckDB (and Catalyst's associative-reorder rule
+    only touches integral types)."""
+    exprs = []
+    for j in range(_RP_K):
+        terms = [
+            f"CAST(embedding[{i + (1 if one_based else 0)}] AS DOUBLE) * ({_rp_sign(i, j)})"
+            for i in range(_RP_D)
+        ]
+        exprs.append(" + ".join(terms))
+    return exprs
+
+
+@query(
+    "sim_random_projection",
+    oracle=f"""
+SELECT vec_id, CAST(label AS INT) AS label,
+       {", ".join(f"({e}) AS p{j}" for j, e in enumerate(_rp_exprs(True)))}
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random projection (Johnson-Lindenstrauss): project the 64-dim
+    embeddings to 8 dims with a dense ±1 sign matrix (Achlioptas 2001 —
+    database-friendly JL: ±1 entries preserve pairwise distances within
+    (1±ε) at k = O(log n / ε²), no Gaussian sampling needed). The matrix
+    is a compile-time constant derived from md5(i:j) — both engines carry
+    it as literals, and each output coordinate is one explicit
+    left-associated multiply-add chain, so the doubles match bit-for-bit.
+
+    Scale shape: a map-ONLY stage — no shuffle, no UDF, 8 codegen'd
+    fused multiply-add expressions per row; this is the cheap first stage
+    that makes downstream ANN (IVF cells, LSH planes, PQ codebooks — the
+    sim_* family) run on 8-dim vectors instead of 64, an 8× distance-math
+    reduction bought for one linear pass. At 100 TB it pipelines inside
+    the scan with zero memory footprint."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cols = [F.expr(x).alias(f"p{j}") for j, x in enumerate(_rp_exprs(False))]
+    return e.select(
+        "vec_id", F.col("label").cast("int").alias("label"), *cols
+    ).orderBy("vec_id")
