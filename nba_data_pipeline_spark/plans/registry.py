@@ -86,7 +86,6 @@ _FRONT: tuple[str, ...] = (
     "ta_domain_quota_sample",
     "ta_bloom_url_dedup",
     "ta_utf8_sanitize",
-    "ta_contamination_overlap",
     "ta_dup_line_prefix",
     "sim_pq_codebook",
     "sim_pq_topk",
@@ -101,7 +100,6 @@ _FRONT: tuple[str, ...] = (
     "ta_bpe_merge_round",
     "a20_cms_heavy_hitters",
     "w8_curriculum_deciles",
-    "a21_bitmap_rollup_reuse",
     "mm_real_codec_roundtrip",
     # --- new in round 3 (session 2): the two with the most novel oracle
     # machinery take these slots (the replanned d5_ngram_jaccard_topk /
@@ -112,6 +110,16 @@ _FRONT: tuple[str, ...] = (
     # rotate into the r4 prefix once this round frees 48 proven slots ---
     "j12_bloom_runtime_filter",
     "g1_pagerank_trade",
+    # --- new in round 3 (session 3): the two with the most novel machinery
+    # (prefix-filtered similarity join plan; the native-XML IO path) take
+    # two slots — displacing a21_bitmap_rollup_reuse and
+    # ta_contamination_overlap, whose machinery is family-covered by
+    # a18_bitmap_distinct / ta_decontaminate (driver-green r2); they stay
+    # local-green and rotate into the r4 prefix with the other session-2/3
+    # overflow (src_json_variant, a25_kmv_set_ops, ta_weighted_sample,
+    # sim_random_projection, j14_asof_tolerance_union, w9, lo1/lo2, …). ---
+    "d9_prefix_filter_join",
+    "src_xml_roundtrip",
     # --- proven representatives (driver-green r1/r2, unchanged) keeping
     # the filters/normalize families in this round's gate
     # (flagship stays smoke-checked every round via entry()) ---
