@@ -1519,3 +1519,68 @@ def a25_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return grp_rows.unionByName(all_row).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# DQ2: statistical anomaly audit (z-score outliers, exact moments)
+# ---------------------------------------------------------------------------
+
+_DQ2_Z = 2.5  # flag threshold in standard deviations
+
+
+@query(
+    "dq2_zscore_outliers",
+    oracle=f"""
+WITH m AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_dsum("o_totalprice")} AS s,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss
+  FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT grp, n, s / n AS mean, sqrt((ss - s * (s / n)) / n) AS std FROM m
+)
+SELECT o.o_orderkey, stats.grp, o.o_totalprice AS price,
+       (o.o_totalprice - stats.mean) / stats.std AS z
+FROM orders o JOIN stats ON o.o_orderpriority = stats.grp
+WHERE abs((o.o_totalprice - stats.mean) / stats.std) > {_DQ2_Z}
+ORDER BY o.o_orderkey
+""",
+)
+def dq2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ2: statistical data-quality audit — flag orders whose total price
+    sits more than 2.5σ from their priority group's mean (dq1 checks
+    declared constraints; this is the UNDECLARED-anomaly complement a
+    warehouse monitor runs after every load). Moments are computed under
+    the exact discipline: decimal sums for Σx and Σx² (order-independent),
+    then mean/σ/z derived with a FIXED double expression tree — population
+    variance as (Σx² − Σx·mean)/n, not the built-in stddev whose partial
+    merge order differs per engine — so z is bit-identical across engines
+    and the 2.5 boundary cannot flip.
+
+    Scale shape: two passes with one tiny intermediate — a 5-row
+    (group, n, Σx, Σx²) aggregate broadcast back onto the fact scan; the
+    flag pass is map-side, no second shuffle. At 100 TB this is the
+    standard 'profile then re-scan' plan; the broadcast carries bytes."""
+    o = read_table(spark, sf_dir, "orders")
+    px = F.col("o_totalprice").cast("decimal(18,2)")
+    m = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(px).cast("double").alias("s"),
+        F.sum(px * px).cast("double").alias("ss"),
+    )
+    stats = m.select(
+        "grp",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("ss") - F.col("s") * (F.col("s") / F.col("n"))) / F.col("n")).alias(
+            "std"
+        ),
+    )
+    z = (F.col("o_totalprice") - F.col("mean")) / F.col("std")
+    return (
+        o.join(F.broadcast(stats), o["o_orderpriority"] == stats["grp"])
+        .select("o_orderkey", "grp", F.col("o_totalprice").alias("price"), z.alias("z"))
+        .filter(F.abs(F.col("z")) > _DQ2_Z)
+        .orderBy("o_orderkey")
+    )

@@ -127,3 +127,131 @@ def g1_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "pr_rank", F.row_number().over(wr).cast("int")
     ).orderBy("pr_rank")
+
+
+# ---------------------------------------------------------------------------
+# G2: triangle counting with degree-ordered orientation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g2_triangle_count",
+    oracle="""
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT DISTINCT u, v FROM pairs),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+members AS (
+  SELECT a AS node FROM tri UNION ALL
+  SELECT b FROM tri UNION ALL
+  SELECT c FROM tri
+),
+deg AS (
+  SELECT u AS node, COUNT(*) AS d
+  FROM (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)
+  GROUP BY 1
+)
+SELECT m.node AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST(MIN(d.d) AS BIGINT) AS degree
+FROM members m JOIN deg d ON d.node = m.node
+GROUP BY m.node
+ORDER BY n_triangles DESC, p_partkey
+LIMIT 20
+""",
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: TRIANGLE counting over the part co-order graph (parts that share
+    an order are adjacent — the 'bought together' graph the reference's
+    matchup co-occurrence heuristics gesture at): top-20 parts by the
+    number of triangles they close, with degree. Triangles are the
+    community-density primitive (clustering coefficient, spam/bot
+    detection, feature for graph ML).
+
+    Spark-first shape — DEGREE-ORDERED ORIENTATION (the MapReduce
+    node-iterator of Suri & Vassilvitskii, WWW'11): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one, making the neighbor lists that drive the wedge join
+    O(sqrt(m))-bounded, so wedge volume is O(m^1.5) worst-case instead of
+    sum-of-deg² — the hub that closes the most triangles never enumerates
+    its own quadratic wedge set. Wedges (a→b, a→c) close iff edge (b→c)
+    exists: one equi-join against the oriented edge list. The oracle
+    brute-forces the a<b<c id-ordered form — orientation must not change
+    a single count. Members explode ×3, then a map-side partial count.
+
+    At 100 TB: edges persist as a bucketed table on u; the wedge join and
+    the closing probe both co-locate on that bucketing (no re-shuffle),
+    and AQE's skew split handles residual hot vertices."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    edges = pairs.distinct().persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): u' = smaller endpoint under that order
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+        .persist()
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")))
+        .select(
+            F.col("e1.s").alias("a"), F.col("e1.t").alias("b"), F.col("e2.t").alias("c")
+        )
+    )
+    # the closing edge (b,c) may be oriented either way in e; probe the
+    # canonical (min,max) form against a symmetric-canonical edge view
+    canon = e.select(
+        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    )
+    tri = wedges.join(
+        canon,
+        (F.least("b", "c") == F.col("x")) & (F.greatest("b", "c") == F.col("y")),
+    ).select("a", "b", "c")
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        members.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .join(deg, "node")
+        .select(
+            F.col("node").alias("p_partkey"),
+            "n_triangles",
+            F.col("d").cast("bigint").alias("degree"),
+        )
+        .orderBy(F.desc("n_triangles"), "p_partkey")
+        .limit(20)
+    )
