@@ -154,3 +154,96 @@ def ts2_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# TS3: exponentially weighted moving average (finite memory, exact weights)
+# ---------------------------------------------------------------------------
+
+_EWMA_N = 8  # memory depth; weight of lag k is 2^(N-1-k)
+
+
+def _ewma_exprs(lag_name) -> tuple[str, str]:
+    """(numerator, denominator) as explicit left-associated chains over
+    lag columns produced by ``lag_name(k)`` — identical expression trees
+    on both engines so the doubles match bit-for-bit."""
+    num_terms = [
+        f"COALESCE({lag_name(k)}, 0) * {1 << (_EWMA_N - 1 - k)}" for k in range(_EWMA_N)
+    ]
+    den_terms = [
+        f"CASE WHEN {lag_name(k)} IS NULL THEN 0 ELSE {1 << (_EWMA_N - 1 - k)} END"
+        for k in range(_EWMA_N)
+    ]
+    return " + ".join(num_terms), " + ".join(den_terms)
+
+
+_TS3_NUM, _TS3_DEN = _ewma_exprs(lambda k: f"x{k}")
+_TS3_LAGS_SQL = ",\n         ".join(
+    "value AS x0" if k == 0 else
+    f"LAG(value, {k}) OVER (PARTITION BY user_id ORDER BY day) AS x{k}"
+    for k in range(_EWMA_N)
+)
+
+
+@query(
+    "ts3_ewma_smooth",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id % 25 = 0) t
+  WHERE rn = 1
+), lagged AS (
+  SELECT user_id, day,
+         {_TS3_LAGS_SQL}
+  FROM daily
+)
+SELECT user_id, day, x0 AS value,
+       ({_TS3_NUM}) / ({_TS3_DEN}) AS ewma
+FROM lagged
+ORDER BY user_id, day
+""",
+)
+def ts3_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS3: EWMA smoothing with α = 1/2 and finite memory N=8 — the
+    denoising pass between a repaired feed (ts1) and trend logic, with the
+    float-fixpoint problem designed out: instead of the recursive
+    ewma = αx + (1-α)·prev (whose rounding error path no cross-engine
+    oracle can reproduce), the weights are truncated to the last N
+    observations and applied as INTEGER powers of two in one fixed
+    left-associated expression chain, renormalized by the weights actually
+    present at the series head — bit-identical doubles on both engines,
+    and within 2^-N of the infinite-memory EWMA everywhere.
+
+    Scale shape: one shuffle on the series key; the N lags all ride the
+    same (user_id, day) sort, and the arithmetic is codegen'd per-row —
+    the same single-partition-pass contract as ts1/ts2."""
+    daily_rn = F.row_number().over(
+        W.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)
+        .withColumn("day", F.col("ts").cast("date"))
+        .withColumn("rn", daily_rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    wlag = W.partitionBy("user_id").orderBy("day")
+    lagged = daily.select(
+        "user_id",
+        "day",
+        F.col("value").alias("x0"),
+        *[F.lag("value", k).over(wlag).alias(f"x{k}") for k in range(1, _EWMA_N)],
+    )
+    return lagged.select(
+        "user_id",
+        "day",
+        F.col("x0").alias("value"),
+        F.expr(f"({_TS3_NUM}) / ({_TS3_DEN})").alias("ewma"),
+    ).orderBy("user_id", "day")
