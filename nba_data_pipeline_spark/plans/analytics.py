@@ -1714,3 +1714,54 @@ def a26_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("grp", "n", "p50_est", "p90_est", "p99_est", "p50_exact")
         .orderBy("grp")
     )
+
+
+@query(
+    "a27_unpivot_roundtrip",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_F,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_O,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_P
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, n_orders
+FROM wide
+UNPIVOT (n_orders FOR status IN (status_F AS 'F', status_O AS 'O', status_P AS 'P'))
+ORDER BY o_orderpriority, status
+""",
+)
+def a27_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: UNPIVOT (melt) — the inverse reshape of a_pivot_matrix,
+    closing the wide↔long loop the reference walks by hand when it
+    re-normalizes its exported DvP matrices (DEFENSEVSPOSTION.PY:624-643
+    writes wide; every downstream join wants long). Built with
+    ``DataFrame.unpivot`` (Expand node — each input row fans to 3 output
+    rows in-place, no shuffle, no UDF); the oracle uses DuckDB's UNPIVOT
+    so both engines' reshape semantics are compared operator-to-operator.
+    The pivot half runs first (same pinned-values plan as a_pivot_matrix),
+    so a hash match proves wide→long is lossless including zero cells.
+
+    Scale shape: unpivot is map-only (row fan-out ×|columns|); the only
+    shuffle is the pivot's own group-by. At 100 TB melt-then-shuffle beats
+    shuffling wide rows whenever downstream keys on (group, variable)."""
+    o = read_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("status_F"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("status_O"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("status_P"),
+        )
+    )
+    long = wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["status_F", "status_O", "status_P"],
+        variableColumnName="status",
+        valueColumnName="n_orders",
+    ).withColumn("status", F.regexp_replace("status", "^status_", ""))
+    return long.orderBy("o_orderpriority", "status")
