@@ -61,7 +61,10 @@ def _dsu_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def connected_components(
-    edges: DataFrame, num_partitions: int = 1, max_rounds: int = 16
+    edges: DataFrame,
+    num_partitions: int = 1,
+    max_rounds: int = 16,
+    finish_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Labels every node of the undirected ``edges`` graph (columns
     ``src``, ``dst``, integral ids) with ``component_id`` = the smallest id
@@ -76,6 +79,13 @@ def connected_components(
     whole graph and the loop exits after a single round. ``max_rounds``
     bounds the contraction at O(log num_partitions) + diameter slack;
     hitting it raises rather than silently mislabeling.
+
+    ``finish_threshold`` is the hybrid cutover every production CC job
+    has: once a round's contracted conflict graph has at most this many
+    edges it fits one task's DSU budget, so the next round runs on ONE
+    partition — exact fixpoint in a single pass — instead of paying
+    further O(log P) sharded rounds of scheduling for a residual graph
+    that is already tiny. Size it to edges-per-task at cluster scale.
     """
     labels: DataFrame | None = None
     g = edges.select(
@@ -99,8 +109,11 @@ def connected_components(
     # Caches from the PREVIOUS round must outlive the current round's label
     # materialization: this round's g is recomputed from them when persisted.
     prev_caches: list[DataFrame] = []
+    cur_parts = num_partitions
     for _ in range(max_rounds):
-        g = g.repartition(num_partitions, "src").persist()
+        g = (
+            g.repartition(cur_parts, "src") if cur_parts > 1 else g.repartition(1)
+        ).persist()
         m = g.mapInPandas(_dsu_partition, "node long, root long").persist()
         # A node whose edges hash to several partitions gets one (node, root)
         # row PER partition. The contraction join below needs all of them
@@ -138,6 +151,12 @@ def connected_components(
         for c in prev_caches:
             c.unpersist()
         prev_caches = [g, m]
+        if cur_parts == 1:
+            # The finishing round: one task held the whole residual graph,
+            # so its DSU output is already the exact fixpoint and the
+            # relabel above walked every label down to it — no contraction
+            # or emptiness probe needed.
+            break
         # Contract: rewrite both endpoints to their local roots; intra-
         # component edges become self-loops and drop out, so the next
         # round's graph only carries the conflicts BETWEEN partitions.
@@ -154,9 +173,14 @@ def connected_components(
         prev_caches.append(g)
         # count(), not isEmpty(): the emptiness probe doubles as the action
         # that materializes the contracted graph into its cache, so the next
-        # round starts from cached edges instead of replaying the joins.
-        if g.count() == 0:
+        # round starts from cached edges instead of replaying the joins —
+        # and its value drives the hybrid cutover to the 1-partition
+        # finishing round.
+        n_conflict = g.count()
+        if n_conflict == 0:
             break
+        if n_conflict <= finish_threshold:
+            cur_parts = 1
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"

@@ -95,12 +95,22 @@ def test_connected_components_spans_partitions(spark):
 
     rows = [(i, i + 1) for i in range(39)] + [(100, 101), (101, 102)]
     edges = spark.createDataFrame(rows, "src long, dst long")
+    # finish_threshold=0 forbids the hybrid single-task finishing round, so
+    # this exercises the pure sharded-contraction loop to its own fixpoint
     got = {
         r.doc_id: r.component_id
-        for r in connected_components(edges, num_partitions=4).collect()
+        for r in connected_components(
+            edges, num_partitions=4, finish_threshold=0
+        ).collect()
     }
     assert all(got[i] == 0 for i in range(40))
     assert got[100] == got[101] == got[102] == 100
+    # the default hybrid cutover must reach the same fixpoint
+    got2 = {
+        r.doc_id: r.component_id
+        for r in connected_components(edges, num_partitions=4).collect()
+    }
+    assert got2 == got
 
 
 def test_connected_components_undirected_and_empty(spark):
