@@ -804,3 +804,65 @@ def j14_asof_tolerance_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             fresh, (F.unix_timestamp("ots") - F.unix_timestamp("asof_ts")).cast("bigint")
         ).alias("lag_s"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# J15: dynamic partition pruning against the hive-partitioned sink
+# ---------------------------------------------------------------------------
+
+_DPP_CLASS = {  # priority → SLA class (the dim side of the pruning join)
+    "1-URGENT": "hot",
+    "2-HIGH": "hot",
+    "3-MEDIUM": "warm",
+    "4-NOT SPECIFIED": "cold",
+    "5-LOW": "cold",
+}
+
+
+@query(
+    "j15_dynamic_partition_pruning",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def j15_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15: DYNAMIC partition pruning — the fact side's partition filter is
+    not in the query text at all: the fact is the hive-partitioned orders
+    dataset (snk8's layout), the dim is a tiny priority→SLA-class table
+    filtered to class='hot', and Catalyst inserts a runtime subquery on
+    the fact's o_orderpriority directory column from the dim join's
+    broadcast (``dynamicpruning`` in the plan, asserted by pytest). This
+    is the mechanism that makes star-schema scans cheap at 100 TB when
+    the pruning predicate lives in a dimension — static PartitionFilters
+    (snk8) can't see it, so without DPP the scan opens every partition
+    and the join discards 60% of the rows after IO.
+
+    Only the 'hot' directories are opened; the aggregate then matches the
+    statically-predicated oracle bit-for-bit."""
+    from nba_data_pipeline_spark.plans.sinks import partitioned_orders_path
+
+    landed = spark.read.parquet(partitioned_orders_path(spark, sf_dir))
+    dim = spark.createDataFrame(
+        [(k, v) for k, v in _DPP_CLASS.items()], "priority string, sla_class string"
+    )
+    joined = landed.join(
+        F.broadcast(dim.filter(F.col("sla_class") == "hot")),
+        landed["o_orderpriority"] == F.col("priority"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -178,6 +178,25 @@ def snk7_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARQUET_CACHE: dict[tuple[str, float], str] = {}
 
 
+def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Land (once per process per data generation) orders as a
+    hive-partitioned parquet dataset, partitionBy(o_orderpriority) — the
+    shared fact-side layout for snk8's static-pruning read-back and j15's
+    dynamic-partition-pruning join."""
+    key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
+    if key not in _PARQUET_CACHE:
+        path = os.path.join(session_tmpdir("snk8_"), "orders_by_priority")
+        (
+            read_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.partitionBy("o_orderpriority")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        _PARQUET_CACHE[key] = path
+    return _PARQUET_CACHE[key]
+
+
 @query(
     "snk8_partitioned_parquet_roundtrip",
     oracle="""
@@ -206,18 +225,7 @@ def snk8_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> Data
     predicate: a hash match proves the round-trip lost nothing and the
     partition column rehydrated exactly (it is stored as a directory
     value, not in the data files)."""
-    key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
-    if key not in _PARQUET_CACHE:
-        path = os.path.join(session_tmpdir("snk8_"), "orders_by_priority")
-        (
-            read_table(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_totalprice", "o_orderpriority")
-            .write.partitionBy("o_orderpriority")
-            .mode("overwrite")
-            .parquet(path)
-        )
-        _PARQUET_CACHE[key] = path
-    landed = spark.read.parquet(_PARQUET_CACHE[key])
+    landed = spark.read.parquet(partitioned_orders_path(spark, sf_dir))
     return (
         landed.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .groupBy("o_orderpriority")

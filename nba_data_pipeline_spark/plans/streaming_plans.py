@@ -575,3 +575,89 @@ def s9_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# S10: replay dedupe across restamped arrivals (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+#: (sf_dir, events mtime) → landing dir with one original + one restamped copy
+_RESTAMP_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _land_restamped(sf_dir: str) -> str:
+    """Land events twice: arrival_1 verbatim, arrival_2 with every ts
+    shifted +30 minutes — the replayed-feed pathology where the upstream
+    re-emits the same records with fresh event stamps (scraper re-runs,
+    at-least-once brokers). Driver-side pyarrow restamp of one file,
+    handling both physical ts layouts the driver has generated
+    (nanos-as-long / micros-NTZ)."""
+    import os as _os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nba_data_pipeline_spark.io import table_path
+
+    src = table_path(sf_dir, "events")
+    key = (sf_dir, _os.path.getmtime(src))
+    if key in _RESTAMP_CACHE:
+        return _RESTAMP_CACHE[key]
+    land = session_tmpdir("s10_landing_")
+    shutil.copy(src, f"{land}/arrival_1.parquet")
+    t = pq.read_table(src)
+    i = t.schema.get_field_index("ts")
+    ts = t.column(i)
+    if pa.types.is_integer(ts.type):  # nanos-as-long layout
+        shifted = pc.add(ts, pa.scalar(30 * 60 * 10**9, type=ts.type))
+    else:
+        shifted = pc.add(ts, pa.scalar(30 * 60 * 10**6, type=pa.duration("us")))
+    pq.write_table(
+        t.set_column(i, t.schema.field(i), shifted), f"{land}/arrival_2.parquet"
+    )
+    _RESTAMP_CACHE[key] = land
+    return land
+
+
+@query(
+    "s10_dedupe_within_watermark",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_unique_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def s10_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: replay dedupe when the replay RESTAMPS event time —
+    ``dropDuplicatesWithinWatermark`` (Spark 4): every record arrives
+    twice, the second copy +30 min, and the operator treats two same-key
+    records as duplicates whenever their event times fall within the
+    watermark delay (2 h here). This is the API contract s2's plain
+    ``dropDuplicates`` lacks: that one keys state on exact values and
+    never expires it; WithinWatermark both tolerates the restamp AND
+    evicts each key's state once the watermark passes ts + delay — the
+    bounded-state form a 100 TB at-least-once feed needs (state size ∝
+    keys per watermark horizon, not keys ever seen). Per-type counts must
+    equal the batch aggregate over the single copy — the oracle."""
+    land = _land_restamped(sf_dir)
+    sdf = _stream_events(spark, sf_dir, "s10", land_dir=land)
+    deduped = sdf.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_events")
+    )
+    with _small_state_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("s10_dedupe_mem")
+            .outputMode("complete")
+            .option("checkpointLocation", session_tmpdir("s10_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("s10_dedupe_mem").orderBy("event_type")

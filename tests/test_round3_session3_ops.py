@@ -162,3 +162,32 @@ def test_variant_missing_path_is_null_not_error(spark):
     rows = _q("src_json_variant").fn(spark, SF_DIR).collect()
     assert rows and all(r.n_miss == 0 for r in rows)
     assert sum(r.n_orders for r in rows) > 0
+
+
+def test_dpp_subquery_in_j15_plan(spark):
+    """j15's fact scan must carry a dynamicpruning subquery on the
+    partition column — the filter reaches the directory level at runtime
+    from the dim join, not from the query text."""
+    df = _q("j15_dynamic_partition_pruning").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_dedupe_within_watermark_restamped_replay(spark):
+    """Every record arrives twice with the second copy's event time +30
+    min; dropDuplicatesWithinWatermark must still collapse them to the
+    single-copy counts."""
+    from nba_data_pipeline_spark.io import read_table
+
+    got = {
+        r.event_type: r.n_unique_events
+        for r in _q("s10_dedupe_within_watermark").fn(spark, SF_DIR).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
