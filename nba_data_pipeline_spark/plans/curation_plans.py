@@ -12,6 +12,7 @@ hashes so the DuckDB oracle reproduces every bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -701,3 +702,125 @@ def ta_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("multiplicity"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLY: greedy ranked-merge encoding
+# ---------------------------------------------------------------------------
+
+#: (left, right) merge rules in rank order — the learned artifact a
+#: ta_bpe_merge_round-style trainer emits, pinned as a literal so both
+#: engines carry the identical table.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("j", "o"),
+    ("i", "n"),
+    ("jo", "in"),
+    ("s", "c"),
+    ("sc", "a"),
+    ("h", "a"),
+    ("e", "r"),
+    ("o", "r"),
+    ("a", "n"),
+    ("c", "o"),
+]
+
+
+def _bpe_pat(a: str, b: str) -> tuple[str, str]:
+    """Boundary-safe (pattern, replacement): tokens are '|'-delimited on
+    BOTH sides, so a pair match can never span a token boundary."""
+    return f"|{a}|{b}|", f"|{a}{b}|"
+
+
+def _bpe_case_sql() -> str:
+    whens = []
+    for a, b in _BPE_MERGES:
+        pat, rep = _bpe_pat(a, b)
+        whens.append(
+            f"WHEN position('{pat}' IN seq) > 0 THEN replace(seq, '{pat}', '{rep}')"
+        )
+    return "CASE " + " ".join(whens) + " ELSE seq END"
+
+
+@query(
+    "ta_bpe_encode",
+    oracle=f"""
+WITH RECURSIVE wf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest({_TOKS}) AS word FROM documents
+  ) GROUP BY word
+),
+init AS (
+  SELECT word, freq,
+         '|' || array_to_string(list_transform(range(1, length(word) + 1),
+                                               i -> word[i]), '|') || '|' AS seq
+  FROM wf
+),
+enc AS (
+  SELECT word, freq, seq FROM init
+  UNION ALL
+  SELECT word, freq, nxt FROM (
+    SELECT word, freq, seq, {_bpe_case_sql()} AS nxt FROM enc
+  ) WHERE nxt <> seq
+)
+SELECT word, freq, seq AS encoded,
+       CAST(length(seq) - length(replace(seq, '|', '')) - 1 AS BIGINT) AS n_pieces
+FROM enc
+WHERE {_bpe_case_sql()} = seq
+ORDER BY word
+""",
+)
+def ta_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY — the inference half of ta_bpe_merge_round's
+    training round: encode every vocabulary word by greedily applying a
+    ranked merge table to its character sequence (apply the lowest-rank
+    merge present — all occurrences, left-to-right — then rescan from
+    rank 1, until fixpoint: the exact `tokenizers`-style BPE encode loop).
+    The Spark side runs the loop in an Arrow-batched pandas UDF over the
+    DISTINCT vocabulary — encode once per word, never per occurrence,
+    which is the production shape (vocab ≪ corpus; a broadcast join fans
+    the encodings back to tokens when needed). The DuckDB oracle replays
+    the identical greedy recursion as a RECURSIVE CTE whose step is a
+    rank-ordered CASE/replace chain, terminating at the same fixpoint —
+    both sides share boundary-safe '|token|' patterns so a merge can
+    never span pieces.
+
+    At 100 TB the UDF cost is |vocab| × |merges| string scans — O(MBs) —
+    and the corpus-side work is one broadcast equi-join; no Python ever
+    touches the fact table."""
+    merges = [_bpe_pat(a, b) for a, b in _BPE_MERGES]
+
+    @F.pandas_udf("string")
+    def encode(words: pd.Series) -> pd.Series:
+        def one(w: str) -> str:
+            seq = "|" + "|".join(w) + "|"
+            changed = True
+            while changed:
+                changed = False
+                for pat, rep in merges:
+                    if pat in seq:
+                        seq = seq.replace(pat, rep)
+                        changed = True
+                        break
+            return seq
+
+        return words.map(one)
+
+    d = read_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    enc = wf.withColumn("encoded", encode(F.col("word")))
+    return enc.select(
+        "word",
+        "freq",
+        "encoded",
+        (
+            F.length("encoded")
+            - F.length(F.regexp_replace("encoded", r"\|", ""))
+            - 1
+        )
+        .cast("bigint")
+        .alias("n_pieces"),
+    ).orderBy("word")
