@@ -191,3 +191,23 @@ def test_dedupe_within_watermark_restamped_replay(spark):
         .collect()
     }
     assert got == want
+
+
+def test_orc_scan_pushes_predicate(spark):
+    """The ORC scan must carry the l_quantity filter as PushedFilters so
+    stripes outside the predicate never decompress."""
+    df = _q("src_orc_roundtrip").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan orc" in ln]
+    assert scan and "PushedFilters: [" in scan[0]
+    assert "l_quantity" in scan[0].split("PushedFilters:")[1][:120]
+
+
+def test_schema_evolution_nulls_only_in_v1_rows(spark):
+    """mergeSchema must yield the added column as NULL exactly on the
+    pre-schema (even-key) generation's rows."""
+    rows = _q("src_schema_evolution").fn(spark, SF_DIR).collect()
+    pre = [r for r in rows if r.priority == "(pre-schema)"]
+    post = [r for r in rows if r.priority != "(pre-schema)"]
+    assert pre and post
+    assert sum(r.n_orders for r in rows) > 0
