@@ -824,3 +824,87 @@ def ta_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pieces"),
     ).orderBy("word")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the crawl-dedup key builder
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ta_url_canonicalize",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         concat('HTTPS://WWW.', source, '.Example.com:443/Path',
+                CAST(doc_id % 20 AS VARCHAR),
+                '/?utm_source=feed&id=', CAST(doc_id % 40 AS VARCHAR),
+                '&utm_campaign=x&ref=tw#frag') AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '#.*$', ''),
+               '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+             '[?&]$', ''),
+           '^https://www\\.([^/:]+):443', 'https://\\1') AS curl
+  FROM raw
+)
+SELECT curl, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper_doc
+FROM canon
+GROUP BY curl
+ORDER BY curl
+""",
+)
+def ta_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the dedup-key builder that runs before any
+    crawl-level dedup (ta_bloom_url_dedup probes keys; this makes the
+    keys): lowercase, drop the fragment, strip tracking parameters
+    (utm_*, ref), trim dangling separators, and fold the scheme-default
+    port + www prefix — so the five surface forms of one resource
+    collapse to one canonical key, then group to (canonical → count,
+    keeper). All four rules are native regexp_replace passes (no UDF,
+    whole-stage codegen); the synthesized messy URLs exercise every rule
+    on every row.
+
+    Scale shape: map-only key derivation + one map-side-combining
+    aggregate on the canonical key — the linear pre-pass that makes exact
+    URL dedup an equi-grouping at 100 TB."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.com:443/Path"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit("/?utm_source=feed&id="),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("&utm_campaign=x&ref=tw#frag"),
+        ).alias("url"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), r"#.*$", ""),
+                r"(utm_[a-z]+|ref)=[^&]*&?",
+                "",
+            ),
+            r"[?&]$",
+            "",
+        ),
+        r"^https://www\.([^/:]+):443",
+        r"https://$1",
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .orderBy("curl")
+    )

@@ -481,3 +481,141 @@ def src_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# SRC-ORC: columnar ORC round-trip with predicate pushdown
+# ---------------------------------------------------------------------------
+
+_ORC_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _land_orc(spark: SparkSession, sf_dir: str) -> str:
+    """Land lineitem as ORC via the distributed writer — the other
+    columnar lake format (Hive-ecosystem tables a Spark engine must read
+    in place rather than convert)."""
+    cache_key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "lineitem.parquet")))
+    if cache_key in _ORC_CACHE:
+        return _ORC_CACHE[cache_key]
+    out = os.path.join(session_tmpdir("src_orc_"), "lineitem_orc")
+    (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity", "l_returnflag", "l_extendedprice")
+        .repartition(8)
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    _ORC_CACHE[cache_key] = out
+    return out
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       {sql_dsum("l_extendedprice")} AS sum_price
+FROM lineitem
+WHERE l_quantity > 10
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC-ORC round-trip: lineitem → distributed ORC write → ORC scan
+    with a pushed predicate → per-flag aggregate. Hash-matching the
+    parquet-side oracle proves the second columnar format round-trips
+    keys, doubles, and strings exactly; the pytest asserts the
+    l_quantity filter reaches the ORC reader as a search argument
+    (PushedFilters), so row groups outside the predicate never
+    decompress — same scan-pruning contract the engine already pins for
+    parquet. Both landing and read are executor-parallel."""
+    path = _land_orc(spark, sf_dir)
+    df = spark.read.orc(path).where(F.col("l_quantity") > 10)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_orderkey").cast("bigint").alias("sum_orderkey"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRC-EVO: parquet schema evolution (mergeSchema read over drifted landings)
+# ---------------------------------------------------------------------------
+
+_EVO_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _land_evolved(spark: SparkSession, sf_dir: str) -> str:
+    """Two landing generations of the same feed: v1 files carry
+    (o_orderkey, o_orderstatus, o_totalprice); v2 files add
+    o_orderpriority — the additive schema drift every long-lived landed
+    dataset accumulates. Split by orderkey parity so both generations are
+    fact-sized and interleaved."""
+    cache_key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
+    if cache_key in _EVO_CACHE:
+        return _EVO_CACHE[cache_key]
+    root = session_tmpdir("src_evo_")
+    o = read_table(spark, sf_dir, "orders")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "gen=v1"))
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "gen=v2"))
+    )
+    _EVO_CACHE[cache_key] = root
+    return root
+
+
+@query(
+    "src_schema_evolution",
+    oracle=f"""
+SELECT o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE '(pre-schema)' END
+         AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice")} AS sum_price
+FROM orders
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC-EVO: schema-evolution read — the landed dataset has two file
+    generations (v2 added o_orderpriority), and ``mergeSchema=true``
+    unions the footers into one superset schema with NULLs where v1 files
+    lack the column; the query coalesces them to a '(pre-schema)' bucket
+    and aggregates. Hash-matching the oracle (which reconstructs the
+    drift from the base table) proves no row, column, or value is lost
+    across the boundary — the additive-drift contract (SURVEY §2 N-family
+    is the reference's per-scrape schema repair; this is the lake-level
+    equivalent).
+
+    Scale note: mergeSchema reads every footer at planning time — fine
+    per landing generation, wrong as a steady state; production promotes
+    the merged schema into the table catalog (the read here pins the
+    semantics either way)."""
+    root = _land_evolved(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        df.groupBy(
+            "o_orderstatus",
+            F.coalesce("o_orderpriority", F.lit("(pre-schema)")).alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "priority")
+    )

@@ -450,3 +450,90 @@ def w9_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     ).orderBy("user_id", "version")
+
+
+# ---------------------------------------------------------------------------
+# W10: overlapping-interval coalesce (gaps-and-islands on time ranges)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w10_interval_coalesce",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 1 HOUR AS e FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+grp AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       MIN(s) AS span_start, MAX(e) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(date_diff('second', MIN(s), MAX(e)) AS BIGINT) AS span_s
+FROM grp
+GROUP BY user_id, island
+ORDER BY user_id, island
+""",
+)
+def w10_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: OVERLAPPING-INTERVAL COALESCE — merge each user's
+    one-hour activity windows into maximal connected spans (the
+    time-range generalization of w3's equality-keyed gaps-and-islands,
+    and the batch twin of s6's session windows): an interval starts a new
+    island iff its start exceeds the running MAX of all previous ends
+    (not just the previous row's end — an earlier long interval can
+    bridge over a later short one, which the lag-based form gets wrong).
+    Output: merged span boundaries, interval count, and span length.
+
+    Shape: one shuffle on user_id serves both windows (running max is
+    frame-computable, island id is a running sum over the same order);
+    the final rollup groups on (user, island) inside the same
+    clustering. At 100 TB this is the one-pass plan; the naive
+    interval-overlap self-join it replaces is quadratic per hot user."""
+    iv = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    worder = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(worder.rowsBetween(W.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > prev_max_e, F.lit(1)).otherwise(F.lit(0)),
+    )
+    grp = marked.withColumn(
+        "island",
+        F.sum("new_island").over(worder.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        grp.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            (F.unix_timestamp(F.max("e")) - F.unix_timestamp(F.min("s")))
+            .cast("bigint")
+            .alias("span_s"),
+        )
+        .select(
+            "user_id",
+            F.col("island").cast("bigint").alias("island"),
+            "span_start",
+            "span_end",
+            "n_intervals",
+            "span_s",
+        )
+        .orderBy("user_id", "island")
+    )
