@@ -1765,3 +1765,68 @@ def a27_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         valueColumnName="n_orders",
     ).withColumn("status", F.regexp_replace("status", "^status_", ""))
     return long.orderBy("o_orderpriority", "status")
+
+
+@query(
+    "a28_running_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events WHERE user_id % 25 = 0
+)
+SELECT user_id, event_id, event_type,
+       CAST(SUM(first_seen) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_types_so_far
+FROM flagged
+ORDER BY user_id, event_id
+""",
+)
+def a28_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28: RUNNING DISTINCT count per key — 'how many distinct event
+    types has this user produced so far' at every event. Spark (like most
+    engines) rejects COUNT(DISTINCT) OVER a running frame outright; the
+    scalable rewrite is the FIRST-SEEN FLAG: rank each (user, type) by
+    time, flag rank 1, and a plain running SUM of flags over the user's
+    timeline is exactly the running distinct count. Two windows, both
+    clustered on user_id, so one shuffle serves them; every step is
+    integer and tiebroken (ts, event_id), so both engines agree row by
+    row.
+
+    At 100 TB this is the difference between feasible and not: the naive
+    per-row set-so-far state is unbounded, while the flag rewrite is two
+    sorted window passes with O(1) per-row state."""
+    flagged = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "first_seen",
+            F.when(
+                F.row_number().over(
+                    W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+                )
+                == 1,
+                1,
+            ).otherwise(0),
+        )
+    )
+    running = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        flagged.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.sum("first_seen").over(running).cast("bigint").alias(
+                "distinct_types_so_far"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
