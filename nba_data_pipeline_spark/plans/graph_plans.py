@@ -266,3 +266,100 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "p_partkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# G3: BFS shortest-hop levels (frontier expansion)
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4  # ≥ trade-graph diameter; pytest pins convergence
+
+
+@query(
+    "g3_bfs_levels",
+    oracle="""
+WITH RECURSIVE eo AS (
+  SELECT o.o_orderkey, c.c_nationkey AS u
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), ls AS (
+  SELECT l.l_orderkey, s.s_nationkey AS v
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+), edir AS (
+  SELECT DISTINCT eo.u, ls.v FROM eo JOIN ls ON ls.l_orderkey = eo.o_orderkey
+  WHERE eo.u <> ls.v
+), edges AS (
+  SELECT u, v FROM edir UNION SELECT v, u FROM edir
+), bfs AS (
+  SELECT CAST(0 AS BIGINT) AS n, 0 AS lvl
+  UNION ALL
+  SELECT DISTINCT e.v AS n, bfs.lvl + 1 AS lvl
+  FROM bfs JOIN edges e ON e.u = bfs.n
+  WHERE bfs.lvl < 6
+), dist AS (
+  SELECT n, MIN(lvl) AS lvl FROM bfs GROUP BY n
+)
+SELECT na.n_name AS nation, CAST(dist.lvl AS INT) AS hops
+FROM dist JOIN nation na ON na.n_nationkey = dist.n
+ORDER BY hops, nation
+""",
+)
+def g3_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: BFS shortest-hop levels from nation 0 over the (symmetrized)
+    trade graph — the FRONTIER-EXPANSION iteration class (reachability,
+    dependency closure, blast-radius queries), complementing g1's
+    fixpoint-score class and g2's enumeration class. Spark runs the
+    textbook distributed BFS: keep a (node, dist) table, expand the
+    frontier through one equi-join per round, keep MIN(dist) — rounds
+    unrolled to the graph's diameter bound, each a join + aggregate the
+    optimizer pipelines; the DuckDB oracle computes the same levels with
+    a RECURSIVE CTE, so the unrolled plan must reach the recursive
+    fixpoint exactly.
+
+    At 100 TB: the frontier join is the same contract as g1's contribution
+    join — bucketed edges make every round shuffle-free on the edge side;
+    rounds are bounded by diameter, and each round's frontier is
+    MIN-deduped so state never exceeds |V|."""
+    eo = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            read_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", F.col("c_nationkey").alias("u"))
+    )
+    ls = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(
+            read_table(spark, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("l_orderkey", F.col("s_nationkey").alias("v"))
+    )
+    edir = (
+        eo.join(ls, ls["l_orderkey"] == eo["o_orderkey"])
+        .select("u", "v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = (
+        edir.unionByName(edir.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    dist = edges.sparkSession.createDataFrame([(0, 0)], "n long, lvl int")
+    for _ in range(_BFS_ROUNDS):
+        frontier = (
+            dist.join(edges, dist["n"] == edges["u"])
+            .select(F.col("v").alias("n"), (F.col("lvl") + 1).alias("lvl"))
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("n")
+            .agg(F.min("lvl").alias("lvl"))
+        )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dist.join(nation, dist["n"] == nation["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), F.col("lvl").cast("int").alias("hops"))
+        .orderBy("hops", "nation")
+    )
