@@ -884,3 +884,121 @@ def d9_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# D10: LSH quality evaluation — candidate precision/recall vs exact truth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d10_lsh_recall_eval",
+    oracle=f"""
+{_SQL_SH_REL},
+sig AS (
+  SELECT doc_id, {_SQL_SIG}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_SQL_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+  WHERE i.inter * 2 >= (x.sz + y.sz - i.inter)
+),
+m AS (
+  SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+         CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+         CAST((SELECT COUNT(*) FROM cand c JOIN truth t
+               ON c.id_a = t.id_a AND c.id_b = t.id_b) AS BIGINT) AS tp
+)
+SELECT n_truth, n_cand, tp,
+       n_cand - tp AS fp, n_truth - tp AS fn,
+       CAST(tp AS DOUBLE) / n_cand AS precision,
+       CAST(tp AS DOUBLE) / n_truth AS recall
+FROM m
+""",
+)
+def d10_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: LSH quality EVALUATION — measure the 12-hash / 4-band MinHash
+    index (d5b's exact configuration) against exact Jaccard ≥ 1/2 ground
+    truth: candidate-set precision and recall, the two numbers that
+    actually tune (bands, rows) at scale (the S-curve says r=3,b=4 gives
+    ~97% recall at J=0.5 — this query MEASURES it on the corpus instead
+    of trusting the formula; sim_recall_eval does the same for IVF).
+    Running the evaluation entirely inside the engine is the point: truth
+    from the shingle equi-join + rational threshold, candidates from the
+    band join, metrics from one count-join — no exported notebooks.
+
+    At 100 TB the truth side is the expensive half; production runs it on
+    a sampled stratum and extrapolates — same plan, sampled input."""
+    from nba_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs as _jp,
+    )
+    from nba_data_pipeline_spark.operators.textops import (
+        distinct_word_shingles_fast,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", distinct_word_shingles_fast(F.col("text")).alias("sh_arr"))
+        .persist()
+    )
+    sh = docs.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    truth = (
+        _jp(sh)
+        .filter(F.col("inter") * 2 >= F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .select("id_a", "id_b")
+    )
+    sig = docs.select("doc_id", *minhash_signature(F.col("sh_arr"), 12))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{3*b+j}") for j in range(3)])
+            ).alias("band_key"),
+        )
+        for b in range(4)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
+        .join(
+            bands.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    tp = (
+        cand.join(truth, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+    )
+    m = n_truth.crossJoin(n_cand).crossJoin(tp)
+    return m.select(
+        "n_truth",
+        "n_cand",
+        "tp",
+        (F.col("n_cand") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        (F.col("tp").cast("double") / F.col("n_cand")).alias("precision"),
+        (F.col("tp").cast("double") / F.col("n_truth")).alias("recall"),
+    )
