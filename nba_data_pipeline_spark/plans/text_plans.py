@@ -1590,3 +1590,86 @@ def x23_deletion_neighborhood_join(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.col("a").alias("name"), "n_neighbors", "closest")
         .orderBy("name")
     )
+
+
+@query(
+    "x24_suffixed_number_parse",
+    oracle="""
+WITH raw AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 4
+           WHEN 0 THEN concat(CAST(o_orderkey % 90 + 1 AS VARCHAR), '.',
+                              CAST(o_orderkey % 10 AS VARCHAR), 'K')
+           WHEN 1 THEN concat(CAST(o_orderkey % 9 + 1 AS VARCHAR), 'M')
+           WHEN 2 THEN concat(CAST(o_orderkey % 900 + 100 AS VARCHAR))
+           ELSE 'N/A'
+         END AS display
+  FROM orders
+),
+parsed AS (
+  SELECT o_orderkey, display,
+         CASE
+           WHEN display = 'N/A' THEN NULL
+           WHEN display LIKE '%K' THEN CAST(CAST(
+             regexp_extract(display, '^([0-9]+)(?:\\.([0-9]))?', 1) AS BIGINT) * 1000
+             + COALESCE(CAST(NULLIF(
+                 regexp_extract(display, '^([0-9]+)(?:\\.([0-9]))?', 2), '') AS BIGINT), 0) * 100
+             AS BIGINT)
+           WHEN display LIKE '%M' THEN CAST(
+             regexp_extract(display, '^([0-9]+)', 1) AS BIGINT) * 1000000
+           ELSE CAST(display AS BIGINT)
+         END AS value
+FROM raw
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(value) AS BIGINT) AS n_parsed,
+       CAST(SUM(value) AS BIGINT) AS total,
+       CAST(MAX(value) AS BIGINT) AS max_value
+FROM parsed
+""",
+)
+def x24_suffixed_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: suffixed-display-number parsing — '12.3K', '5M', '742', 'N/A'
+    → exact integers (the follower/attendance/salary display format every
+    scraped stats site uses; sibling of the X21 odds math). The K-form is
+    parsed as integer thousands + tenths·100 — never a DOUBLE multiply,
+    so 12.3K is exactly 12300 (float 12.3·1000 is 12299.999…, the classic
+    silent corruption); unparseable markers become NULL, counted
+    separately. All regexp_extract + integer CASE arithmetic in codegen.
+
+    The synthesized display strings cycle all four shapes over orders, so
+    the one-row audit (n_parsed, total, max) covers every branch."""
+    k = F.col("o_orderkey")
+    display = (
+        F.when(k % 4 == 0, F.concat((k % 90 + 1).cast("string"), F.lit("."), (k % 10).cast("string"), F.lit("K")))
+        .when(k % 4 == 1, F.concat((k % 9 + 1).cast("string"), F.lit("M")))
+        .when(k % 4 == 2, (k % 900 + 100).cast("string"))
+        .otherwise(F.lit("N/A"))
+    )
+    whole = F.regexp_extract("display", r"^([0-9]+)(?:\.([0-9]))?", 1).cast("bigint")
+    tenth = F.nullif(
+        F.regexp_extract("display", r"^([0-9]+)(?:\.([0-9]))?", 2), F.lit("")
+    ).cast("bigint")
+    value = (
+        F.when(F.col("display") == "N/A", F.lit(None).cast("bigint"))
+        .when(
+            F.col("display").endswith("K"),
+            whole * 1000 + F.coalesce(tenth, F.lit(0)) * 100,
+        )
+        .when(
+            F.col("display").endswith("M"),
+            F.regexp_extract("display", r"^([0-9]+)", 1).cast("bigint") * 1000000,
+        )
+        .otherwise(F.col("display").cast("bigint"))
+    )
+    parsed = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", display.alias("display"))
+        .withColumn("value", value)
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("value").cast("bigint").alias("n_parsed"),
+        F.sum("value").cast("bigint").alias("total"),
+        F.max("value").cast("bigint").alias("max_value"),
+    )

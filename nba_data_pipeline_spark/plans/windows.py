@@ -537,3 +537,41 @@ def w10_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "island")
     )
+
+
+@query(
+    "w11_distribution_ranks",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+       CAST(CUME_DIST() OVER w AS DOUBLE) AS cume,
+       CAST(NTILE(4) OVER w AS INT) AS quartile
+FROM orders
+WHERE o_orderkey % 37 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+)
+def w11_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: the distribution-rank window trio — PERCENT_RANK (relative
+    rank in [0,1]), CUME_DIST (fraction ≤ current), NTILE(4) (quartile
+    bucket) over each priority's price order: the percentile-position
+    primitives behind 'this player is in the top decile' framings the
+    reference hand-computes from sorted exports. All three ride ONE
+    window definition → one shuffle + one sort serves the trio; the
+    order includes the unique o_orderkey tiebreaker so both engines
+    agree on every boundary, and both rank ratios are exact small-integer
+    divisions (identical IEEE doubles)."""
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
