@@ -866,3 +866,54 @@ def j15_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "sql_q3_shipping_priority",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 20
+""",
+)
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL entry point (TPC-H Q3 shape): the same SQL text a user of
+    any warehouse would write runs verbatim through ``spark.sql`` over
+    registered views — no DataFrame translation — proving the engine's
+    SQL front end is a first-class surface, not a sidecar (every other
+    catalog entry exercises the DataFrame builder; a reference user
+    migrating hand-written SQL needs THIS path). The revenue expression
+    is decimal-summed per the exact.py discipline; Catalyst still gets
+    the same optimizations (both joins reorder, the segment filter pushes
+    into the customer scan, the aggregate partials map-side) because SQL
+    and DataFrame meet in the same logical plan.
+
+    The one semantic wrinkle SQL text adds: identifier case and ANSI
+    resolution are the parser's job — the view registration pins names to
+    the landed schema."""
+    from nba_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 20
+        """
+    )

@@ -619,3 +619,118 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# SRC-PERM: permissive CSV read with corrupt-record quarantine
+# ---------------------------------------------------------------------------
+
+_PERM_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _land_dirty_csv(sf_dir: str) -> str:
+    """Land supplier as CSV with every 7th data line deliberately mangled
+    (wrong arity / non-numeric key) — the malformed-feed reality the
+    reference's scrapers hit on layout drift. Driver-side dim-table
+    synthesis, same posture as _land_csv."""
+    cache_key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "supplier.parquet")))
+    if cache_key in _PERM_CACHE:
+        return _PERM_CACHE[cache_key]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    out_dir = session_tmpdir("src_perm_")
+    with open(os.path.join(out_dir, "feed.csv"), "w") as f:
+        f.write("s_suppkey,s_name,s_nationkey\n")
+        rows = zip(
+            tbl.column("s_suppkey").to_pylist(),
+            tbl.column("s_name").to_pylist(),
+            tbl.column("s_nationkey").to_pylist(),
+        )
+        for key, name, nk in rows:
+            if "," in name or "\n" in name:
+                raise ValueError(f"fixture cell needs CSV quoting: {name!r}")
+            if key % 7 == 0:
+                f.write(f"OOPS-{key},{name}\n")  # bad key AND missing column
+            else:
+                f.write(f"{key},{name},{nk}\n")
+    _PERM_CACHE[cache_key] = out_dir
+    return out_dir
+
+
+@query(
+    "src_csv_corrupt_records",
+    oracle="""
+SELECT CAST(s_nationkey AS INT) AS nationkey,
+       CAST(COUNT(*) FILTER (WHERE s_suppkey % 7 <> 0) AS BIGINT) AS n_good,
+       CAST(SUM(s_suppkey) FILTER (WHERE s_suppkey % 7 <> 0) AS BIGINT)
+         AS sum_suppkey,
+       CAST(COUNT(*) FILTER (WHERE s_suppkey % 7 = 0) AS BIGINT) AS n_quarantined
+FROM supplier
+GROUP BY 1
+HAVING COUNT(*) FILTER (WHERE s_suppkey % 7 <> 0) > 0
+    OR COUNT(*) FILTER (WHERE s_suppkey % 7 = 0) > 0
+ORDER BY nationkey
+""",
+)
+def src_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC-PERM: PERMISSIVE CSV ingestion with corrupt-record quarantine —
+    every 7th feed line is mangled (non-numeric key, missing column); the
+    read must neither fail the job (FAILFAST) nor silently drop the lines
+    (DROPMALFORMED), but park them in ``_corrupt_record`` for the
+    quarantine flow every production feed needs. Good rows aggregate per
+    nation; quarantined rows are counted via the ORIGINAL key regexed out
+    of the raw line — proving the corrupt column preserves the full
+    source text for repair. The oracle reconstructs both populations from
+    the base table's parity rule.
+
+    Scale: PERMISSIVE parsing is per-task streaming (no global failure
+    coupling); the quarantine count rides the same aggregate. The
+    explicit schema (required for _corrupt_record) also skips the
+    inference pass."""
+    land = _land_dirty_csv(sf_dir)
+    df = spark.read.csv(
+        land,
+        header=True,
+        mode="PERMISSIVE",
+        schema="s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, _corrupt_record STRING",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    # Corrupt rows: key mined back out of the preserved raw line; their
+    # nation comes from a broadcast repair join against the good dim.
+    df = df.cache()  # _corrupt_record contract: query corrupt + data cols together
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.regexp_extract("_corrupt_record", r"OOPS-(\d+)", 1)
+        .cast("bigint")
+        .alias("orig_key")
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).select(
+        "s_suppkey", "s_nationkey"
+    )
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("orig_key"), F.col("s_nationkey").alias("nk")
+    )
+    quarantined = bad.join(F.broadcast(sup), "orig_key").groupBy(
+        F.col("nk").alias("nationkey")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_quarantined"))
+    good_agg = good.groupBy(F.col("s_nationkey").cast("int").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_good"),
+        F.sum("s_suppkey").cast("bigint").alias("sum_suppkey"),
+    )
+    return (
+        good_agg.join(
+            quarantined.select(F.col("nationkey").cast("int").alias("nationkey"), "n_quarantined"),
+            "nationkey",
+            "full",
+        )
+        .select(
+            "nationkey",
+            F.coalesce("n_good", F.lit(0)).cast("bigint").alias("n_good"),
+            "sum_suppkey",
+            F.coalesce("n_quarantined", F.lit(0)).cast("bigint").alias("n_quarantined"),
+        )
+        .orderBy("nationkey")
+    )
