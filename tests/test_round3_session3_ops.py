@@ -211,3 +211,23 @@ def test_schema_evolution_nulls_only_in_v1_rows(spark):
     post = [r for r in rows if r.priority != "(pre-schema)"]
     assert pre and post
     assert sum(r.n_orders for r in rows) > 0
+
+
+def test_minhash_signature_seeds_are_stable(spark):
+    """Every mh_i must equal the hashlib min over md5(f'{i}:{shingle}') —
+    pinned because transform's two-arg (element, index) convention once
+    captured the index column as the seed, yielding plan-dependent
+    signatures (12 simultaneous transforms over one array made the bug
+    visible only in multi-seed projections)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.dedup import minhash_signature
+
+    toks = ["b", "a", "c", "zeta", "omega"]
+    df = spark.createDataFrame([(toks,)], "arr array<string>")
+    row = df.select(*minhash_signature(F.col("arr"), 12)).collect()[0]
+    for i in range(12):
+        want = min(hashlib.md5(f"{i}:{x}".encode()).hexdigest() for x in toks)
+        assert row[f"mh_{i}"] == want, f"seed {i}"
