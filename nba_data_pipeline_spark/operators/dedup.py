@@ -39,11 +39,22 @@ def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
     """MinHash signature: per seed i, the lexicographic min of
     md5(i ':' shingle). String-md5 minhash keeps the oracle reproducible;
     the collision behavior matches classic minhash (min over a random
-    permutation approximated by the keyed hash)."""
+    permutation approximated by the keyed hash).
+
+    The per-seed closure MUST be single-argument: ``transform`` treats a
+    two-arg callable as the (element, index) form, so the once-used
+    ``lambda s, i=i`` default-capture idiom silently bound ``i`` to the
+    INDEX COLUMN — every seed prefix became the stringified Column object
+    (plan-context-dependent, e.g. "Column<'y_2'>:"), making signatures
+    valid-looking but unstable across plans and never matching the
+    documented seeds (caught by the s11 oracle; pinned by
+    test_minhash_signature_seeds_are_stable)."""
+
+    def seeded(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
     return [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform(shingles, seeded(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
 

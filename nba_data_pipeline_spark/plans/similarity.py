@@ -983,3 +983,96 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", F.col("label").cast("int").alias("label"), *cols
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation: prefix-dim retrieval vs full-dim truth
+# ---------------------------------------------------------------------------
+
+_MRL_PREFIX = 16  # leading dims retained by the truncated index
+
+
+@query(
+    "sim_matryoshka_prefix_eval",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.qid, a.vec_id AS nb,
+         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+           list_dot_product(q.qe, a.e) /
+           (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(a.e, a.e)))
+           DESC, a.vec_id) AS r_full,
+         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+           list_dot_product(q.qe[1:{_MRL_PREFIX}], a.e[1:{_MRL_PREFIX}]) /
+           (sqrt(list_dot_product(q.qe[1:{_MRL_PREFIX}], q.qe[1:{_MRL_PREFIX}]))
+            * sqrt(list_dot_product(a.e[1:{_MRL_PREFIX}], a.e[1:{_MRL_PREFIX}])))
+           DESC, a.vec_id) AS r_pre
+  FROM q, v a WHERE a.vec_id <> q.qid
+)
+SELECT f.qid,
+       CAST(COUNT(*) AS BIGINT) AS overlap5,
+       CAST(MAX(CASE WHEN f.r_full = 1 AND p.r_pre = 1 THEN 1 ELSE 0 END) = 1
+            AS BOOLEAN) AS top1_match
+FROM (SELECT qid, nb, r_full FROM scored WHERE r_full <= 5) f
+JOIN (SELECT qid, nb, r_pre FROM scored WHERE r_pre <= 5) p
+  ON f.qid = p.qid AND f.nb = p.nb
+GROUP BY f.qid
+ORDER BY f.qid
+""",
+)
+def sim_matryoshka_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022 — MRL
+    embeddings are trained so PREFIXES of the vector are usable
+    representations): for every 50th vector as a query, compare top-5
+    cosine retrieval using only the leading 16 of 64 dims against the
+    full-dim truth — per-query overlap@5 and whether rank-1 agrees. This
+    is the decision artifact for running the ANN tier (sim_ivf/pq/lsh) at
+    4× less memory and FLOPs: measure what truncation costs on YOUR
+    corpus, in-engine, before committing the index build.
+
+    Shape: one broadcast of the query rows across the vector scan; BOTH
+    rankings ride the same qid-clustered exchange (two window functions,
+    one shuffle); cosines use the sequential-fold ``dot`` that is
+    bit-identical to DuckDB's list_dot_product, so ranks — and therefore
+    the overlap counts — agree exactly."""
+    from pyspark.sql import Window as W
+
+    v = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = v.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    pre = lambda c: F.slice(c, 1, _MRL_PREFIX)  # noqa: E731
+    full_sim = cosine(F.col("qe"), F.col("embedding"))
+    pre_sim = cosine(pre(F.col("qe")), pre(F.col("embedding")))
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nb"),
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc(full_sim), "vec_id"))
+        .alias("r_full"),
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc(pre_sim), "vec_id"))
+        .alias("r_pre"),
+    )
+    f = scored.filter(F.col("r_full") <= 5).select("qid", "nb", "r_full")
+    p = scored.filter(F.col("r_pre") <= 5).select(
+        F.col("qid").alias("p_qid"), F.col("nb").alias("p_nb"), "r_pre"
+    )
+    both = f.join(
+        p, (F.col("qid") == F.col("p_qid")) & (F.col("nb") == F.col("p_nb"))
+    )
+    return (
+        both.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("overlap5"),
+            (
+                F.max(
+                    F.when((F.col("r_full") == 1) & (F.col("r_pre") == 1), 1).otherwise(0)
+                )
+                == 1
+            ).alias("top1_match"),
+        )
+        .orderBy("qid")
+    )

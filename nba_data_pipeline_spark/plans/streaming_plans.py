@@ -661,3 +661,177 @@ def s10_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table("s10_dedupe_mem").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# S11: streaming incremental near-dup — foreachBatch MinHash signature store
+# ---------------------------------------------------------------------------
+
+
+def _s11_band_sql() -> str:
+    """Bands CTE over (doc_id, batch, text) docs — 12 md5 minhashes, 4
+    bands × 3 rows, the d5b configuration."""
+    toks = r"string_split_regex(trim(text), '\s+')"
+    shingles = (
+        "list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)), "
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+    )
+    sig = ",\n    ".join(
+        f"MIN(md5(concat('{i}:', shingle))) AS mh_{i}" for i in range(12)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, batch, {b} AS band_idx, "
+        f"md5(concat_ws('|', mh_{3*b}, mh_{3*b+1}, mh_{3*b+2})) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+docs AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS batch, text FROM documents),
+t AS (SELECT doc_id, batch, {toks} AS toks FROM docs),
+sh AS (SELECT doc_id, batch, unnest({shingles}) AS shingle FROM t),
+sig AS (SELECT doc_id, batch, {sig} FROM sh GROUP BY doc_id, batch),
+bands AS (
+{bands}
+)"""
+
+
+@query(
+    "s11_stream_incremental_minhash",
+    oracle=f"""
+WITH {_s11_band_sql()},
+dup AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND (a.batch < b.batch OR (a.batch = b.batch AND a.doc_id < b.doc_id))
+)
+SELECT d.doc_id, d.batch AS arrival_batch,
+       dup.doc_id IS NULL AS is_new
+FROM docs d LEFT JOIN dup ON d.doc_id = dup.doc_id
+ORDER BY d.doc_id
+""",
+)
+def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: CONTINUOUS near-dup curation — the d5b MinHash index run as a
+    stream: documents arrive in two micro-batches (even doc_ids first,
+    then odd — file-per-trigger), and a ``foreachBatch`` handler marks
+    each document duplicate iff any of its 4 LSH band keys collides with
+    an EARLIER-ARRIVAL document (the accumulated signature STORE for
+    prior batches; a doc_id-ordered self-join within the batch), then
+    appends the batch's signatures to the store — at-least-once-safe
+    because the store write is keyed by batch subdirectory (replay
+    overwrites, never double-appends). This is the shape of a crawl
+    pipeline's dedup tier: signatures persist, each increment joins
+    against KBs of index instead of re-scanning the corpus.
+
+    The DuckDB oracle computes the same first-arrival-wins verdicts from
+    the full corpus with the identical band construction — streaming
+    incrementality must not change a single decision."""
+    import glob
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as _F
+
+    from nba_data_pipeline_spark.operators.dedup import minhash_signature
+    from nba_data_pipeline_spark.operators.textops import distinct_word_shingles_fast
+
+    # --- land the two arrival files (even parity first; mtimes pin order)
+    land = session_tmpdir("s11_landing_")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for parity in (0, 1):
+        tmp = _os.path.join(land, f"_stage{parity}")
+        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        dst = _os.path.join(land, f"arrival_{parity}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        _os.utime(dst, (1_700_000_000 + parity, 1_700_000_000 + parity))
+
+    store_dir = session_tmpdir("s11_store_")
+    out_dir = session_tmpdir("s11_out_")
+
+    def bands_of(bdf):
+        sig = bdf.select(
+            "doc_id",
+            distinct_word_shingles_fast(_F.col("text")).alias("sh_arr"),
+        ).select("doc_id", *minhash_signature(_F.col("sh_arr"), 12))
+        structs = [
+            _F.struct(
+                _F.lit(b).alias("band_idx"),
+                _F.md5(
+                    _F.concat_ws(
+                        "|", *[_F.col(f"mh_{3*b+j}") for j in range(3)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(4)
+        ]
+        return sig.select(
+            "doc_id", _F.explode(_F.array(*structs)).alias("band")
+        ).select("doc_id", "band.band_idx", "band.band_key")
+
+    def handle(bdf, batch_id: int):
+        parities = [r[0] for r in bdf.select((_F.col("doc_id") % 2)).distinct().collect()]
+        if len(parities) != 1:
+            raise RuntimeError(f"s11 expected one arrival file per batch, got {parities}")
+        arrival = int(parities[0])
+        bands = bands_of(bdf).persist()
+        store_files = glob.glob(_os.path.join(store_dir, "batch=*/*.parquet"))
+        if store_files:
+            store = bdf.sparkSession.read.parquet(*store_files)
+            vs_store = bands.join(
+                store.withColumnRenamed("doc_id", "prior_doc"), ["band_idx", "band_key"]
+            ).select("doc_id")
+        else:
+            vs_store = bands.limit(0).select("doc_id")
+        within = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (_F.col("a.band_idx") == _F.col("b.band_idx"))
+                & (_F.col("a.band_key") == _F.col("b.band_key"))
+                & (_F.col("a.doc_id") < _F.col("b.doc_id")),
+            )
+            .select(_F.col("b.doc_id").alias("doc_id"))
+        )
+        dups = vs_store.unionByName(within).distinct()
+        decisions = (
+            bdf.select("doc_id")
+            .distinct()
+            .join(dups.withColumn("hit", _F.lit(True)), "doc_id", "left")
+            .select(
+                "doc_id",
+                _F.lit(arrival).alias("arrival_batch"),
+                _F.col("hit").isNull().alias("is_new"),
+            )
+        )
+        # idempotent on replay: each batch owns its subdirectory
+        decisions.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"batch={arrival}")
+        )
+        bands.write.mode("overwrite").parquet(
+            _os.path.join(store_dir, f"batch={arrival}")
+        )
+        bands.unpersist()
+
+    schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", session_tmpdir("s11_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(*glob.glob(_os.path.join(out_dir, "batch=*")))
+        .select("doc_id", F.col("arrival_batch").cast("int").alias("arrival_batch"), "is_new")
+        .orderBy("doc_id")
+    )
