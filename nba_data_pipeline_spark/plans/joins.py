@@ -917,3 +917,95 @@ def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# J16: point-in-time (PIT) join against an SCD2 version dimension
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j16_point_in_time_join",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id % 20 = 0
+), ch AS (
+  SELECT user_id, ts, event_id, event_type FROM e
+  WHERE prev IS NULL OR prev <> event_type
+), versions AS (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+         event_type AS state,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ch
+), facts AS (
+  SELECT o_orderkey, CAST(o_custkey % 150 AS BIGINT) AS user_id,
+         o_orderdate AS t
+  FROM orders WHERE (o_custkey % 150) % 20 = 0
+)
+SELECT f.o_orderkey, f.user_id, v.version, v.state
+FROM facts f LEFT JOIN versions v
+  ON v.user_id = f.user_id
+ AND v.valid_from <= f.t
+ AND (v.valid_to IS NULL OR f.t < v.valid_to)
+ORDER BY f.o_orderkey
+""",
+)
+def j16_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16: POINT-IN-TIME dimension join — enrich each fact with the SCD2
+    version (w9's interval build) that was valid AT THE FACT'S OWN
+    timestamp, never a later one: the feature-store/warehouse correctness
+    rule that prevents time-travel leakage (training a model on attributes
+    that didn't exist yet — the reference joins latest-snapshot dims,
+    ctg_export_league.py:300-307, which silently leaks).
+
+    The physical plan is the THIRD as-of strategy in the catalog, chosen
+    by dimension size: j7 range-join+rank (small history), j14
+    sorted-union (both sides fact-sized), and here BROADCAST-interval —
+    an SCD2 dim is dim-cardinality × change-rate, so the whole version
+    table broadcasts and the fact table is enriched with ZERO shuffle
+    (validity intervals partition time per key, so each fact matches at
+    most one version — no post-join dedupe). Facts older than their
+    key's first version surface as NULLs, pinned by the LEFT join on
+    both engines."""
+    wv = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 20 == 0)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(wv))
+    )
+    versions = (
+        e.where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.row_number().over(wv).cast("int").alias("version"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wv).alias("valid_to"),
+        )
+    )
+    facts = (
+        read_table(spark, sf_dir, "orders")
+        .where((F.col("o_custkey") % 150) % 20 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).cast("bigint").alias("user_id"),
+            F.col("o_orderdate").alias("t"),
+        )
+    )
+    joined = facts.join(
+        F.broadcast(versions),
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("t"))
+        & (F.col("valid_to").isNull() | (F.col("t") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.select("o_orderkey", "user_id", "version", "state").orderBy(
+        "o_orderkey"
+    )
