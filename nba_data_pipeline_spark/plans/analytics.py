@@ -1830,3 +1830,82 @@ def a28_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ4: Benford first-digit audit (fraud/synthesis forensics)
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) literals — carried as identical constants in both engines
+#: so no log evaluation can drift.
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_SQL_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD.items()
+) + " END"
+
+
+@query(
+    "dq4_benford_digit_audit",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+  FROM digits GROUP BY d
+)
+SELECT d AS digit, n,
+       CAST(n AS DOUBLE) / total AS observed_freq,
+       {_BENFORD_SQL_CASE} AS benford_freq,
+       abs(CAST(n AS DOUBLE) / total - {_BENFORD_SQL_CASE}) AS abs_gap
+FROM counts
+ORDER BY digit
+""",
+)
+def dq4_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4: BENFORD first-significant-digit audit — the forensic
+    data-quality screen for fabricated or synthesized monetary columns:
+    natural multi-scale amounts follow P(d) = log10(1+1/d); uniform
+    generators (like this fixture's) and padded invoices do not, and the
+    per-digit gap column localizes WHERE the distribution deviates
+    (complementing dq2's per-row outliers with a population-shape check).
+    The leading digit comes from integer cents (decimal-exact, no float
+    log10/pow), the expected frequencies are shared LITERALS in both
+    engines, and observed_freq is one IEEE division of identical
+    integers — the audit hashes bit-for-bit.
+
+    Scale: one map-side-combining aggregate over a 9-value key space;
+    the window total adds nothing (9 rows). Runs per load partition as a
+    monitoring hook at any corpus size."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    digits = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("d"))
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    counts = counts.withColumn(
+        "total", F.sum("n").over(W.partitionBy(F.lit(1))).cast("bigint")
+    )
+    bf = F.expr(_BENFORD_SQL_CASE.replace("CASE d", "CASE d"))
+    obs = F.col("n").cast("double") / F.col("total")
+    return counts.select(
+        F.col("d").alias("digit"),
+        "n",
+        obs.alias("observed_freq"),
+        bf.alias("benford_freq"),
+        F.abs(obs - bf).alias("abs_gap"),
+    ).orderBy("digit")

@@ -247,3 +247,89 @@ def ts3_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x0").alias("value"),
         F.expr(f"({_TS3_NUM}) / ({_TS3_DEN})").alias("ewma"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# TS4: seasonal-naive backtest (forecast evaluation in-engine)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts4_backtest_seasonal_naive",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id % 25 = 0) t
+  WHERE rn = 1
+)
+SELECT a.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(f.value) AS BIGINT) AS n_forecastable,
+       CAST(SUM(CAST(abs(a.value - f.value) AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(f.value) AS mae,
+       CAST(SUM(CAST(a.value - f.value AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(f.value) AS bias
+FROM daily a
+LEFT JOIN daily f ON f.user_id = a.user_id AND f.day = a.day - INTERVAL 7 DAY
+GROUP BY a.user_id
+ORDER BY a.user_id
+""",
+)
+def ts4_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS4: BACKTEST of the seasonal-naive forecaster (ŷ(t) = y(t−7d)) —
+    the evaluation loop that belongs next to the ts1-ts3 repair/smoothing
+    stack: per series, MAE and signed bias of the one-week-ago baseline,
+    plus coverage (days with a forecastable ancestor). The lag is by
+    CALENDAR date (self-equi-join on day−7), not by row offset — gapped
+    series must not silently compare against the wrong day, which is
+    exactly the bug a row-lag backtest ships. Error sums are decimal-cast
+    (exact, order-free), surfaced as sum/count doubles.
+
+    Scale: one self-join co-partitioned on the series key (the daily
+    relation is built and joined inside the same user_id clustering), and
+    the metric rollup is the same shuffle. Any champion/challenger
+    forecaster drops into f's position unchanged."""
+    daily_rn = F.row_number().over(
+        W.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)
+        .withColumn("day", F.col("ts").cast("date"))
+        .withColumn("rn", daily_rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    f = daily.select(
+        F.col("user_id").alias("f_user"),
+        F.col("day").alias("f_day"),
+        F.col("value").alias("f_value"),
+    )
+    joined = daily.join(
+        f,
+        (F.col("f_user") == F.col("user_id"))
+        & (F.col("f_day") == F.date_sub(F.col("day"), 7)),
+        "left",
+    )
+    err = F.col("value") - F.col("f_value")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.count("f_value").cast("bigint").alias("n_forecastable"),
+            (
+                F.sum(F.abs(err).cast("decimal(18,2)")).cast("double")
+                / F.count("f_value")
+            ).alias("mae"),
+            (
+                F.sum(err.cast("decimal(18,2)")).cast("double") / F.count("f_value")
+            ).alias("bias"),
+        )
+        .orderBy("user_id")
+    )
