@@ -575,3 +575,105 @@ def w11_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# W12: rolling linear-regression slope (trend detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w12_rolling_regression_slope",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id % 25 = 0) t
+  WHERE rn = 1
+), seq AS (
+  SELECT user_id, day, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS x
+  FROM daily
+), win AS (
+  SELECT user_id, day, value, x,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(28,2)) AS sy,
+         CAST(SUM(x * CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(28,2)) AS sxy
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, day, value,
+       CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0 THEN
+         (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+           / (n * sxx - sx * sx)
+       END AS slope7
+FROM win
+ORDER BY user_id, day
+""",
+)
+def w12_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: ROLLING OLS trend slope — the least-squares slope of each
+    series' last-7-observation window (the 'is this player trending up'
+    statistic the reference eyeballs from its Last-7 exports): slope =
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with x = the observation index. Every
+    windowed sum is EXACT — x sums are integers, y and xy sums are
+    decimal — so the one final division is IEEE on identical operands and
+    both engines agree bit-for-bit; windows shorter than 3 points emit
+    NULL rather than a degenerate fit. pandas does this with
+    rolling.apply (Python per window, O(N·w)); here the five running
+    sums ride ONE frame pass each over the same user-clustered sort —
+    no per-window recompute, no UDF.
+
+    At 100 TB: identical shape to a9/a10's rolling stack — one shuffle on
+    the series key, frame arithmetic in codegen."""
+    daily_rn = F.row_number().over(
+        W.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)
+        .withColumn("day", F.col("ts").cast("date"))
+        .withColumn("rn", daily_rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    seq = daily.withColumn(
+        "x",
+        F.row_number().over(W.partitionBy("user_id").orderBy("day")).cast("bigint"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-6, W.currentRow)
+    )
+    dy = F.col("value").cast("decimal(18,2)")
+    win = seq.select(
+        "user_id",
+        "day",
+        "value",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(dy).over(w).cast("decimal(28,2)").alias("sy"),
+        F.sum(F.col("x") * dy).over(w).cast("decimal(28,2)").alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        (F.col("n") >= 3) & (denom != 0),
+        (
+            F.col("n") * F.col("sxy").cast("double")
+            - F.col("sx") * F.col("sy").cast("double")
+        )
+        / denom,
+    )
+    return win.select("user_id", "day", "value", slope.alias("slope7")).orderBy(
+        "user_id", "day"
+    )
