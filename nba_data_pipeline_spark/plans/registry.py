@@ -110,6 +110,29 @@ _FRONT: tuple[str, ...] = (
     # rotate into the r4 prefix once this round frees 48 proven slots ---
     "j12_bloom_runtime_filter",
     "g1_pagerank_trade",
+    # R4 ROTATION QUEUE (write once, rotate next round): entries never
+    # driver-checked after r3 — all r3-session-2/3 overflow — in priority
+    # order for the r4 prefix: a21_bitmap_rollup_reuse,
+    # ta_contamination_overlap, w9_scd2_intervals, cdc_merge_apply,
+    # lo1_zorder_layout, lo2_compaction_bins, ta_quality_classifier,
+    # d5_simhash_hamming_neighbors, j13_incremental_join_maintenance,
+    # a22_grouping_sets, a23_equiwidth_histogram, a24_cohort_retention,
+    # ts1_locf_gapfill, ts2_ohlc_bars, x23_deletion_neighborhood_join,
+    # dq1_constraint_audit, snk8_partitioned_parquet_roundtrip,
+    # src_json_variant, a25_kmv_set_ops, ta_weighted_sample,
+    # sim_random_projection, j14_asof_tolerance_union, g2_triangle_count,
+    # dq2_zscore_outliers, ts3_ewma_smooth, a26_histogram_quantile_rollup,
+    # a27_unpivot_roundtrip, g3_bfs_levels, d10_lsh_recall_eval,
+    # w11_distribution_ranks, x24_suffixed_number_parse,
+    # sql_q3_shipping_priority, src_csv_corrupt_records, src_orc_roundtrip,
+    # src_schema_evolution, ta_url_canonicalize, w10_interval_coalesce,
+    # a28_running_distinct, ta_bpe_encode, s10_dedupe_within_watermark,
+    # j15_dynamic_partition_pruning, s11_stream_incremental_minhash,
+    # sim_matryoshka_prefix_eval, j16_point_in_time_join,
+    # ts4_backtest_seasonal_naive, dq4_benford_digit_audit,
+    # w12_rolling_regression_slope — 47 entries ≈ one full 50-slot round
+    # (plus d5_minhash_lsh_pairs re-verified post-seed-fix, already in
+    # this round's prefix).
     # --- new in round 3 (session 3): the two with the most novel machinery
     # (prefix-filtered similarity join plan; the native-XML IO path) take
     # two slots — displacing a21_bitmap_rollup_reuse and
