@@ -1909,3 +1909,73 @@ def dq4_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bf.alias("benford_freq"),
         F.abs(obs - bf).alias("abs_gap"),
     ).orderBy("digit")
+
+
+@query(
+    "a29_gini_concentration",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(cents) OVER () AS BIGINT) AS total
+  FROM c
+),
+agg AS (
+  SELECT MAX(n) AS n, MAX(total) AS total,
+         CAST(SUM(i * cents) AS BIGINT) AS s_iw
+  FROM ranked
+)
+SELECT n AS n_customers, total AS total_cents,
+       CAST(2 * s_iw AS DOUBLE) / (n * total) - CAST(n + 1 AS DOUBLE) / n AS gini,
+       CAST(total AS DOUBLE) / (100 * n) AS mean_revenue
+FROM agg
+""",
+)
+def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29: GINI coefficient of customer revenue — the concentration audit
+    behind 'do 20% of the customers carry 80% of the book' (and, in the
+    curation pipelines, 'is one domain dominating the token budget'). Uses
+    the rank formula G = 2·Σ(i·wᵢ)/(n·Σw) − (n+1)/n over ascending-sorted
+    integer cents: every moment (rank products, totals) is exact integer
+    arithmetic, so the two final divisions are IEEE on identical operands
+    — no Lorenz-curve float accumulation.
+
+    Shape: one aggregate to customer grain, one global sort for ranks
+    (range-partitioned at scale — same contract as w8's NTILE), then a
+    one-row reduce. The tiebreak on o_custkey pins equal-revenue ranks;
+    Σ(i·wᵢ) is tie-order-invariant anyway (equal w), so the statistic is
+    doubly deterministic."""
+    c = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = c.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).cast("bigint").alias("i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("s_iw"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        (
+            (2 * F.col("s_iw")).cast("double") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1).cast("double") / F.col("n")
+        ).alias("gini"),
+        (F.col("total").cast("double") / (100 * F.col("n"))).alias("mean_revenue"),
+    )

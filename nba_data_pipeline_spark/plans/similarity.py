@@ -1076,3 +1076,99 @@ def sim_matryoshka_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classifier evaluation over the labeled embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_centroid_classifier_eval",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(label AS INT) AS label,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+x AS (SELECT vec_id, label, r.range AS d, e[CAST(r.range + 1 AS INT)] AS val
+      FROM v, range({_RP_D}) r),
+m AS (
+  SELECT label AS clabel, d,
+         CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mval
+  FROM x GROUP BY label, d
+),
+cent AS (SELECT clabel, list(mval ORDER BY d) AS ce FROM m GROUP BY clabel),
+pred AS (
+  SELECT vec_id, label, clabel AS pred_label FROM (
+    SELECT a.vec_id, a.label, c.clabel,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.e, c.ce) /
+                      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+                      DESC, c.clabel) AS rn
+    FROM v a, cent c
+  ) WHERE rn = 1
+)
+SELECT label AS true_label, pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def sim_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier evaluation — the 10-minute
+    baseline every embedding-quality audit starts with: per-label mean
+    vectors as class prototypes, classify every vector by max cosine to a
+    prototype, emit the CONFUSION MATRIX (true × predicted counts). Off-
+    diagonal mass localizes which classes the embedding space actually
+    separates — the decision input for whether the labels are usable as a
+    quality-classifier training set (ta_quality_classifier consumes
+    exactly such a model).
+
+    Shape: centroid build is the kmeans update step (posexplode →
+    per-(label, dim) decimal-exact mean → re-assembled arrays), the
+    assignment broadcasts the 3×64-double prototypes across one vector
+    scan with a bounded per-vector argmax window, and the confusion
+    rollup is map-side combinable. Training-set resubstitution by design
+    (the audit measures separability, not generalization); a
+    ta_train_test_split upstream turns it into holdout eval unchanged."""
+    from pyspark.sql import Window as W
+
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label"), "embedding"
+    )
+    x = v.select(
+        "label", F.posexplode("embedding").alias("d", "val")
+    )
+    m = x.groupBy("label", "d").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mval")
+    )
+    cent = (
+        m.groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("d", "mval"))).alias("dm")
+        )
+        .select("clabel", F.col("dm.mval").alias("ce"))
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        cosine(F.col("embedding"), F.col("ce")).alias("sim"),
+    )
+    pred = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc("sim"), "clabel")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("clabel").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("label").alias("true_label"), "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
