@@ -156,3 +156,105 @@ def lo2_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part", "bin_id")
     )
+
+
+@query(
+    "lo3_skipping_effectiveness",
+    oracle=f"""
+WITH keyed AS (
+  SELECT CAST(l_partkey % 256 AS BIGINT) AS px,
+         CAST(l_suppkey % 256 AS BIGINT) AS sy
+  FROM lineitem
+),
+zfiles AS (
+  SELECT CAST(({_z_duck("px", "sy")}) >> 8 AS INT) AS file_id,
+         CAST(MAX(px) - MIN(px) + 1 AS BIGINT) AS span_px,
+         CAST(MAX(sy) - MIN(sy) + 1 AS BIGINT) AS span_sy
+  FROM keyed GROUP BY 1
+),
+lfiles AS (
+  SELECT CAST(px AS INT) AS file_id,
+         CAST(MAX(px) - MIN(px) + 1 AS BIGINT) AS span_px,
+         CAST(MAX(sy) - MIN(sy) + 1 AS BIGINT) AS span_sy
+  FROM keyed GROUP BY 1
+),
+spans AS (
+  SELECT 'zorder' AS layout, 'partkey' AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(span_px) AS BIGINT) AS total_span
+  FROM zfiles
+  UNION ALL
+  SELECT 'zorder', 'suppkey', CAST(COUNT(*) AS BIGINT), CAST(SUM(span_sy) AS BIGINT)
+  FROM zfiles
+  UNION ALL
+  SELECT 'linear', 'partkey', CAST(COUNT(*) AS BIGINT), CAST(SUM(span_px) AS BIGINT)
+  FROM lfiles
+  UNION ALL
+  SELECT 'linear', 'suppkey', CAST(COUNT(*) AS BIGINT), CAST(SUM(span_sy) AS BIGINT)
+  FROM lfiles
+)
+SELECT layout, dim, n_files, total_span,
+       CAST(total_span AS DOUBLE) / 256 AS avg_files_per_point_query
+FROM spans
+ORDER BY layout, dim
+""",
+)
+def lo3_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LO3: data-SKIPPING effectiveness audit — the number that justifies
+    (or rejects) a z-order rewrite before paying for it: for a uniform
+    point predicate on either dimension, the expected file count a
+    min/max-pruned scan opens equals Σ(per-file span)/domain — summing
+    footer spans IS the integral over all probe values, no probe loop
+    needed. Compared layouts: lo1's z-interleave (both dims span ≤16 of
+    256 → ~6% of files per probe on either dimension) versus the
+    single-column linear sort (perfect on the sort key, unprunable on the
+    other — its files span the full 256 on suppkey). Four audit rows,
+    all-integer span math, one exact division.
+
+    This closes the layout loop: lo1 builds the layout, lo2 maintains it,
+    lo3 measures whether it pays — on real footer statistics, the same
+    audit a table-format optimizer runs from its manifest."""
+    keyed = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).cast("long").alias("px"),
+        (F.col("l_suppkey") % 256).cast("long").alias("sy"),
+    )
+    z = _z_spark("px", "sy")
+    zfiles = (
+        keyed.withColumn("file_id", F.expr(f"CAST(({z}) >> 8 AS INT)"))
+        .groupBy("file_id")
+        .agg(
+            (F.max("px") - F.min("px") + 1).cast("long").alias("span_px"),
+            (F.max("sy") - F.min("sy") + 1).cast("long").alias("span_sy"),
+        )
+    )
+    lfiles = (
+        keyed.groupBy(F.col("px").cast("int").alias("file_id"))
+        .agg(
+            (F.max("px") - F.min("px") + 1).cast("long").alias("span_px"),
+            (F.max("sy") - F.min("sy") + 1).cast("long").alias("span_sy"),
+        )
+    )
+
+    def spans(files: DataFrame, layout: str, dim: str, col: str) -> DataFrame:
+        return files.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(col).cast("bigint").alias("total_span"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            F.lit(dim).alias("dim"),
+            "n_files",
+            "total_span",
+        )
+
+    rows = (
+        spans(zfiles, "zorder", "partkey", "span_px")
+        .unionByName(spans(zfiles, "zorder", "suppkey", "span_sy"))
+        .unionByName(spans(lfiles, "linear", "partkey", "span_px"))
+        .unionByName(spans(lfiles, "linear", "suppkey", "span_sy"))
+    )
+    return rows.select(
+        "layout",
+        "dim",
+        "n_files",
+        "total_span",
+        (F.col("total_span").cast("double") / 256).alias("avg_files_per_point_query"),
+    ).orderBy("layout", "dim")
