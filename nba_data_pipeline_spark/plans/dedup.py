@@ -1002,3 +1002,103 @@ def d10_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp").cast("double") / F.col("n_cand")).alias("precision"),
         (F.col("tp").cast("double") / F.col("n_truth")).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D11: survivor selection — quality-argmax representative per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d11_survivor_selection",
+    oracle=f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM t),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM inter
+  JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+  WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node),
+ranked AS (
+  SELECT c.component_id, c.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.component_id) AS csize
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT component_id, CAST(csize AS BIGINT) AS cluster_size,
+       doc_id AS survivor_doc, CAST(n_chars AS BIGINT) AS survivor_chars,
+       CAST(csize - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+ORDER BY component_id
+""",
+)
+def d11_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11: SURVIVOR SELECTION — the decision step after clustering
+    (d5_cc_clusters stops at labels): keep, per near-dup component, the
+    HIGHEST-QUALITY member (longest document here — the keep-the-most-
+    complete-copy policy; any quality score drops in) rather than the
+    naive lowest-id. Lowest-id keeps whichever copy crawled first — often
+    the truncated one; quality-argmax is what production curation ships
+    (deduplicated corpora keep canonical/longest variants). Output: one
+    row per cluster with the survivor and the drop count; the doc_id
+    tiebreak keeps equal-quality picks deterministic.
+
+    Shape: shingle-equi-join edges → union-find closure (single partition
+    here; the finish_threshold hybrid at scale) → one broadcast-sized
+    label table joined back to the doc features → one argmax window per
+    component. The oracle replays the closure as a recursive CTE and the
+    same argmax."""
+    from pyspark.sql import Window as W
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sh = shingle_sets(d.select("doc_id", "text")).persist()
+    edges = jaccard_pairs(sh, min_jaccard=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = connected_components(edges)
+    full = d.select("doc_id", "n_chars").join(
+        F.broadcast(labels), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+    )
+    wc = W.partitionBy("component_id")
+    ranked = full.select(
+        "component_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(wc.orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("csize"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("csize").cast("bigint").alias("cluster_size"),
+            F.col("doc_id").alias("survivor_doc"),
+            F.col("n_chars").cast("bigint").alias("survivor_chars"),
+            (F.col("csize") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("component_id")
+    )
