@@ -835,3 +835,97 @@ def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", F.col("arrival_batch").cast("int").alias("arrival_batch"), "is_new")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# S12: custom Python streaming source (polldir) — poll-loop as a DataSource
+# ---------------------------------------------------------------------------
+
+#: (sf_dir, events mtime) → landed JSONL dir for the polldir source.
+_POLL_CACHE: dict[tuple[str, float], str] = {}
+
+_POLL_FILES = 3
+
+
+def _land_jsonl(sf_dir: str) -> str:
+    """Land events as N JSON-lines files (striped by event_id) — the pages
+    a polling scraper would drop, one file per poll. Driver-side via
+    pyarrow; floats serialize via repr so they round-trip exactly."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from nba_data_pipeline_spark.io import table_path
+
+    src = table_path(sf_dir, "events")
+    key = (sf_dir, _os.path.getmtime(src))
+    if key in _POLL_CACHE:
+        return _POLL_CACHE[key]
+    land = session_tmpdir("s12_polldir_")
+    tbl = pq.read_table(src, columns=["event_id", "user_id", "event_type", "value"])
+    cols = [tbl.column(c).to_pylist() for c in ("event_id", "user_id", "event_type", "value")]
+    handles = [open(_os.path.join(land, f"poll_{i}.jsonl"), "w") for i in range(_POLL_FILES)]
+    try:
+        for eid, uid, et, val in zip(*cols):
+            handles[eid % _POLL_FILES].write(
+                _json.dumps(
+                    {"event_id": eid, "user_id": uid, "event_type": et, "value": val}
+                )
+                + "\n"
+            )
+    finally:
+        for h in handles:
+            h.close()
+    _POLL_CACHE[key] = land
+    return land
+
+
+@query(
+    "s12_custom_pystream_source",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       {sql_dsum("value", "DECIMAL(18,2)")} AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def s12_custom_pystream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: the reference's sleep-poll ingestion loop (run_scraper.py) as a
+    CUSTOM PYTHON STREAMING DATA SOURCE — Spark 4's DataSource API with a
+    ``SimpleDataSourceStreamReader`` whose offsets are the consumed-file
+    set, so checkpoint/replay semantics (``readBetweenOffsets``) come from
+    the engine instead of a hand-rolled seen-list: events land as three
+    JSONL 'polls', ``readStream.format("polldir")`` drains them under
+    availableNow, and the per-type aggregate must hash-match the batch
+    oracle — proving the source loses nothing, duplicates nothing, and
+    round-trips ids, strings, and doubles exactly through its JSON frames.
+
+    With src_html_roundtrip's cascade (batch DataSource) and this source,
+    both halves of the reference's scrape loop are first-class engine
+    formats a user addresses by name."""
+    from nba_data_pipeline_spark.sources.poll_datasource import PollDirDataSource
+
+    land = _land_jsonl(sf_dir)
+    try:
+        spark.dataSource.register(PollDirDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    sdf = spark.readStream.format("polldir").option("path", land).load()
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    with _small_state_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("s12_poll_mem")
+            .outputMode("complete")
+            .option("checkpointLocation", session_tmpdir("s12_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("s12_poll_mem").orderBy("event_type")
