@@ -231,3 +231,34 @@ def test_minhash_signature_seeds_are_stable(spark):
     for i in range(12):
         want = min(hashlib.md5(f"{i}:{x}".encode()).hexdigest() for x in toks)
         assert row[f"mh_{i}"] == want, f"seed {i}"
+
+
+def test_polldir_reader_offsets_and_replay(tmp_path):
+    """The polldir stream reader's offset contract: read() consumes only
+    unseen files and advances the offset; readBetweenOffsets() replays a
+    committed range identically (exactly-once on immutable files)."""
+    import json
+
+    from nba_data_pipeline_spark.sources.poll_datasource import PollDirStreamReader
+
+    def land(name, rows):
+        with open(tmp_path / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    land("a.jsonl", [{"event_id": 1, "user_id": 10, "event_type": "x", "value": 1.5}])
+    r = PollDirStreamReader({"path": str(tmp_path)})
+    o0 = r.initialOffset()
+    it1, o1 = r.read(o0)
+    first = list(it1)
+    assert first == [(1, 10, "x", 1.5)] and o1 == {"files": ["a.jsonl"]}
+    land("b.jsonl", [{"event_id": 2, "user_id": 20, "event_type": "y", "value": 2.0}])
+    it2, o2 = r.read(o1)
+    second = list(it2)
+    assert second == [(2, 20, "y", 2.0)] and o2 == {"files": ["a.jsonl", "b.jsonl"]}
+    # replay of each committed range is bit-identical
+    assert list(r.readBetweenOffsets(o0, o1)) == first
+    assert list(r.readBetweenOffsets(o1, o2)) == second
+    # caught-up read returns nothing and a stable offset
+    it3, o3 = r.read(o2)
+    assert list(it3) == [] and o3 == o2
