@@ -1979,3 +1979,60 @@ def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         (F.col("total").cast("double") / (100 * F.col("n"))).alias("mean_revenue"),
     )
+
+
+@query(
+    "a30_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p
+FROM t
+ORDER BY from_type, to_type
+""",
+)
+def a30_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30: first-order MARKOV transition matrix over each user's event
+    sequence — P(next event type | current), the behavioral-modeling
+    primitive behind churn prediction, next-action recommendation, and
+    anomalous-session scoring (w6/w7 segment and count sequences; this
+    models them). One lead window per user (single shuffle, (ts, event_id)
+    total order), a 25-cell count aggregate, and a row-normalized
+    probability — the division is exact-integer over exact-integer so
+    both engines emit identical doubles.
+
+    At 100 TB the lead window is the same per-key sorted pass as every
+    sequence operator here; the matrix itself is alphabet², so the
+    normalize step costs nothing and the result broadcasts back into
+    scoring joins."""
+    seq = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.lead("event_type")
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    row_total = F.sum("n").over(W.partitionBy("from_type")).cast("bigint")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / row_total).alias("p"),
+    ).orderBy("from_type", "to_type")
