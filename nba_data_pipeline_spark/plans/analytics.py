@@ -2036,3 +2036,95 @@ def a30_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / row_total).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@query(
+    "dq5_column_profile",
+    oracle="""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+prof AS (
+  SELECT 'o_orderstatus' AS column_name,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+         CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_nulls
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+         CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+         CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT)
+  FROM orders
+),
+tops AS (
+  SELECT column_name, v AS top_value, CAST(c AS BIGINT) AS top_count FROM (
+    SELECT 'o_orderstatus' AS column_name, o_orderstatus AS v, COUNT(*) AS c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+    FROM orders GROUP BY o_orderstatus
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT column_name, v, CAST(c AS BIGINT) FROM (
+    SELECT 'o_orderpriority' AS column_name, o_orderpriority AS v, COUNT(*) AS c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+    FROM orders GROUP BY o_orderpriority
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT column_name, v, CAST(c AS BIGINT) FROM (
+    SELECT 'o_custkey' AS column_name, CAST(o_custkey AS VARCHAR) AS v, COUNT(*) AS c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, CAST(o_custkey AS VARCHAR)) AS rn
+    FROM orders GROUP BY o_custkey
+  ) WHERE rn = 1
+)
+SELECT p.column_name, n.n_rows, p.n_distinct, p.n_nulls,
+       CAST(p.n_distinct AS DOUBLE) / n.n_rows AS distinct_ratio,
+       t.top_value, t.top_count,
+       CAST(t.top_count AS DOUBLE) / n.n_rows AS top_share
+FROM prof p JOIN tops t ON p.column_name = t.column_name CROSS JOIN n
+ORDER BY p.column_name
+""",
+)
+def dq5_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ5: COLUMN PROFILING report — per column: exact distinct count,
+    null count, distinct ratio, and the dominant value with its share
+    (the Deequ/'summarize'-class artifact that feeds constraint SUGGESTION,
+    where dq1 then enforces what this discovers: a distinct_ratio of 1
+    suggests a key, a top_share near 1 suggests a constant, rising n_nulls
+    flags feed rot). Cardinality metrics come from one shared scan
+    (grouping-sets-style unioned aggregates); each dominant value is a
+    count + deterministic argmax on its own column grouping.
+
+    Scale: the profile is the cheap side of warehouse observability —
+    map-side-combining counts; for truly high-cardinality columns swap
+    COUNT(DISTINCT) for the a14/a25 sketches, same report schema."""
+    o = read_table(spark, sf_dir, "orders")
+    n_rows = o.count()
+
+    def prof(col: str, as_string: bool = False) -> DataFrame:
+        c = F.col(col).cast("string") if as_string else F.col(col)
+        stats = o.agg(
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias("n_nulls"),
+        )
+        top = (
+            o.groupBy(c.alias("top_value"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("top_count"))
+            .orderBy(F.desc("top_count"), "top_value")
+            .limit(1)
+        )
+        return stats.crossJoin(top).select(
+            F.lit(col).alias("column_name"),
+            F.lit(n_rows).cast("bigint").alias("n_rows"),
+            "n_distinct",
+            "n_nulls",
+            (F.col("n_distinct").cast("double") / n_rows).alias("distinct_ratio"),
+            F.col("top_value").cast("string").alias("top_value"),
+            "top_count",
+            (F.col("top_count").cast("double") / n_rows).alias("top_share"),
+        )
+
+    return (
+        prof("o_orderstatus")
+        .unionByName(prof("o_orderpriority"))
+        .unionByName(prof("o_custkey", as_string=True))
+        .orderBy("column_name")
+    )
