@@ -239,3 +239,83 @@ def snk8_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "dq6_migration_reconciliation",
+    oracle="""
+WITH chk AS (
+  SELECT o_orderpriority AS part,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(concat('0x', substr(md5(concat(
+              CAST(o_orderkey AS VARCHAR), ':',
+              CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS VARCHAR))), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+  FROM orders GROUP BY 1
+)
+SELECT part, n_rows AS src_rows, n_rows AS dst_rows, checksum AS src_checksum,
+       checksum AS dst_checksum, TRUE AS rows_match, TRUE AS checksum_match
+FROM chk
+ORDER BY part
+""",
+)
+def dq6_migration_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ6: MIGRATION RECONCILIATION — the sign-off audit after any
+    rewrite/migration (here: orders vs its hive-partitioned copy from
+    snk8's landing): per partition, row counts AND an order-independent
+    content checksum (sum of 48-bit md5 slices over the business key +
+    integer cents) computed on BOTH sides and compared. A row lost,
+    duplicated, or value-corrupted by the rewrite flips exactly one
+    partition's flags — the per-partition granularity is what makes the
+    repair cheap (re-copy one directory, not the table). The additive
+    checksum is commutative, so it needs no sort and partial-aggregates
+    map-side; 48-bit slices keep 15k-row sums far from BIGINT overflow
+    (2^48·n ≪ 2^63 up to ~30k rows per partition; widen the slice split
+    at larger partitions).
+
+    The oracle recomputes the source-side audit and pins every flag TRUE
+    — the engine-side comparison must find the landed copy identical."""
+
+    def checksum(df: DataFrame, part_col: str) -> DataFrame:
+        cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        cents.cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.groupBy(F.col(part_col).alias("part")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(h).cast("bigint").alias("checksum"),
+        )
+
+    src = checksum(read_table(spark, sf_dir, "orders"), "o_orderpriority")
+    dst = checksum(
+        spark.read.parquet(partitioned_orders_path(spark, sf_dir)), "o_orderpriority"
+    ).select(
+        F.col("part").alias("d_part"),
+        F.col("n_rows").alias("dst_rows"),
+        F.col("checksum").alias("dst_checksum"),
+    )
+    return (
+        src.join(dst, src["part"] == dst["d_part"], "full")
+        .select(
+            "part",
+            F.col("n_rows").alias("src_rows"),
+            "dst_rows",
+            F.col("checksum").alias("src_checksum"),
+            "dst_checksum",
+            (F.col("n_rows") == F.col("dst_rows")).alias("rows_match"),
+            (F.col("checksum") == F.col("dst_checksum")).alias("checksum_match"),
+        )
+        .orderBy("part")
+    )
