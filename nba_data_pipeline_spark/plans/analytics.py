@@ -2128,3 +2128,89 @@ def dq5_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("o_custkey", as_string=True))
         .orderBy("column_name")
     )
+
+
+@query(
+    "a31_ab_proportion_ztest",
+    oracle="""
+WITH assign AS (
+  SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(o_orderstatus = 'F' AS INT) AS converted
+  FROM orders
+),
+g AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assign GROUP BY variant
+),
+w AS (
+  SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+         MAX(CASE WHEN variant = 'A' THEN conv END) AS conv_a,
+         MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+         MAX(CASE WHEN variant = 'B' THEN conv END) AS conv_b
+  FROM g
+),
+stats AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         CAST(conv_a AS DOUBLE) / n_a AS p_a,
+         CAST(conv_b AS DOUBLE) / n_b AS p_b,
+         CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+  FROM w
+)
+SELECT n_a, conv_a, p_a, n_b, conv_b, p_b,
+       (p_a - p_b) / sqrt(p_pool * (1 - p_pool)
+                          * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+         AS z,
+       abs((p_a - p_b) / sqrt(p_pool * (1 - p_pool)
+                          * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)))
+         > 1.959963984540054 AS significant_95
+FROM stats
+""",
+)
+def a31_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31: two-proportion z-TEST — the A/B-experiment readout (variant by
+    customer-key parity, conversion = finalized order): pooled-variance z
+    statistic and the 95% significance verdict, computed entirely from
+    exact integer counts so the double expression tree — and therefore the
+    boundary decision — is bit-identical across engines (the critical
+    value is a shared literal, not a normal-quantile call). One scan, one
+    2-row aggregate, one pivot row: experiment dashboards at 100 TB are
+    this exact plan per metric × segment.
+
+    Statistical caveat pinned in the output: the verdict is only as
+    honest as the assignment unit — key-parity here stands in for the
+    real randomization-unit join (j-family)."""
+    assign = read_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B").alias("variant"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("converted"),
+    )
+    g = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        p_pool
+        * (1 - p_pool)
+        * (F.lit(1).cast("double") / F.col("n_a") + F.lit(1).cast("double") / F.col("n_b"))
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        p_a.alias("p_a"),
+        "n_b",
+        "conv_b",
+        p_b.alias("p_b"),
+        z.alias("z"),
+        (F.abs(z) > 1.959963984540054).alias("significant_95"),
+    )

@@ -1009,3 +1009,67 @@ def j16_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("o_orderkey", "user_id", "version", "state").orderBy(
         "o_orderkey"
     )
+
+
+@query(
+    "j17_null_safe_join",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey,
+         CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey % 50 END AS k
+  FROM orders
+),
+r AS (
+  SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey % 50 END AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_dim
+  FROM customer GROUP BY 1
+)
+SELECT CASE WHEN l.k IS NULL THEN '(null)' ELSE 'keyed' END AS key_class,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(r.n_dim) AS BIGINT) AS matched_dim_rows
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def j17_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17: NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM) — the
+    semantics fork every pipeline with nullable business keys hits: a
+    standard equi-join silently DROPS all NULL-keyed rows (NULL = NULL is
+    unknown), while the reference's pandas merges MATCH NaN keys to each
+    other — so a faithful port needs the null-safe operator, made
+    explicit here rather than discovered in a row-count regression. Every
+    7th order key and every 11th dim key is nulled; the null-keyed
+    populations must join each other (the '(null)' output row) and the
+    rest join normally.
+
+    Plan note: `<=>` remains a hash-joinable key (NULL hashes as a
+    value) — this is NOT a fallback to nested-loop; same shuffle shape as
+    a plain equi-join, which is why choosing it is free at 100 TB."""
+    l = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("k"),
+    )
+    r = (
+        read_table(spark, sf_dir, "customer")
+        .select(
+            F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("bigint"))
+            .otherwise(F.col("c_custkey") % 50)
+            .alias("rk")
+        )
+        .groupBy("rk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dim"))
+    )
+    joined = l.join(r, F.col("k").eqNullSafe(F.col("rk")))
+    return (
+        joined.groupBy(
+            F.when(F.col("k").isNull(), "(null)").otherwise("keyed").alias("key_class")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_dim").cast("bigint").alias("matched_dim_rows"),
+        )
+        .orderBy("key_class")
+    )
