@@ -2214,3 +2214,76 @@ def a31_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 1.959963984540054).alias("significant_95"),
     )
+
+
+@query(
+    "a32_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag AS grp,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT grp, cents, wt,
+         CAST(SUM(wt) OVER (PARTITION BY grp ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw,
+         CAST(SUM(wt) OVER (PARTITION BY grp) AS BIGINT) AS total
+  FROM w
+)
+SELECT grp AS l_returnflag, CAST(MIN(total) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cw >= total THEN cents END) AS BIGINT)
+         AS weighted_median_cents
+FROM cum
+GROUP BY grp
+ORDER BY grp
+""",
+)
+def a32_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32: WEIGHTED median — the price at which half the QUANTITY (not
+    half the rows) sits below: the volume-weighted central tendency that
+    unweighted medians (udaf_median_price, a15/a26) misreport whenever
+    line sizes vary. Mechanism: sort each group by price, running
+    quantity sum, first row whose cumulative weight crosses half the
+    total (the integer form 2·cw ≥ total — no float, no interpolation
+    ambiguity), with a unique (orderkey, linenumber) tiebreak so both
+    engines cross at the identical row.
+
+    Shape: one window pass per group over the same sort the plain
+    quantile would need, plus a MIN-CASE rollup — weighted quantiles cost
+    exactly one extra running sum over unweighted ones. Generalizes to
+    any q by replacing 2·cw ≥ total with 100·cw ≥ q·total (the a26
+    histogram form does the same integer crossing on bucket sums)."""
+    w = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        W.partitionBy("grp")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = w.select(
+        "grp",
+        "cents",
+        F.sum("wt").over(wcum).cast("bigint").alias("cw"),
+        F.sum("wt").over(W.partitionBy("grp")).cast("bigint").alias("total"),
+    )
+    return (
+        cum.groupBy(F.col("grp").alias("l_returnflag"))
+        .agg(
+            F.min("total").cast("bigint").alias("total_weight"),
+            F.min(F.when(2 * F.col("cw") >= F.col("total"), F.col("cents")))
+            .cast("bigint")
+            .alias("weighted_median_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
