@@ -110,7 +110,8 @@ def connected_components(
     # materialization: this round's g is recomputed from them when persisted.
     prev_caches: list[DataFrame] = []
     cur_parts = num_partitions
-    for _ in range(max_rounds):
+    sharded_rounds = 0
+    while True:
         g = (
             g.repartition(cur_parts, "src") if cur_parts > 1 else g.repartition(1)
         ).persist()
@@ -176,15 +177,21 @@ def connected_components(
         # round starts from cached edges instead of replaying the joins —
         # and its value drives the hybrid cutover to the 1-partition
         # finishing round.
+        sharded_rounds += 1
         n_conflict = g.count()
         if n_conflict == 0:
             break
         if n_conflict <= finish_threshold:
+            # The next iteration is the 1-partition finishing round, exact
+            # by construction, so it runs OUTSIDE the max_rounds budget: a
+            # graph that shrinks below the threshold on the very last
+            # sharded round must still finish, not raise.
             cur_parts = 1
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds"
-        )
+            continue
+        if sharded_rounds >= max_rounds:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds"
+            )
     for c in prev_caches:
         c.unpersist()
     if labels is None:  # edgeless graph: no nodes to label

@@ -2097,11 +2097,15 @@ def dq5_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combining counts; for truly high-cardinality columns swap
     COUNT(DISTINCT) for the a14/a25 sketches, same report schema."""
     o = read_table(spark, sf_dir, "orders")
-    n_rows = o.count()
 
     def prof(col: str, as_string: bool = False) -> DataFrame:
+        # n_rows rides INSIDE the same one-pass aggregate rather than being
+        # counted eagerly at plan-build time: the catalog's plan builders
+        # are lazy, and a driver-side count here would bake a literal that
+        # goes stale if the data changes between build and execution.
         c = F.col(col).cast("string") if as_string else F.col(col)
         stats = o.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.countDistinct(col).cast("bigint").alias("n_distinct"),
             (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias("n_nulls"),
         )
@@ -2113,13 +2117,17 @@ def dq5_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return stats.crossJoin(top).select(
             F.lit(col).alias("column_name"),
-            F.lit(n_rows).cast("bigint").alias("n_rows"),
+            "n_rows",
             "n_distinct",
             "n_nulls",
-            (F.col("n_distinct").cast("double") / n_rows).alias("distinct_ratio"),
+            (F.col("n_distinct").cast("double") / F.col("n_rows")).alias(
+                "distinct_ratio"
+            ),
             F.col("top_value").cast("string").alias("top_value"),
             "top_count",
-            (F.col("top_count").cast("double") / n_rows).alias("top_share"),
+            (F.col("top_count").cast("double") / F.col("n_rows")).alias(
+                "top_share"
+            ),
         )
 
     return (

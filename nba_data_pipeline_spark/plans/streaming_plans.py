@@ -773,7 +773,16 @@ def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
         ).select("doc_id", "band.band_idx", "band.band_key")
 
     def handle(bdf, batch_id: int):
-        parities = [r[0] for r in bdf.select((_F.col("doc_id") % 2)).distinct().collect()]
+        # limit(2): the invariant is "exactly one parity per batch", so two
+        # distinct values already falsify it — the collect stays O(1) no
+        # matter how wide a batch gets.
+        parities = [
+            r[0]
+            for r in bdf.select((_F.col("doc_id") % 2))
+            .distinct()
+            .limit(2)
+            .collect()
+        ]
         if len(parities) != 1:
             raise RuntimeError(f"s11 expected one arrival file per batch, got {parities}")
         arrival = int(parities[0])
@@ -865,7 +874,13 @@ def _land_jsonl(sf_dir: str) -> str:
     land = session_tmpdir("s12_polldir_")
     tbl = pq.read_table(src, columns=["event_id", "user_id", "event_type", "value"])
     cols = [tbl.column(c).to_pylist() for c in ("event_id", "user_id", "event_type", "value")]
-    handles = [open(_os.path.join(land, f"poll_{i}.jsonl"), "w") for i in range(_POLL_FILES)]
+    # Land-then-rename (the polldir source's landing contract): write every
+    # file under a temp suffix the reader's *.jsonl filter ignores, then
+    # atomically rename — a poll can never observe a half-written file.
+    handles = [
+        open(_os.path.join(land, f"poll_{i}.jsonl.tmp"), "w")
+        for i in range(_POLL_FILES)
+    ]
     try:
         for eid, uid, et, val in zip(*cols):
             handles[eid % _POLL_FILES].write(
@@ -877,6 +892,11 @@ def _land_jsonl(sf_dir: str) -> str:
     finally:
         for h in handles:
             h.close()
+    for i in range(_POLL_FILES):
+        _os.rename(
+            _os.path.join(land, f"poll_{i}.jsonl.tmp"),
+            _os.path.join(land, f"poll_{i}.jsonl"),
+        )
     _POLL_CACHE[key] = land
     return land
 

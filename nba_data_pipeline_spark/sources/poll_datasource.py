@@ -31,7 +31,17 @@ class PollDirStreamReader(SimpleDataSourceStreamReader):
     every not-yet-seen ``*.jsonl`` file in name order; ``readBetweenOffsets``
     replays a committed range deterministically from the same files (the
     exactly-once replay contract — file contents are immutable once
-    landed)."""
+    landed).
+
+    Landing contract: writers must LAND-THEN-RENAME — write to a temp name
+    (e.g. ``*.jsonl.tmp``, which the ``*.jsonl`` filter ignores) and
+    ``os.rename`` into place, so a file is never visible half-written
+    (``_land_jsonl`` in the catalog does exactly this). As a defensive
+    backstop for writers that append in place, ``read`` re-stats each file
+    after consuming it and EXCLUDES still-growing files from the committed
+    offset: their partial rows are dropped and the whole file is re-read on
+    the next poll, instead of the name entering the offset and the
+    later-appended lines being skipped forever."""
 
     def __init__(self, options: dict) -> None:
         self.dir = options["path"]
@@ -65,8 +75,22 @@ class PollDirStreamReader(SimpleDataSourceStreamReader):
         names = sorted(
             n for n in os.listdir(self.dir) if n.endswith(".jsonl")
         )
-        new = [n for n in names if n not in seen]
-        return iter(self._rows(new)), {"files": names}
+        rows: list = []
+        consumed: list[str] = []
+        for n in names:
+            if n in seen:
+                continue
+            path = os.path.join(self.dir, n)
+            try:
+                size_before = os.path.getsize(path)
+                file_rows = self._rows([n])
+                if os.path.getsize(path) != size_before:
+                    continue  # mid-write: re-read in full next poll
+            except OSError:
+                continue  # vanished between listing and open
+            rows.extend(file_rows)
+            consumed.append(n)
+        return iter(rows), {"files": sorted(seen | set(consumed))}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         seen = set(start["files"])

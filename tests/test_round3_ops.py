@@ -25,6 +25,25 @@ def test_connected_components_one_label_row_per_node(spark):
     assert {r.component_id for r in rows} == {0}
 
 
+def test_connected_components_cutover_on_final_round_still_finishes(spark):
+    """Regression (ADVICE r3): if the conflict graph drops below
+    finish_threshold on the LAST sharded round, the single-partition
+    finishing round must still run (outside the max_rounds budget) instead
+    of raising 'did not converge'. A path graph across partitions needs at
+    least one contraction round; max_rounds=1 + a huge threshold forces the
+    cutover to fire exactly on that final budgeted round."""
+    from nba_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40)], "src long, dst long"
+    )
+    rows = connected_components(
+        edges, num_partitions=4, max_rounds=1, finish_threshold=2_000_000
+    ).collect()
+    assert len(rows) == 41
+    assert {r.component_id for r in rows} == {0}
+
+
 def test_bloom_url_dedup_flags_superset_of_blocklist(spark):
     """Bloom probes can false-positive but never false-negative: every truly
     blocked doc must be flagged, and flagged-but-not-blocked rows must carry

@@ -262,3 +262,43 @@ def test_polldir_reader_offsets_and_replay(tmp_path):
     # caught-up read returns nothing and a stable offset
     it3, o3 = r.read(o2)
     assert list(it3) == [] and o3 == o2
+
+
+def test_polldir_reader_skips_midwrite_file_until_stable(tmp_path, monkeypatch):
+    """Regression (ADVICE r3): a file still being appended when the poll
+    fires must NOT enter the offset with only its partial rows — the reader
+    re-stats after reading and defers still-growing files to the next poll,
+    which then consumes them in full."""
+    import json
+    import os
+
+    from nba_data_pipeline_spark.sources import poll_datasource as pdmod
+    from nba_data_pipeline_spark.sources.poll_datasource import PollDirStreamReader
+
+    path = tmp_path / "grow.jsonl"
+    row1 = {"event_id": 1, "user_id": 10, "event_type": "x", "value": 1.0}
+    row2 = {"event_id": 2, "user_id": 20, "event_type": "y", "value": 2.0}
+    path.write_text(json.dumps(row1) + "\n")
+
+    real_getsize = os.path.getsize
+    calls = {"n": 0}
+
+    def growing_getsize(p):
+        # simulate a writer appending between the pre-read stat and the
+        # post-read stat: the SECOND stat of grow.jsonl sees more bytes
+        if os.path.basename(str(p)) == "grow.jsonl":
+            calls["n"] += 1
+            if calls["n"] == 2:
+                with open(path, "a") as f:
+                    f.write(json.dumps(row2) + "\n")
+        return real_getsize(p)
+
+    monkeypatch.setattr(pdmod.os.path, "getsize", growing_getsize)
+    r = PollDirStreamReader({"path": str(tmp_path)})
+    it1, o1 = r.read(r.initialOffset())
+    # partial rows dropped, file NOT committed
+    assert list(it1) == [] and o1 == {"files": []}
+    monkeypatch.setattr(pdmod.os.path, "getsize", real_getsize)
+    it2, o2 = r.read(o1)
+    assert list(it2) == [(1, 10, "x", 1.0), (2, 20, "y", 2.0)]
+    assert o2 == {"files": ["grow.jsonl"]}
