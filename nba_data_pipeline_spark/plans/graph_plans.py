@@ -86,33 +86,44 @@ def g1_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", F.col("s_nationkey").alias("v"))
     )
+    # The contracted summary is nation-pair-sized (≤ N² ≪ the facts), so
+    # localCheckpoint it onto ONE partition: the fact⋈fact mining runs
+    # exactly once and its lineage is truncated, and every iteration join
+    # below becomes a single-task local op instead of a 32-partition
+    # shuffle stage — the r3 bench breach was ~12 such stages of pure
+    # scheduling overhead, not data. (repartition, not coalesce(1):
+    # coalesce would fold the wide mining join itself into one task.)
     edges = (
         eo.join(ls, eo["o_orderkey"] == ls["l_orderkey"])
         .where(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .persist()
+        .repartition(1)
+        .localCheckpoint()
     )
     nodes = (
         edges.select(F.col("u").alias("n"))
         .union(edges.select(F.col("v").alias("n")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    n_nodes = nodes.count()  # dimension-sized; also materializes the caches
+    n_nodes = nodes.count()  # dimension-sized; reads the checkpointed blocks
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     base = (15 * _SCALE) // (100 * n_nodes)
     pr = nodes.withColumn("pr", F.lit(_SCALE // n_nodes))
     for _ in range(3):
+        # broadcast the dimension-sized rank/degree frames: each round is a
+        # map-local hash join on the 1-partition edge summary, and only the
+        # per-round groupBy shuffles (AQE coalesces it to one reducer).
         contrib = (
-            edges.join(pr.withColumnRenamed("n", "u"), "u")
-            .join(deg, "u")
+            edges.join(F.broadcast(pr.withColumnRenamed("n", "u")), "u")
+            .join(F.broadcast(deg), "u")
             .groupBy(F.col("v").alias("n"))
             .agg(
                 F.sum(F.expr("(85 * pr) div (100 * d)")).cast("long").alias("contrib")
             )
         )
-        pr = nodes.join(contrib, "n", "left").select(
+        pr = nodes.join(F.broadcast(contrib), "n", "left").select(
             "n",
             (F.lit(base) + F.coalesce("contrib", F.lit(0))).alias("pr"),
         )
