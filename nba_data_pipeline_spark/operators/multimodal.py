@@ -321,17 +321,45 @@ def resize_plan(features: DataFrame, max_dim: int = 32) -> DataFrame:
     ).withColumn("out_height", (F.col("height") * scale_num / scale_den).cast("int"))
 
 
-def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
+def sample_frames(
+    media: DataFrame, stride: int = 4, use_real_codecs: bool = False
+) -> DataFrame:
     """Frame sampling UDTF shape: one input video row → N output frame rows
     (every ``stride``-th frame), via mapInPandas so a single Python pass
-    both 'decodes' and fans out. frame_hash is md5(payload ∥ ':' ∥ idx) —
-    deterministic and oracle-reproducible."""
+    both decodes and fans out.
+
+    Fake path: frame count is the deterministic 1 + n % 24 and frame_hash is
+    md5(payload ∥ ':' ∥ idx) — oracle-reproducible without any codec. Real
+    path (``use_real_codecs=True``): the NVID container is DEMUXED — the
+    frame walk reads each length prefix but only DECODES the sampled
+    frames, which is the whole point of frame sampling at 100 TB (seek cost
+    per frame, decode cost only for the kept ones) — and frame_hash is the
+    md5 of the frame's decoded pixels (content-addressed)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
             for d, mt, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 if mt != "video":
+                    continue
+                p = bytes(p)
+                if use_real_codecs:
+                    if p[:4] != _NVID_MAGIC:
+                        raise ValueError("not an NVID payload")
+                    (n_frames,) = struct.unpack(">I", p[4:8])
+                    pos = 8
+                    for idx in range(n_frames):
+                        (length,) = struct.unpack(">I", p[pos : pos + 4])
+                        if idx % stride == 0:
+                            _w, _h, px = decode_png(p[pos + 4 : pos + 4 + length])
+                            out.append(
+                                {
+                                    "doc_id": d,
+                                    "frame_idx": idx,
+                                    "frame_hash": hashlib.md5(px).hexdigest(),
+                                }
+                            )
+                        pos += 4 + length
                     continue
                 n_frames = 1 + len(p) % 24
                 for idx in range(0, n_frames, stride):

@@ -1,12 +1,17 @@
 """Multimodal catalog queries: decode/feature-extract, resize planning, and
 frame sampling over binary media columns (north-star multimodal family).
 
-The decode is the deterministic fake from ``operators/multimodal`` (codec
-libs are absent by design), which makes every value pure integer/md5
-arithmetic on the payload bytes — so a DuckDB oracle reproduces the whole
-mapInPandas pipeline bit-for-bit and the correctness gate covers the real
-thing that matters here: the Spark-side schema, batch shape, and fan-out
-plumbing.
+Two decode lanes share the catalog. ``mm_decode_features`` keeps the
+deterministic fake from ``operators/multimodal`` (pure integer/md5
+arithmetic on payload bytes, so a DuckDB oracle reproduces the whole
+mapInPandas pipeline bit-for-bit — the lane that documents the Spark-side
+schema/batch/fan-out plumbing in isolation). ``mm_resize_plan``,
+``mm_frame_sample`` and ``mm_real_codec_roundtrip`` run the REAL
+pure-stdlib codecs (PNG inflate+unfilter, RIFF parse, NVID demux): payloads
+are real containers encoded from doc_id-derived bytes, and each query emits
+a boolean comparing the codec-decoded content hash to an independent native
+derivation — the oracle predicts the metadata plus all-TRUE, so any codec
+or demux defect hash-fails the gate.
 """
 
 from __future__ import annotations
@@ -62,56 +67,183 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_resize_plan",
-    oracle=f"""
-WITH media AS ({_SQL_MEDIA}),
-feats AS (
+    oracle="""
+WITH imgs AS (
   SELECT doc_id,
-         CAST(16 + n % 64 AS INT) AS width,
-         CAST(16 + (n * 7) % 64 AS INT) AS height
-  FROM media WHERE media_type = 'image'
+         CAST(8 + (doc_id % 6) * 4 AS INT) AS width,
+         CAST(4 + (doc_id % 5) * 4 AS INT) AS height
+  FROM documents WHERE doc_id % 3 = 0
 )
 SELECT doc_id, width, height,
        CAST(FLOOR(width * LEAST(32, GREATEST(width, height))
                   / GREATEST(width, height, 1)) AS INT) AS out_width,
        CAST(FLOOR(height * LEAST(32, GREATEST(width, height))
-                  / GREATEST(width, height, 1)) AS INT) AS out_height
-FROM feats
+                  / GREATEST(width, height, 1)) AS INT) AS out_height,
+       TRUE AS decoded_ok
+FROM imgs
 ORDER BY doc_id
 """,
 )
 def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize planning for image media: clamp the long side to 32 px
-    preserving aspect ratio — the metadata half of a media-resize operator,
-    kept as exact integer arithmetic."""
-    d = read_table(spark, sf_dir, "documents")
-    feats = decode_features(media_catalog(d)).filter(F.col("media_type") == "image")
+    """Resize planning over REAL PNG bytes (r4: the synthetic generator is
+    gone from this lane — VERDICT r3 item 6): each image doc gets a real
+    8-bit RGB PNG whose dims (8..28 × 4..20, doc_id-derived) and pixel
+    bytes (an md5 chain of the doc id, truncated to w*h*3) are encoded by
+    ``encode_png`` in one Arrow lane, DECODED by the pure-stdlib codec
+    (zlib inflate + scanline unfilter) in the next, and only then resize-
+    planned: clamp the long side to 32 px preserving aspect ratio, exact
+    integer arithmetic. ``decoded_ok`` compares the codec's decoded-pixel
+    hash against the same bytes derived through an independent native
+    expression — corruption anywhere in encode→decode flips it false and
+    hash-fails the oracle, which predicts the dims and all-TRUE.
+
+    Scale shape: encode and decode are each one ``mapInPandas`` pass, the
+    payload never leaves the executor, and the resize math is JVM-side."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from nba_data_pipeline_spark.operators.multimodal import encode_png
+
+    # dims + pixel bytes derived natively from doc_id: w*h*3 bytes needs at
+    # most (28*20*3)/16 = 105 md5 blocks of the chain.
+    src = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 0)
+        .withColumn("width", (F.lit(8) + (F.col("doc_id") % 6) * 4).cast("int"))
+        .withColumn("height", (F.lit(4) + (F.col("doc_id") % 5) * 4).cast("int"))
+        .withColumn(
+            "content",
+            F.unhex(
+                F.expr(
+                    "substring(repeat(md5(cast(cast(doc_id as string) as binary)),"
+                    " 105), 1, width * height * 6)"
+                )
+            ),
+        )
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["media_type"] = "image"
+            out["payload"] = [
+                encode_png(int(w), int(h), bytes(c))
+                for w, h, c in zip(pdf["width"], pdf["height"], pdf["content"])
+            ]
+            yield out
+
+    media = src.mapInPandas(
+        encode, schema="doc_id long, media_type string, payload binary"
+    )
+    feats = decode_features(media, use_real_codecs=True)
+    expected = F.md5(
+        F.unhex(
+            F.expr(
+                "substring(repeat(md5(cast(cast(doc_id as string) as binary)),"
+                " 105), 1, width * height * 6)"
+            )
+        )
+    )
     return (
         resize_plan(feats, max_dim=32)
-        .select("doc_id", "width", "height", "out_width", "out_height")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "out_width",
+            "out_height",
+            (F.col("feat_hash") == expected).alias("decoded_ok"),
+        )
         .orderBy("doc_id")
     )
 
 
 @query(
     "mm_frame_sample",
-    oracle=f"""
-WITH media AS ({_SQL_MEDIA}),
-vids AS (
-  SELECT doc_id, text, 1 + n % 24 AS n_frames
-  FROM media WHERE media_type = 'video'
+    oracle="""
+WITH vids AS (
+  SELECT doc_id, CAST(1 + doc_id % 12 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
 )
 SELECT doc_id,
        CAST(unnest(generate_series(0, n_frames - 1, 4)) AS INT) AS frame_idx,
-       md5(concat(text, ':', CAST(unnest(generate_series(0, n_frames - 1, 4)) AS VARCHAR))) AS frame_hash
+       TRUE AS frame_ok
 FROM vids
 ORDER BY doc_id, frame_idx
 """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (video → every 4th frame): the one-row-in/N-rows-out
-    UDTF shape via mapInPandas, with oracle-reproducible frame hashes."""
-    d = read_table(spark, sf_dir, "documents")
-    return sample_frames(media_catalog(d), stride=4).orderBy("doc_id", "frame_idx")
+    """Frame sampling over a REAL video container (r4: the synthetic
+    generator is gone from this lane — VERDICT r3 item 6): each video doc
+    becomes an NVID of 1 + doc_id % 12 real 8×4 RGB PNG frames (frame i's
+    96 pixel bytes are the md5 chain of "doc_id:i"), and ``sample_frames``
+    DEMUXES it — walking every length prefix but decoding ONLY every 4th
+    frame, the seek-vs-decode split that makes frame sampling affordable
+    at 100 TB. ``frame_ok`` compares each sampled frame's decoded-pixel
+    hash against the independent native derivation of the same bytes; the
+    oracle predicts the sampled index fan-out and all-TRUE, so a demux
+    off-by-one, a wrong frame boundary, or codec corruption hash-fails."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from nba_data_pipeline_spark.operators.multimodal import encode_nvid
+
+    src = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 2)
+        .withColumn("n_frames", (F.lit(1) + F.col("doc_id") % 12).cast("int"))
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["media_type"] = "video"
+            out["payload"] = [
+                encode_nvid(
+                    [
+                        (
+                            8,
+                            4,
+                            bytes.fromhex(
+                                hashlib.md5(f"{d}:{i}".encode()).hexdigest() * 6
+                            ),
+                        )
+                        for i in range(int(n))
+                    ]
+                )
+                for d, n in zip(pdf["doc_id"], pdf["n_frames"])
+            ]
+            yield out
+
+    media = src.mapInPandas(
+        encode, schema="doc_id long, media_type string, payload binary"
+    )
+    frames = sample_frames(media, stride=4, use_real_codecs=True)
+    expected = F.md5(
+        F.unhex(
+            F.repeat(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("frame_idx").cast("string"),
+                    ).cast("binary")
+                ),
+                6,
+            )
+        )
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_hash") == expected).alias("frame_ok"),
+    ).orderBy("doc_id", "frame_idx")
 
 
 @query(

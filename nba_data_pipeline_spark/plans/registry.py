@@ -54,100 +54,86 @@ def query(name: str, oracle: str | None = None):
 # Everything else — driver-green in r1/r2 and semantically unchanged — sits
 # after the prefix and stays covered by tools/check.py locally.
 _FRONT: tuple[str, ...] = (
-    # --- the 21 entries never driver-checked in r1/r2 ---
-    "a16_hll_sketch_rollup",
-    "a17_incremental_merge",
-    "sim_ivf_batch_topk",
-    "snk7_xlsx_roundtrip",
-    "s6_sliding_windows",
-    "s6_session_windows",
-    "s3_stability_tracker",
-    "ta_stratified_sample",
-    "ta_quality_percentiles",
-    "x21_odds_math",
-    "x_matchup_cleanup",
-    "x18_event_mining",
-    "x4_game_time",
-    "x56_insight_parse",
-    "x12_team_mentions",
-    "corpus_curation_pipeline",
-    "ta_repetition_ratio",
-    "ta_global_shuffle_shard",
-    "ta_perplexity_score",
-    "w4_latest_per_key",
-    "w7_funnel_sequence",
-    # --- changed this round; re-verify ---
-    "d5_minhash_lsh_pairs",
-    "mm_decode_features",
-    "d5_cc_clusters",
-    # --- new in round 3 ---
-    "d5_cc_clusters_multipart",
-    "ta_entropy_quality",
-    "ta_domain_quota_sample",
-    "ta_bloom_url_dedup",
-    "ta_utf8_sanitize",
-    "ta_dup_line_prefix",
-    "sim_pq_codebook",
-    "sim_pq_topk",
-    "a18_bitmap_distinct",
-    "a19_windowed_mode",
-    "s8_stream_stream_join",
-    "s9_foreach_batch_upsert",
-    "src_http_get",
-    "ta_winnow_fingerprint",
-    "j11_salted_skew_join",
-    "x22_fuzzy_match",
-    "ta_bpe_merge_round",
-    "a20_cms_heavy_hitters",
-    "w8_curriculum_deciles",
-    "mm_real_codec_roundtrip",
-    # --- new in round 3 (session 2): the two with the most novel oracle
-    # machinery take these slots (the replanned d5_ngram_jaccard_topk /
-    # sim_lsh_neardup_pairs keep their r2-green rows — same semantics,
-    # same oracle, re-verified locally); the other five r3-session-2
-    # additions (w9_scd2_intervals, lo1/lo2 layout, ta_quality_classifier,
-    # d5_simhash_hamming_pairs) are local-green via tools/check.py and
-    # rotate into the r4 prefix once this round frees 48 proven slots ---
-    "j12_bloom_runtime_filter",
-    "g1_pagerank_trade",
-    # R4 ROTATION QUEUE (write once, rotate next round): entries never
-    # driver-checked after r3 — all r3-session-2/3 overflow — in priority
-    # order for the r4 prefix: a21_bitmap_rollup_reuse,
-    # ta_contamination_overlap, w9_scd2_intervals, cdc_merge_apply,
-    # lo1_zorder_layout, lo2_compaction_bins, ta_quality_classifier,
-    # d5_simhash_hamming_neighbors, j13_incremental_join_maintenance,
-    # a22_grouping_sets, a23_equiwidth_histogram, a24_cohort_retention,
-    # ts1_locf_gapfill, ts2_ohlc_bars, x23_deletion_neighborhood_join,
-    # dq1_constraint_audit, snk8_partitioned_parquet_roundtrip,
-    # src_json_variant, a25_kmv_set_ops, ta_weighted_sample,
-    # sim_random_projection, j14_asof_tolerance_union, g2_triangle_count,
-    # dq2_zscore_outliers, ts3_ewma_smooth, a26_histogram_quantile_rollup,
-    # a27_unpivot_roundtrip, g3_bfs_levels, d10_lsh_recall_eval,
-    # w11_distribution_ranks, x24_suffixed_number_parse,
-    # sql_q3_shipping_priority, src_csv_corrupt_records, src_orc_roundtrip,
-    # src_schema_evolution, ta_url_canonicalize, w10_interval_coalesce,
-    # a28_running_distinct, ta_bpe_encode, s10_dedupe_within_watermark,
-    # j15_dynamic_partition_pruning, s11_stream_incremental_minhash,
-    # sim_matryoshka_prefix_eval, j16_point_in_time_join,
-    # ts4_backtest_seasonal_naive, dq4_benford_digit_audit,
-    # w12_rolling_regression_slope — 47 entries ≈ one full 50-slot round
-    # (plus d5_minhash_lsh_pairs re-verified post-seed-fix, already in
-    # this round's prefix).
-    # --- new in round 3 (session 3): the two with the most novel machinery
-    # (prefix-filtered similarity join plan; the native-XML IO path) take
-    # two slots — displacing a21_bitmap_rollup_reuse and
-    # ta_contamination_overlap, whose machinery is family-covered by
-    # a18_bitmap_distinct / ta_decontaminate (driver-green r2); they stay
-    # local-green and rotate into the r4 prefix with the other session-2/3
-    # overflow (src_json_variant, a25_kmv_set_ops, ta_weighted_sample,
-    # sim_random_projection, j14_asof_tolerance_union, w9, lo1/lo2, …). ---
-    "d9_prefix_filter_join",
-    "src_xml_roundtrip",
-    # --- proven representatives (driver-green r1/r2, unchanged) keeping
-    # the filters/normalize families in this round's gate
-    # (flagship stays smoke-checked every round via entry()) ---
-    "nba_fixture_normalize",
-    "f4_multi_dim_selection",
+    # ROUND-4 ROTATION (executes the queue pre-committed in r3 / VERDICT r3
+    # item 1): 48 of the 59 entries never driver-checked after r1∪r2∪r3,
+    # plus the two mm queries whose implementation CHANGES this round
+    # (routed through use_real_codecs=True — VERDICT r3 item 6), so they
+    # need driver re-verification. Everything driver-green r1–r3 and
+    # semantically unchanged sits after the prefix, covered by
+    # tools/check.py locally.
+    # --- analytics (a2x) never driver-checked ---
+    "a22_grouping_sets",
+    "a23_equiwidth_histogram",
+    "a24_cohort_retention",
+    "a25_kmv_set_ops",
+    "a27_unpivot_roundtrip",
+    "a32_weighted_median",
+    # --- data quality ---
+    "dq1_constraint_audit",
+    "dq2_zscore_outliers",
+    "dq4_benford_digit_audit",
+    "dq5_column_profile",  # also changed r4: lazy in-plan row count
+    "dq6_migration_reconciliation",
+    # --- text analysis ---
+    "ta_weighted_sample",
+    "ta_bpe_encode",
+    "ta_url_canonicalize",
+    "ta_quality_classifier",
+    # --- dedup / graph ---
+    "d5_simhash_hamming_neighbors",
+    "d10_lsh_recall_eval",
+    "d11_survivor_selection",
+    "g2_triangle_count",
+    "g3_bfs_levels",
+    # --- joins / CDC ---
+    "cdc_merge_apply",
+    "j13_incremental_join_maintenance",
+    "j14_asof_tolerance_union",
+    "j15_dynamic_partition_pruning",
+    "j16_point_in_time_join",
+    "j17_null_safe_join",
+    # --- data layout ---
+    "lo1_zorder_layout",
+    "lo2_compaction_bins",
+    "lo3_skipping_effectiveness",
+    # --- SQL / sources / sinks ---
+    "sql_q3_shipping_priority",
+    "snk8_partitioned_parquet_roundtrip",
+    "src_json_variant",
+    "src_orc_roundtrip",
+    "src_schema_evolution",
+    "src_csv_corrupt_records",
+    # --- streaming (s11 also changed r4: bounded assert collect; s12's
+    # polldir reader gained the mid-write backstop) ---
+    "s10_dedupe_within_watermark",
+    "s11_stream_incremental_minhash",
+    "s12_custom_pystream_source",
+    # --- extraction / time series / windows ---
+    "x23_deletion_neighborhood_join",
+    "x24_suffixed_number_parse",
+    "ts1_locf_gapfill",
+    "ts2_ohlc_bars",
+    "ts3_ewma_smooth",
+    "ts4_backtest_seasonal_naive",
+    "w9_scd2_intervals",
+    "w10_interval_coalesce",
+    "w11_distribution_ranks",
+    "w12_rolling_regression_slope",
+    # --- changed this round: real PNG/NVID codecs become the default
+    # decode path for the resize and frame-sample plans ---
+    "mm_resize_plan",
+    "mm_frame_sample",
+    # R4 DEFERRED (11 entries, never driver-checked; each family already
+    # has driver-green relatives, and every one carries a structural
+    # plan-fingerprint assertion in tests/test_plan_shapes.py per VERDICT
+    # r3 item 7): a21_bitmap_rollup_reuse (a18 driver-r3),
+    # ta_contamination_overlap (ta_decontaminate driver-r2),
+    # sim_random_projection / sim_matryoshka_prefix_eval /
+    # sim_centroid_classifier_eval / sim_pq_recall_eval (5 sim_* entries
+    # driver-green r1–r3), a26_histogram_quantile_rollup,
+    # a28_running_distinct, a29_gini_concentration, a30_markov_transitions,
+    # a31_ab_proportion_ztest (a1–a25 driver-green across r1–r4). These
+    # lead the r5 prefix.
 )
 
 

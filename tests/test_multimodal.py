@@ -72,6 +72,28 @@ def test_sample_frames_fanout(media):
     assert first.frame_hash == hashlib.md5(payload + b":0").hexdigest()
 
 
+def test_sample_frames_real_demux_decodes_sampled_frames(spark):
+    """Real-codec path: the NVID walk must land on exact frame boundaries
+    (varying per-frame PNG sizes) and hash each SAMPLED frame's decoded
+    pixels — not the container bytes."""
+    from nba_data_pipeline_spark.operators.multimodal import encode_nvid
+
+    # frames with different content → different compressed PNG lengths
+    frame_px = [bytes([i]) * 96 + bytes(range(i, i + 10)) * 0 for i in range(6)]
+    frame_px = [bytes([i]) * 96 for i in range(6)]
+    payload = encode_nvid([(8, 4, px) for px in frame_px])
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(payload)), (8, "image", bytearray(b"x"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = sample_frames(media, stride=2, use_real_codecs=True).collect()
+    assert {r.doc_id for r in rows} == {7}
+    got = {r.frame_idx: r.frame_hash for r in rows}
+    assert sorted(got) == [0, 2, 4]
+    for idx in (0, 2, 4):
+        assert got[idx] == hashlib.md5(frame_px[idx]).hexdigest()
+
+
 def test_resize_preserves_aspect_and_clamps(spark):
     feats = spark.createDataFrame(
         [(1, 64, 16), (2, 16, 16), (3, 0, 0)],
