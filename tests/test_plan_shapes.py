@@ -33,6 +33,43 @@ def test_plan_is_clean(spark, name):
     assert audit_one(name, df) == []
 
 
+# The 11 catalog entries deferred from the r4 driver-rotation prefix
+# (plans/registry.py R4 DEFERRED note): each family has driver-green
+# relatives, and until their r5 rotation slot comes up every one must hold
+# a structural assertion beyond the local oracle — plan-clean under
+# planaudit's three rules (no row UDFs, no cartesian products, pruned
+# scans) PLUS a physical-plan fingerprint naming the operator that carries
+# its semantics.
+DEFERRED_FINGERPRINTS = {
+    "a21_bitmap_rollup_reuse": "HashAggregate",     # bitmap merge rollup
+    "ta_contamination_overlap": "Join",             # eval-shingle overlap join
+    # the sim_* lanes are fully JVM-native (HOF dot products — no Arrow
+    # lane at all); the negative half of that claim is asserted for all
+    # entries below.
+    "sim_random_projection": "Project",             # native JL projection
+    "sim_matryoshka_prefix_eval": "WindowGroupLimit",  # top-k pushdown
+    "sim_centroid_classifier_eval": "HashAggregate",   # centroid argmax agg
+    "sim_pq_recall_eval": "WindowGroupLimit",       # ADC top-k pushdown
+    "a26_histogram_quantile_rollup": "HashAggregate",  # mergeable bins
+    "a28_running_distinct": "Window",               # running distinct window
+    "a29_gini_concentration": "Window",             # rank-weighted sum
+    "a30_markov_transitions": "Window",             # lead/lag transition pairs
+    "a31_ab_proportion_ztest": "HashAggregate",     # variant aggregation
+}
+
+
+@pytest.mark.parametrize("name", sorted(DEFERRED_FINGERPRINTS))
+def test_deferred_entry_plan_fingerprint(spark, name):
+    df = load_all()[name].fn(spark, SF_DIR)
+    assert audit_one(name, df) == []
+    phys = plan_string(df).split("== Physical Plan ==")[-1]
+    assert DEFERRED_FINGERPRINTS[name] in phys, phys[:2000]
+    if name.startswith("sim_"):
+        # the similarity lanes' scale claim: scoring stays inside
+        # whole-stage codegen, no Python evaluation anywhere
+        assert "ArrowEvalPython" not in phys and "BatchEvalPython" not in phys
+
+
 def test_broadcast_hints_survive_to_plan(spark):
     """j1's dim lookup must compile to a broadcast join, not a shuffle
     join — the 100 TB claim in its docstring depends on it."""
