@@ -1,0 +1,90 @@
+"""Run the heavy catalog families at a scaled SF (default the 10x tiling
+from tools/make_sf_scaled.py) and compare wall-times to the committed sf0.1
+snapshot (bench_full.json) — the measurement VERDICT r3 item 4 asked for:
+linear-ish scaling evidence for the 100 TB design claims, no OOM/spill
+pathology.
+
+Usage: python tools/bench_sf1.py [sf_dir] [> report]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nba_data_pipeline_spark.plans.registry import load_all
+from nba_data_pipeline_spark.session import get_spark
+
+HEAVY = [
+    # near-dup / dedup family
+    "d5_minhash_lsh_pairs",
+    "d5_simhash_hamming_neighbors",
+    "d5_ngram_jaccard_topk",
+    "d5_embedding_cosine_neardup",
+    "d5_cc_clusters",
+    "d5_cc_clusters_multipart",
+    "d9_prefix_filter_join",
+    "d10_lsh_recall_eval",
+    "d11_survivor_selection",
+    # graph family
+    "g1_pagerank_trade",
+    "g2_triangle_count",
+    "g3_bfs_levels",
+    # similarity / ANN family
+    "sim_lsh_neardup_pairs",
+    "sim_ivf_batch_topk",
+    "sim_pq_codebook",
+    "sim_pq_topk",
+    # streaming incremental near-dup
+    "s11_stream_incremental_minhash",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "sf_scaled",
+        "sf1",
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    spark = get_spark("bench_sf1", cpus=cpus)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    specs = load_all()
+    ref = {}
+    ref_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench_full.json")
+    if os.path.exists(ref_path):
+        ref = json.load(open(ref_path)).get("queries", {})
+    out = {}
+    for name in HEAVY:
+        if name not in specs:
+            print(f"skip {name}: not in catalog", file=sys.stderr)
+            continue
+        # min of 2, matching bench.py's protocol so the sf0.1 comparison
+        # column (also min-of-2) is apples-to-apples
+        dt = -1.0
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                it = round(time.time() - t0, 2)
+                dt = it if dt < 0 else min(dt, it)
+        except Exception as e:  # noqa: BLE001
+            dt = -1.0
+            print(f"{name} FAILED: {e}", file=sys.stderr)
+        spark.catalog.clearCache()
+        base = ref.get(name)
+        ratio = round(dt / base, 1) if base and dt > 0 else None
+        out[name] = {"sf1_sec": dt, "sf01_sec": base, "ratio": ratio}
+        print(f"{name}: sf1={dt}s sf0.1={base}s ratio={ratio}", flush=True)
+    print(json.dumps({"sf_dir": sf_dir, "queries": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
