@@ -33,13 +33,30 @@ def test_front_names_all_registered():
 
 
 def test_driver_prefix_covers_every_family():
-    names = list(load_all())[:DRIVER_PREFIX]
+    """Since the r4 rotation the prefix is spent on never-checked entries,
+    so the representativeness invariant is cumulative: every family must be
+    green in (this round's prefix) ∪ (entries already driver-verified in a
+    prior round's CORRECTNESS file)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    covered = set(list(load_all())[:DRIVER_PREFIX])
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+        with open(path) as f:
+            rec = json.load(f)
+        covered.update(
+            n
+            for n, row in rec.items()
+            if isinstance(row, dict) and row.get("rows_match")
+        )
     uncovered = [
         fam
         for fam, pat in FAMILY_PATTERNS.items()
-        if not any(re.match(pat, n) for n in names)
+        if not any(re.match(pat, n) for n in covered)
     ]
-    assert not uncovered, f"families missing from driver-checked prefix: {uncovered}"
+    assert not uncovered, f"families never driver-checked: {uncovered}"
 
 
 def test_driver_prefix_all_oracle_checked():
