@@ -1,0 +1,254 @@
+"""Relational data-mining catalog queries (MB/SKY/MI families): frequent
+itemset pairs, Pareto-frontier skyline, and categorical mutual information.
+
+The reference's analytics layer stops at one-shot groupbys (team season
+aggregates, e.g. Cleaning_Glass_#1.py's per-team frames); this module adds
+the classic mining shapes a curation/analytics engine needs on top of the
+same tables — each expressed so the heavy step is a pruned equi-join or a
+single window pass, never an all-pairs product.
+
+Float discipline: every reported ratio (lift, PMI, MI) is ROUND()ed on both
+engines so summation-order noise cannot leak into the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
+
+#: Apriori thresholds for mb1 — pruning singles below MIN_ITEM_SUPPORT
+#: shrinks the self-join input BEFORE the pair expansion (the apriori
+#: monotonicity lemma: no pair can beat its rarest member's support).
+MIN_ITEM_SUPPORT = 5
+MIN_PAIR_SUPPORT = 3
+
+
+@query(
+    "mb1_frequent_pairs",
+    oracle=f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sup1 AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY 1),
+freq AS (SELECT l_partkey, s FROM sup1 WHERE s >= {MIN_ITEM_SUPPORT}),
+fitems AS (SELECT i.l_orderkey, i.l_partkey FROM items i
+           JOIN freq f ON f.l_partkey = i.l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS support
+  FROM fitems a JOIN fitems b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items)
+SELECT p.p1, p.p2, p.support,
+       ROUND(CAST(p.support AS DOUBLE) * n.n_orders / (f1.s * f2.s),
+             {ROUND_DIGITS}) AS lift
+FROM pairs p
+JOIN freq f1 ON f1.l_partkey = p.p1
+JOIN freq f2 ON f2.l_partkey = p.p2
+CROSS JOIN n
+WHERE p.support >= {MIN_PAIR_SUPPORT}
+ORDER BY p.support DESC, p.p1, p.p2
+""",
+)
+def mb1_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MB1: market-basket frequent-pair mining with apriori pruning — the
+    co-purchase primitive (Agrawal & Srikant 1994) the reference's matchup
+    co-occurrence dicts approximate row-at-a-time.
+
+    Scale shape: (1) distinct (order, item) — one shuffle with map-side
+    combine; (2) apriori prune drops items below MIN_ITEM_SUPPORT *before*
+    the pair expansion, so the self-join input is the frequent subset only;
+    (3) the pair join is an equi-join on orderkey — candidate mass is
+    Σ k_i² over per-basket frequent-item counts, never |items|²; (4) pair
+    counts map-side-combine again. A basket with k frequent items emits
+    k(k-1)/2 pairs, so pathological mega-baskets are the one skew risk —
+    cap k upstream (or salt orderkey) if baskets are unbounded.
+    Lift = support·N / (s1·s2) reported rounded."""
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sup1 = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    freq = sup1.filter(F.col("s") >= MIN_ITEM_SUPPORT)
+    fitems = items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    a = fitems.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1")
+    )
+    b = fitems.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_PAIR_SUPPORT)
+    )
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    f1 = freq.select(F.col("l_partkey").alias("p1"), F.col("s").alias("s1"))
+    f2 = freq.select(F.col("l_partkey").alias("p2"), F.col("s").alias("s2"))
+    return (
+        pairs.join(F.broadcast(f1), "p1")
+        .join(F.broadcast(f2), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("s1") * F.col("s2")),
+                ROUND_DIGITS,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "p1", "p2")
+    )
+
+
+@query(
+    "sky1_pareto_frontier",
+    oracle="""
+WITH s AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         MAX(p_size) OVER (
+           ORDER BY p_retailprice ASC, p_size DESC, p_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+  FROM part
+)
+SELECT p_partkey, p_retailprice, p_size
+FROM s WHERE cm IS NULL OR p_size > cm
+ORDER BY p_retailprice, p_partkey
+""",
+)
+def sky1_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKY1: 2-D Pareto skyline (minimize price, maximize size) via the
+    sort + running-max sweep (Börzsönyi et al. 2001's block-nested-loop
+    collapses to O(n log n) in 2-D): after sorting by (price asc, size
+    desc), a row survives iff its size strictly exceeds the running max of
+    every strictly-better-sorted row — equal-(price,size) duplicates keep
+    exactly the min-partkey representative.
+
+    Scale shape: the exact sweep needs a single global order, so it is fed
+    only CANDIDATES — rows that beat the running best of every strictly
+    cheaper price bucket. The bucket summary (one max per price band) is a
+    map-side-combined aggregate, its running max is a dimension-bounded
+    window, and the prefilter is a broadcast join; the full table is never
+    pulled into one partition. The final unpartitioned window runs over
+    the surviving sliver only (here 4 of 2 000 rows; skyline sizes grow
+    ~O(logᵈ n), not O(n)). For d>2 switch to grid cells with per-cell
+    local skylines before the same merge."""
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    # Phase 1: per-price-band best size, running max over strictly lower
+    # bands, broadcast back as a dominance prefilter. A row dominated by
+    # anything in a cheaper band can never be on the frontier.
+    bucket = F.floor(F.col("p_retailprice") / F.lit(100.0)).alias("b")
+    bands = (
+        p.select(bucket, "p_size")
+        .groupBy("b")
+        .agg(F.max("p_size").alias("bmax"))
+    )
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    prev_best = bands.select("b", F.max("bmax").over(wb).alias("prev_best"))
+    cand = (
+        p.withColumn("b", bucket)
+        .join(F.broadcast(prev_best), "b")
+        .filter(F.col("prev_best").isNull() | (F.col("p_size") > F.col("prev_best")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    # Phase 2: exact sweep over the candidate sliver.
+    w = (
+        W.orderBy(F.asc("p_retailprice"), F.desc("p_size"), "p_partkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    s = cand.withColumn("cm", F.max("p_size").over(w))
+    return (
+        s.filter(F.col("cm").isNull() | (F.col("p_size") > F.col("cm")))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+@query(
+    "mi1_mutual_information",
+    oracle=f"""
+WITH joint AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM orders GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY 1),
+my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY 1),
+n AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint),
+cells AS (
+  SELECT j.x, j.y, j.n_xy,
+         ln(CAST(j.n_xy AS DOUBLE) * n.n / (mx.n_x * my.n_y)) AS pmi,
+         CAST(j.n_xy AS DOUBLE) / n.n
+             * ln(CAST(j.n_xy AS DOUBLE) * n.n / (mx.n_x * my.n_y)) AS contrib
+  FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+)
+SELECT x, y, n_xy, ROUND(pmi, {ROUND_DIGITS}) AS pmi,
+       ROUND(contrib, {ROUND_DIGITS}) AS mi_contrib,
+       ROUND(SUM(contrib) OVER (), {ROUND_DIGITS}) AS mi_total
+FROM cells
+ORDER BY x, y
+""",
+)
+def mi1_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI1: mutual information between two categorical columns (order
+    priority × order status) — the feature-dependence / leakage-audit
+    primitive of a training-data pipeline (is a proposed split column
+    independent of the label?). Per-cell PMI and MI contribution plus the
+    total MI repeated on every row, all rounded.
+
+    Scale shape: one groupBy over the fact table collapses it to the
+    contingency table (|X|·|Y| rows — dimension-bounded, here ≤ 15);
+    marginals and the total are re-aggregates OF THE CELLS, not of the
+    facts, so the fact table is scanned exactly once regardless of scale.
+    The final window runs over the tiny cell table."""
+    joint = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    mx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    n = joint.agg(F.sum("n_xy").alias("n"))
+    ratio = F.col("n_xy").cast("double") * F.col("n") / (
+        F.col("n_x") * F.col("n_y")
+    )
+    cells = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            F.log(ratio).alias("pmi_raw"),
+            (F.col("n_xy").cast("double") / F.col("n") * F.log(ratio)).alias(
+                "contrib"
+            ),
+        )
+    )
+    return cells.select(
+        "x",
+        "y",
+        "n_xy",
+        F.round("pmi_raw", ROUND_DIGITS).alias("pmi"),
+        F.round("contrib", ROUND_DIGITS).alias("mi_contrib"),
+        F.round(
+            F.sum("contrib").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
+            ROUND_DIGITS,
+        ).alias("mi_total"),
+    ).orderBy("x", "y")

@@ -148,6 +148,7 @@ def load_all() -> dict[str, QuerySpec]:
         graph_plans,
         joins,
         layout_plans,
+        mining_plans,
         multimodal_plans,
         normalize_plans,
         similarity,
