@@ -151,6 +151,7 @@ def load_all() -> dict[str, QuerySpec]:
         mining_plans,
         multimodal_plans,
         normalize_plans,
+        search_plans,
         similarity,
         sinks,
         sources_plans,

@@ -1,0 +1,347 @@
+"""Sparse-retrieval catalog queries (TA search family): inverted-index
+TF-IDF cosine pairs, positional phrase search, and DSIR-style importance
+weighting for target-distribution data selection.
+
+These are the token-space complements of the embedding-space ``sim_*``
+suite: candidate generation is always a posting-list equi-join (or an
+in-situ array scan), never an all-pairs product, and every similarity /
+importance value is rounded on both engines per the catalog's float
+discipline.
+
+Reference parity: the reference greps page text row-at-a-time for matchup
+strings (nba_props_scraper.py:733-822 class of loops); this module is the
+set-oriented form a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.textops import ws_tokens
+from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
+
+#: Trigram shingles as retrieval terms: the documents corpus draws from a
+#: ~50-word vocabulary, so unigrams/bigrams are near-ubiquitous (df ≈ n/2)
+#: and their posting lists quadratic; trigram df is ~1.6 here, which is
+#: the regime inverted-index joins are built for.
+_SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+_SQL_TRI_TF = f"""
+tok AS (
+  SELECT doc_id, t.token, t.pos FROM (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS token,
+           generate_subscripts({_SQL_TOKS}, 1) AS pos
+    FROM documents) t(doc_id, token, pos)
+),
+tri AS (
+  SELECT a.doc_id, a.token || ' ' || b.token || ' ' || c.token AS term
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tri GROUP BY 1, 2)
+"""
+
+#: Posting lists longer than this fraction of the corpus are dropped from
+#: pair generation — the standard "stop-shingle" guard that keeps the
+#: inverted-index join linear when a term goes ubiquitous.
+_DF_CAP_FRAC = 0.1
+_COS_THRESHOLD = 0.1
+
+
+def _trigrams(toks: str = "toks") -> F.Column:
+    """Trigram shingle array from a token-array column, built in-plan with
+    ``transform`` over an index sequence — no self-join, no Python."""
+    return F.when(
+        F.expr(f"size({toks})") >= 3,
+        F.expr(
+            f"transform(sequence(1, size({toks}) - 2), "
+            f"i -> concat({toks}[i-1], ' ', {toks}[i], ' ', {toks}[i+1]))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+
+@query(
+    "ta_sparse_cosine_pairs",
+    oracle=f"""
+WITH {_SQL_TRI_TF},
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE df.df <= {_DF_CAP_FRAC} * n.n_docs
+),
+nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         SUM(a.w * b.w) AS dot, CAST(COUNT(*) AS BIGINT) AS shared_terms
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.d1, d.d2, d.shared_terms,
+       ROUND(d.dot / (na.nrm * nb.nrm), {ROUND_DIGITS}) AS cosine
+FROM dots d
+JOIN nrm na ON na.doc_id = d.d1
+JOIN nrm nb ON nb.doc_id = d.d2
+WHERE d.dot / (na.nrm * nb.nrm) >= {_COS_THRESHOLD}
+ORDER BY d1, d2
+""",
+)
+def ta_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs via an inverted-index join —
+    the lexical-vector complement of d5_ngram_jaccard_topk (set overlap)
+    and d5_embedding_cosine_neardup (dense vectors): cosine over trigram
+    TF-IDF weights, candidates generated ONLY for documents sharing a
+    posting list.
+
+    Scale shape: tf and df are map-side-combined aggregates; the pair
+    candidate mass is Σ df² over terms — bounded here by the df cap
+    (posting lists above 10% of the corpus are dropped, the classic
+    stop-shingle guard, zero-loss for any pair that also shares a rarer
+    term); partial dot products combine per (d1, d2) before the final
+    pair shuffle. Nothing is quadratic in the corpus."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    tri = d.select("doc_id", F.explode(_trigrams()).alias("term"))
+    tf = tri.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = read_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= F.lit(_DF_CAP_FRAC) * F.col("n_docs"))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "d1")
+        .join(nb, "d2")
+        .filter(cos >= _COS_THRESHOLD)
+        .select(
+            "d1",
+            "d2",
+            "shared_terms",
+            F.round(cos, ROUND_DIGITS).alias("cosine"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+_PHRASE = ("a", "slow", "query")
+
+
+@query(
+    "ta_phrase_search",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.token, t.pos FROM (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS token,
+           generate_subscripts({_SQL_TOKS}, 1) AS pos
+    FROM documents) t(doc_id, token, pos)
+),
+hits AS (
+  SELECT a.doc_id, a.pos
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  WHERE a.token = '{_PHRASE[0]}' AND b.token = '{_PHRASE[1]}'
+        AND c.token = '{_PHRASE[2]}'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def ta_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: every document containing the exact
+    3-token phrase, with occurrence count and first (1-based) token
+    position — the "exact quote" retrieval primitive (and the span-locator
+    dedup/decontamination needs when a match must be excised, not just
+    flagged).
+
+    Scale shape: a single scan; occurrences are located in-plan with
+    ``filter`` over an index sequence on the token array (no join, no
+    Python, no regex backtracking). The DuckDB oracle cross-checks with
+    the classic positional-index self-join formulation — same semantics,
+    so the array scan is verified against the index form. On a pre-built
+    positional index table the same query becomes the oracle's join shape
+    with the first term's selective filter pushed to the scan."""
+    w0, w1, w2 = _PHRASE
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    positions = F.expr(
+        "filter(sequence(1, greatest(size(toks) - 2, 1)), "
+        f"i -> size(toks) >= 3 AND toks[i-1] = '{w0}' AND toks[i] = '{w1}' "
+        f"AND toks[i+1] = '{w2}')"
+    )
+    return (
+        d.select("doc_id", positions.alias("pos"))
+        .filter(F.size("pos") > 0)
+        .select(
+            "doc_id",
+            F.size("pos").cast("long").alias("n_hits"),
+            F.array_min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: DSIR hashed-feature space: 256 buckets addressed by the first hex
+#: byte-pair of md5(bigram) — portable across Spark and DuckDB.
+_DSIR_TOPK = 50
+
+
+@query(
+    "ta_dsir_importance",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, t.token, t.pos FROM (
+    SELECT doc_id, lang, unnest({_SQL_TOKS}) AS token,
+           generate_subscripts({_SQL_TOKS}, 1) AS pos
+    FROM documents) t(doc_id, lang, token, pos)
+),
+big AS (
+  SELECT a.doc_id, a.lang, substr(md5(a.token || ' ' || b.token), 1, 2) AS bucket
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_raw FROM big GROUP BY 1),
+tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tgt FROM big
+        WHERE lang = 'en' GROUP BY 1),
+tot AS (
+  SELECT (SELECT SUM(n_raw) FROM raw) AS raw_total,
+         (SELECT COALESCE(SUM(n_tgt), 0) FROM tgt) AS tgt_total
+),
+lr AS (
+  SELECT r.bucket,
+         ln((COALESCE(t.n_tgt, 0) + 1.0) / (tot.tgt_total + 256.0))
+           - ln((r.n_raw + 1.0) / (tot.raw_total + 256.0)) AS logratio
+  FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot
+),
+scored AS (
+  SELECT b.doc_id, b.lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(lr.logratio) / COUNT(*) AS imp
+  FROM big b JOIN lr USING (bucket)
+  GROUP BY 1, 2
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(imp, {ROUND_DIGITS}) DESC, doc_id)
+            AS INT) AS rank,
+       doc_id, lang, n_bigrams, ROUND(imp, {ROUND_DIGITS}) AS importance
+FROM scored
+ORDER BY rank
+LIMIT {_DSIR_TOPK}
+""",
+)
+def ta_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the mean hashed-bigram log-likelihood ratio between a target
+    distribution (here the lang='en' slice) and the raw corpus, then keep
+    the top-k — the principled form of "select data that looks like the
+    target domain".
+
+    Scale shape: the feature space is hashed to 256 buckets, so both
+    distribution estimates are map-side-combined 256-row aggregates and
+    the per-document scoring join is a broadcast of the 256-row log-ratio
+    table — the corpus is scanned twice (estimate, score) and never
+    shuffled on anything wider than the bucket id. Laplace smoothing
+    (+1 / +256) keeps unseen buckets finite, exactly as the paper's
+    hashed n-gram estimator prescribes. English documents scoring
+    highest is the built-in sanity check the oracle hashes."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", ws_tokens(F.col("text")).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    bigrams = F.when(
+        F.expr("size(toks)") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(toks[i-1], ' ', toks[i]))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    big = d.select("doc_id", "lang", F.explode(bigrams).alias("bg")).select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("bg").cast("binary")), 1, 2).alias("bucket"),
+    )
+    raw = big.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt = (
+        big.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_tgt"))
+    )
+    totals = raw.agg(F.sum("n_raw").alias("raw_total")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("n_tgt"), F.lit(0)).alias("tgt_total"))
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tgt_total") + F.lit(256.0))
+                )
+                - F.log(
+                    (F.col("n_raw") + F.lit(1.0))
+                    / (F.col("raw_total") + F.lit(256.0))
+                )
+            ).alias("logratio"),
+        )
+    )
+    scored = (
+        big.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("logratio") / F.count(F.lit(1))).alias("imp"),
+        )
+    )
+    wr = W.orderBy(F.desc(F.round(F.col("imp"), ROUND_DIGITS)), "doc_id")
+    return (
+        scored.select(
+            F.row_number().over(wr).cast("int").alias("rank"),
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.round("imp", ROUND_DIGITS).alias("importance"),
+        )
+        .filter(F.col("rank") <= _DSIR_TOPK)
+        .orderBy("rank")
+    )
