@@ -1073,3 +1073,115 @@ def j17_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_class")
     )
+
+
+_J18_WEEK_DAYS = 7
+
+
+@query(
+    "j18_interval_overlap_join",
+    oracle="""
+WITH iv AS (
+  SELECT o_orderkey AS id, o_custkey AS k,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + CAST((o_orderkey % 5 + 1) AS INT) AS e
+  FROM orders
+)
+SELECT a.k AS custkey, a.id AS o1, b.id AS o2,
+       CAST(date_diff('day', GREATEST(a.s, b.s), LEAST(a.e, b.e)) + 1 AS BIGINT)
+           AS overlap_days
+FROM iv a JOIN iv b
+  ON a.k = b.k AND a.id < b.id AND a.s <= b.e AND b.s <= a.e
+ORDER BY custkey, o1, o2
+""",
+)
+def j18_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J18: interval-overlap self-join — find all pairs of same-customer
+    order windows that overlap in time (order date .. date + a small
+    deterministic duration). The temporal-conflict primitive behind
+    double-booking detection, overlapping-session audits, and time-range
+    dedupe; the reference's only temporal logic is scalar date compares
+    (DAILYRESULTSTRACKER.PY class), never pairwise.
+
+    Scale shape: the naive form is a theta join (quadratic per key). Here
+    each interval is exploded to the ~1-2 week-grid cells it touches and
+    candidates come from an EQUI-join on (key, week-cell) — candidate mass
+    is Σ per-cell occupancy², i.e. proportional to true temporal locality,
+    not to |intervals|². Pairs spanning two shared cells are deduplicated
+    with row_number()==1 before the exact overlap predicate verifies each
+    candidate. Grid width should sit near the typical interval length:
+    wider cells raise false candidates, narrower cells raise replication.
+    The DuckDB oracle brute-forces the theta join, proving the grid path
+    loses no pair."""
+    iv = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("k"),
+            F.to_date("o_orderdate").alias("s"),
+            F.date_add(
+                F.to_date("o_orderdate"),
+                (F.col("o_orderkey") % 5 + 1).cast("int"),
+            ).alias("e"),
+        )
+    )
+    cells = iv.select(
+        "id",
+        "k",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.datediff("s", F.lit("1970-01-01").cast("date"))
+                    / _J18_WEEK_DAYS
+                ),
+                F.floor(
+                    F.datediff("e", F.lit("1970-01-01").cast("date"))
+                    / _J18_WEEK_DAYS
+                ),
+            )
+        ).alias("cell"),
+    )
+    a = cells.select(
+        F.col("k"),
+        F.col("cell"),
+        F.col("id").alias("o1"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = cells.select(
+        F.col("k"),
+        F.col("cell"),
+        F.col("id").alias("o2"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    cand = (
+        a.join(b, ["k", "cell"])
+        .filter(F.col("o1") < F.col("o2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("k", "o1", "o2").orderBy("cell")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        cand.filter((F.col("s1") <= F.col("e2")) & (F.col("s2") <= F.col("e1")))
+        .select(
+            F.col("k").alias("custkey"),
+            "o1",
+            "o2",
+            (
+                F.datediff(
+                    F.least("e1", "e2"), F.greatest("s1", "s2")
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .orderBy("custkey", "o1", "o2")
+    )

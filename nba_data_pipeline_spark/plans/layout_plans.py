@@ -14,6 +14,7 @@ makes the other's range degenerate to the full domain.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
@@ -258,3 +259,98 @@ def lo3_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_span",
         (F.col("total_span").cast("double") / 256).alias("avg_files_per_point_query"),
     ).orderBy("layout", "dim")
+
+
+@query(
+    "lo4_skew_profiler",
+    oracle="""
+WITH cnt AS (
+  SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+         ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+  FROM cnt
+),
+top AS (
+  SELECT key, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
+  FROM cnt
+)
+SELECT t.rank, t.key, t.cnt,
+       ROUND(100.0 * t.cnt / s.total_rows, 4) AS share_pct,
+       s.n_keys, s.total_rows, s.max_cnt, s.p50_cnt, s.p99_cnt,
+       ROUND(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.total_rows, 4)
+           AS skew_ratio,
+       CAST(CEIL(CAST(s.max_cnt AS DOUBLE) / s.p50_cnt) AS BIGINT)
+           AS recommended_salt
+FROM top t CROSS JOIN stats s
+WHERE t.rank <= 5
+ORDER BY t.rank
+""",
+)
+def lo4_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LO4: join/agg key-skew profiler — the diagnostic that decides
+    WHETHER the j11 salted-join / skew_salted_agg machinery is needed and
+    with what salt factor. Reports the 5 heaviest keys with their row
+    share plus the global distribution stats (p50/p99/max per-key counts,
+    skew ratio = max/avg, recommended salt = ceil(max/p50)).
+
+    Scale shape: one map-side-combined count per key, then every statistic
+    is computed over the per-key COUNT table (|keys| rows, not |rows|);
+    the exact percentiles run on that contracted table, and the top-5
+    window is a tiny ordered pass over it. The fact table is scanned once.
+    This is the profile a planner consults before choosing salt factors /
+    AQE skew thresholds at 100 TB — persisted per table per load, its
+    cost amortizes across every downstream join."""
+    cnt = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = cnt.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+    )
+    top = cnt.select(
+        "key",
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), "key"))
+        .cast("int")
+        .alias("rank"),
+    ).filter(F.col("rank") <= 5)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.round(F.lit(100.0) * F.col("cnt") / F.col("total_rows"), 4).alias(
+                "share_pct"
+            ),
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            F.round(
+                F.col("max_cnt").cast("double")
+                * F.col("n_keys")
+                / F.col("total_rows"),
+                4,
+            ).alias("skew_ratio"),
+            F.ceil(F.col("max_cnt").cast("double") / F.col("p50_cnt"))
+            .cast("long")
+            .alias("recommended_salt"),
+        )
+        .orderBy("rank")
+    )

@@ -1331,3 +1331,79 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+_HN_QUERIES = 10
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS q_label, e AS qe FROM v
+      WHERE vec_id < {_HN_QUERIES}),
+scored AS (
+  SELECT q.qid, q.q_label, v.vec_id AS neg_id, v.label AS neg_label,
+         list_dot_product(v.e, q.qe) /
+             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+             AS c,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_dot_product(v.e, q.qe) /
+             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+             DESC, v.vec_id) AS rn
+  FROM v JOIN q ON v.label <> q.q_label AND v.vec_id <> q.qid
+)
+SELECT qid, q_label, neg_id, neg_label, ROUND(c, 4) AS cosine
+FROM scored WHERE rn = 1
+ORDER BY qid
+""",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the most-similar vector carrying a DIFFERENT label — the
+    pair-construction step of triplet/InfoNCE data pipelines (the
+    highest-cosine wrong-label neighbor is the informative negative).
+
+    Scale shape: the anchor set broadcasts (training batches are small
+    relative to the corpus); the corpus streams once through a broadcast
+    nested-loop with the label-mismatch predicate applied before scoring
+    output, and per-anchor argmax is a window over corpus×|anchors| scored
+    rows that combines map-side via the rank's early filter. At billions
+    of vectors, swap the exhaustive scorer for the sim_ivf_* cell-probe
+    path (mine negatives within the anchor's probed cells only — the
+    standard ANN-backed approximation); this exhaustive form is the
+    recall=1.0 baseline the approximation is graded against."""
+    v = read_table(spark, sf_dir, "embeddings")
+    q = (
+        v.filter(F.col("vec_id") < _HN_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qe"),
+        )
+    )
+    scored = (
+        v.join(
+            F.broadcast(q),
+            (F.col("label") != F.col("q_label")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            cosine(F.col("embedding"), F.col("qe")).alias("c"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("c"), "neg_id")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("qid", "q_label", "neg_id", "neg_label", F.round("c", 4).alias("cosine"))
+        .orderBy("qid")
+    )
