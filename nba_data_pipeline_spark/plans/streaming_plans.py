@@ -957,3 +957,138 @@ def s12_custom_pystream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table("s12_poll_mem").orderBy("event_type")
+
+
+def _land_with_sentinel(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Land the events file plus two later 'watermark sentinel' files, each
+    carrying one far-future event (user_id = -1). With
+    maxFilesPerTrigger=1 the sentinels arrive as their own micro-batches:
+    the first advances the watermark past every real row's join window,
+    the second gives the engine a subsequent batch in which the passed
+    watermark evicts outer-join state — so every unmatched left row is
+    flushed deterministically before the availableNow drain terminates.
+    This is the land-a-heartbeat pattern for closing event-time windows on
+    a bounded replay of an unbounded stream."""
+    import shutil
+    import time as _time
+
+    from nba_data_pipeline_spark.io import table_path
+
+    key = (prefix, sf_dir)
+    if key not in _LANDING_CACHE:
+        land_dir = session_tmpdir(f"{prefix}_landing_")
+        src = table_path(sf_dir, "events")
+        shutil.copy(src, f"{land_dir}/arrival_1.parquet")
+        base = spark.read.parquet(f"{land_dir}/arrival_1.parquet")
+        ts_type = dict(base.dtypes).get("ts")
+        for i, days in ((2, 30), (3, 60)):
+            sent = base.agg(F.max("ts").alias("ts")).select(
+                F.lit(-1 - i).cast("long").alias("event_id"),
+                (
+                    F.col("ts") + F.expr(f"INTERVAL {days} DAYS")
+                    if ts_type != "bigint"
+                    else (F.col("ts") + F.lit(days * 86400 * 10**9)).cast("long")
+                ).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("wm_sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            # The file stream source does not recurse into subdirectories,
+            # so the sentinel must land as a FLAT file: write to a scratch
+            # dir, then move the part file up as sentinel_<i>.parquet.
+            import glob as _glob
+
+            scratch = session_tmpdir(f"{prefix}_sent{i}_")
+            sent.coalesce(1).write.mode("overwrite").parquet(scratch)
+            part = _glob.glob(f"{scratch}/part-*.parquet")[0]
+            _time.sleep(1.05)  # distinct mtimes -> stable batch order
+            shutil.move(part, f"{land_dir}/sentinel_{i}.parquet")
+        _LANDING_CACHE[key] = land_dir
+    return _LANDING_CACHE[key]
+
+
+@query(
+    "s13_stream_outer_join",
+    oracle="""
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+lj AS (
+  SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts
+  FROM c LEFT JOIN p ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+)
+SELECT user_id, CAST(COUNT(p_ts) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) FILTER (WHERE p_ts IS NULL) AS BIGINT) AS n_unmatched
+FROM lj GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def s13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: watermarked LEFT OUTER stream-stream join — s8's attribution
+    join plus the half the inner join cannot express: clicks that never
+    converted, emitted as null-matched rows once the watermark proves no
+    purchase can still arrive in their 10-minute window. This is the
+    abandonment/non-conversion feed (retargeting, funnel-drop metrics)
+    and the hard part of streaming joins: correctness depends on state
+    EVICTION, not just matching.
+
+    Scale shape: identical bounded-state story to s8 (the time-range
+    predicate lets both sides expire), plus the sentinel-heartbeat landing
+    (`_land_with_sentinel`) that closes the final windows on a bounded
+    replay — on a true unbounded stream the next real event plays that
+    role. The oracle recomputes matched and unmatched counts per user from
+    the static table; equality proves no unmatched click was dropped or
+    double-emitted by eviction."""
+    land = _land_with_sentinel(spark, sf_dir, "s13")
+    sdf_c = _stream_events(
+        spark, sf_dir, "s13", land_dir=land, max_files_per_trigger=1
+    )
+    sdf_p = _stream_events(
+        spark, sf_dir, "s13", land_dir=land, max_files_per_trigger=1
+    )
+    # The sentinel rows must flow THROUGH the watermark operator to
+    # advance event time (a type filter excluding them would be pushed
+    # below the watermark node by the optimizer, and the watermark
+    # statistic would never see them) — so each side keeps its sentinels
+    # in-stream. They carry user_id = -1, which no real row joins, and
+    # the post-drain aggregate filters them out.
+    clicks = (
+        sdf_c.filter(F.col("event_type").isin("click", "wm_sentinel"))
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        sdf_p.filter(F.col("event_type").isin("purchase", "wm_sentinel"))
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 10 MINUTES"
+        ),
+        "leftOuter",
+    )
+    with _small_state_shuffle(spark, n=4):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName("s13_pairs_mem")
+            .outputMode("append")
+            .option("checkpointLocation", session_tmpdir("s13_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    drained = spark.table("s13_pairs_mem").filter(F.col("c_user") >= 0)
+    return (
+        drained.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("p_ts").alias("n_pairs"),
+            F.sum(F.when(F.col("p_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )

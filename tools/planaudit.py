@@ -50,6 +50,7 @@ SKIP = {
     "s7_stream_static_join",
     "s8_stream_stream_join",
     "s9_foreach_batch_upsert",
+    "s13_stream_outer_join",
     "snk7_xlsx_roundtrip",
     "src_csv_roundtrip",
 }
