@@ -1102,3 +1102,144 @@ def d11_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+_D12_K = 4  # duplicated-span shingle width (tokens)
+
+
+@query(
+    "d12_dupspan_rewrite",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {_D12_K - 1}, 0)))
+             AS start
+  FROM d
+),
+sh AS (
+  SELECT doc_id, start,
+         array_to_string(list_slice(toks, start, start + {_D12_K - 1}), ' ')
+             AS shingle
+  FROM starts
+),
+dup AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+occ AS (SELECT s.doc_id, s.start FROM sh s JOIN dup USING (shingle)),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(generate_series(start, start + {_D12_K - 1})) AS pos
+    FROM occ
+  )
+),
+tok AS (
+  SELECT doc_id, t.token, t.pos FROM (
+    SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+    FROM d
+  ) t(doc_id, token, pos)
+),
+kept AS (
+  SELECT t.doc_id, t.token, t.pos FROM tok t
+  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS cleaned,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(len(d.toks) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+       ROUND(COALESCE(c.n_kept, 0) * 1.0 / len(d.toks), 4) AS kept_ratio,
+       md5(COALESCE(c.cleaned, '')) AS cleaned_md5
+FROM d LEFT JOIN clean c USING (doc_id)
+ORDER BY d.doc_id
+""",
+)
+def d12_dupspan_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: cross-document duplicated-SPAN removal — the ExactSubstr idea
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): instead of dropping whole near-duplicate documents (d5/d11),
+    excise every token span that also appears verbatim in another
+    document, keeping the unique remainder. d8 measures this duplication;
+    this operator performs the REWRITE, returning per-doc removal stats
+    plus an md5 of the cleaned text (which the oracle reproduces
+    byte-for-byte, proving the reassembly — not just the counts).
+
+    Scale shape (suffix-array-free formulation): spans are detected as
+    k-token shingles with cross-doc df ≥ 2 — a map-side-combined groupBy,
+    never pairwise doc comparison; occurrences come back via an equi-join
+    on the shingle; covered positions explode each occurrence to k
+    (doc, pos) rows and distinct-collapse; the rewrite is one anti-join
+    on (doc, pos) plus an ordered per-doc reassembly. Every stage is
+    linear in corpus tokens × k. The true suffix-array algorithm finds
+    maximal spans ≥ k with the same output for spans ≥ 2k-1; the shingle
+    form trades that tightness for pure relational ops."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    k = _D12_K
+    starts_arr = F.when(
+        F.expr("size(toks)") >= k,
+        F.expr(f"sequence(1, size(toks) - {k - 1})"),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    sh = d.select(
+        "doc_id",
+        "toks",
+        F.explode(starts_arr).alias("start"),
+    ).select(
+        "doc_id",
+        "start",
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), k)).alias(
+            "shingle"
+        ),
+    )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("shingle")
+    )
+    occ = sh.join(dup, "shingle").select("doc_id", "start")
+    cov = occ.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+    tok = d.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    kept = tok.join(cov, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, token))), "
+                "s -> s.token)"
+            ),
+        ).alias("cleaned"),
+    )
+    base = d.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return (
+        base.join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0)) * F.lit(1.0)
+                / F.col("n_tokens"),
+                4,
+            ).alias("kept_ratio"),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit("")).cast("binary")).alias(
+                "cleaned_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
