@@ -357,3 +357,106 @@ def mm_real_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_frames int, duration_ms long, roundtrip_ok boolean"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "mm_audio_energy",
+    oracle="""
+WITH hx AS (
+  SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 6) AS h FROM documents
+),
+samp AS (
+  SELECT doc_id, i,
+         (strpos('0123456789abcdef', substr(h, 4*i+1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 4*i+2, 1)) - 1) AS lo,
+         (strpos('0123456789abcdef', substr(h, 4*i+3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 4*i+4, 1)) - 1) AS hi
+  FROM (SELECT doc_id, h, unnest(generate_series(0, 47)) AS i FROM hx)
+),
+pcm AS (
+  SELECT doc_id, i, i // 16 AS win,
+         CASE WHEN lo + 256 * hi >= 32768 THEN lo + 256 * hi - 65536
+              ELSE lo + 256 * hi END AS s
+  FROM samp
+),
+agg AS (
+  SELECT doc_id, CAST(win AS INT) AS win,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         ROUND(sqrt(AVG(CAST(s AS DOUBLE) * s)), 4) AS rms,
+         CAST(MAX(ABS(s)) AS BIGINT) AS peak
+  FROM pcm GROUP BY 1, 2
+)
+SELECT doc_id, win, n_samples, rms, peak FROM agg
+ORDER BY doc_id, win
+""",
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy + peak over REAL WAV audio: every document's 96
+    deterministic PCM bytes (md5 chain of doc_id, same derivation as
+    mm_real_codec_roundtrip) are encoded into an actual RIFF/WAVE
+    container, decoded back by the real parser, and analyzed as int16
+    samples in 16-sample windows — the silence-detection / loudness-
+    normalization primitive of an audio curation pipeline. The oracle
+    recomputes every RMS and peak NATIVELY from the same md5 chain (hex →
+    little-endian int16 in SQL), so the whole codec + DSP lane is
+    value-checked, not just row-counted.
+
+    Scale shape: two Arrow ``mapInPandas`` lanes (encode, decode+window);
+    payloads stay on executors; the per-window math is numpy-vectorized
+    per batch. Window aggregation happens inside the decode pass (each
+    doc's samples are local to its row), so no shuffle at all until the
+    final presentation sort."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from nba_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    content_hex = F.repeat(F.md5(F.col("doc_id").cast("string").cast("binary")), 6)
+    src = d.select("doc_id", F.unhex(content_hex).alias("content"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [
+                encode_wav(8000, 1, bytes(c)) for c in pdf["content"]
+            ]
+            yield out
+
+    encoded = src.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = 16
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _ch, _bits, pcm = decode_wav(bytes(payload))
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                for w in range(len(s) // win):
+                    seg = s[w * win : (w + 1) * win]
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "win": w,
+                            "n_samples": len(seg),
+                            "rms": round(
+                                float(np.sqrt(np.mean(seg.astype(float) ** 2))), 4
+                            ),
+                            "peak": int(np.max(np.abs(seg))),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return encoded.mapInPandas(
+        analyze,
+        schema="doc_id long, win int, n_samples long, rms double, peak long",
+    ).orderBy("doc_id", "win")
