@@ -133,7 +133,12 @@ _FRONT: tuple[str, ...] = (
     # driver-green r1–r3), a26_histogram_quantile_rollup,
     # a28_running_distinct, a29_gini_concentration, a30_markov_transitions,
     # a31_ab_proportion_ztest (a1–a25 driver-green across r1–r4). These
-    # lead the r5 prefix.
+    # lead the r5 prefix, followed by the 12 new r4-session additions
+    # (never driver-checked, all local-green + plan-fingerprinted):
+    # mb1_frequent_pairs, sky1_pareto_frontier, mi1_mutual_information,
+    # ta_sparse_cosine_pairs, ta_phrase_search, ta_dsir_importance,
+    # j18_interval_overlap_join, lo4_skew_profiler, sim_hard_negatives,
+    # s13_stream_outer_join, d12_dupspan_rewrite, mm_audio_energy.
 )
 
 

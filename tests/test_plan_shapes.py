@@ -89,3 +89,40 @@ def test_bucketed_join_has_no_shuffle_below_join(spark):
     below = phys[join_pos:]
     # tree prints top-down: text after the join node is its input subtree
     assert "Exchange" not in below
+
+
+# The 12 r4-session additions (plans/registry.py r5-queue note): never
+# driver-checked until their r5 rotation slot, so each holds the same
+# structural contract — plan-clean + a fingerprint naming the node that
+# carries its scale story. s13_stream_outer_join executes a streaming
+# drain at build (planaudit SKIP) and is covered by tools/check.py plus
+# the sentinel semantics the query itself verifies.
+R4_SESSION_FINGERPRINTS = {
+    "mb1_frequent_pairs": "BroadcastHashJoin",      # apriori prune broadcast
+    "sky1_pareto_frontier": "Window",               # running-max sweep
+    "mi1_mutual_information": "HashAggregate",      # contingency contraction
+    "ta_sparse_cosine_pairs": "HashAggregate",      # pair partial dot-sums
+    "ta_phrase_search": "Filter",                   # in-plan array scan
+    "ta_dsir_importance": "BroadcastHashJoin",      # 256-row ratio broadcast
+    "j18_interval_overlap_join": "Generate",        # week-cell explosion
+    "lo4_skew_profiler": "HashAggregate",           # per-key count contraction
+    "sim_hard_negatives": "BroadcastNestedLoopJoin",  # broadcast anchors
+    "d12_dupspan_rewrite": "LeftAnti",              # covered-position excision
+    "mm_audio_energy": "MapInPandas",               # Arrow codec/DSP lane
+}
+
+
+@pytest.mark.parametrize("name", sorted(R4_SESSION_FINGERPRINTS))
+def test_r4_session_entry_plan_fingerprint(spark, name):
+    df = load_all()[name].fn(spark, SF_DIR)
+    assert audit_one(name, df) == []
+    phys = plan_string(df).split("== Physical Plan ==")[-1]
+    assert R4_SESSION_FINGERPRINTS[name] in phys, phys[:2000]
+
+
+def test_phrase_search_is_join_free(spark):
+    """ta_phrase_search's scale claim: occurrences are located by an array
+    scan in one pass — the plan must contain NO join at all."""
+    df = load_all()["ta_phrase_search"].fn(spark, SF_DIR)
+    phys = plan_string(df).split("== Physical Plan ==")[-1]
+    assert "Join" not in phys
