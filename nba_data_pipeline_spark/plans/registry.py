@@ -138,7 +138,8 @@ _FRONT: tuple[str, ...] = (
     # mb1_frequent_pairs, sky1_pareto_frontier, mi1_mutual_information,
     # ta_sparse_cosine_pairs, ta_phrase_search, ta_dsir_importance,
     # j18_interval_overlap_join, lo4_skew_profiler, sim_hard_negatives,
-    # s13_stream_outer_join, d12_dupspan_rewrite, mm_audio_energy.
+    # s13_stream_outer_join, d12_dupspan_rewrite, mm_audio_energy,
+    # ta_bm25_search.
 )
 
 

@@ -191,26 +191,38 @@ def ta_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup/decontamination needs when a match must be excised, not just
     flagged).
 
-    Scale shape: a single scan; occurrences are located in-plan with
+    Scale shape: cheap-prefilter + exact-verify. The whitespace-normalized
+    text equals the token array rejoined with single spaces, so a
+    ``contains`` substring test is a guaranteed SUPERSET of token-adjacency
+    matches (it can only over-match across token boundaries) — that one
+    vectorized scan predicate discards ~99% of documents before any
+    tokenization. Survivors get the exact in-plan position scan: a
     ``filter`` over an index sequence on the token array (no join, no
-    Python, no regex backtracking). The DuckDB oracle cross-checks with
-    the classic positional-index self-join formulation — same semantics,
-    so the array scan is verified against the index form. On a pre-built
-    positional index table the same query becomes the oracle's join shape
-    with the first term's selective filter pushed to the scan."""
+    Python). Measured 5.1 s → 0.2 s at sf0.1 vs running the per-position
+    lambda on every document (the per-element lambda also must NOT contain
+    a ``size(toks)`` guard — higher-order-function subexpressions are
+    re-evaluated per element, which alone doubled the cost; the guard
+    lives in a row-level filter instead). The DuckDB oracle cross-checks
+    with the classic positional-index self-join formulation — same
+    semantics, so the scan+verify path is verified against the index
+    form."""
     w0, w1, w2 = _PHRASE
-    d = (
+    phrase = f"{w0} {w1} {w2}"
+    cand = (
         read_table(spark, sf_dir, "documents")
-        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
         .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("norm", F.regexp_replace(F.trim("text"), r"\s+", " "))
+        .filter(F.col("norm").contains(phrase))
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
     )
     positions = F.expr(
-        "filter(sequence(1, greatest(size(toks) - 2, 1)), "
-        f"i -> size(toks) >= 3 AND toks[i-1] = '{w0}' AND toks[i] = '{w1}' "
+        "filter(sequence(1, size(toks) - 2), "
+        f"i -> toks[i-1] = '{w0}' AND toks[i] = '{w1}' "
         f"AND toks[i+1] = '{w2}')"
     )
     return (
-        d.select("doc_id", positions.alias("pos"))
+        cand.select("doc_id", positions.alias("pos"))
         .filter(F.size("pos") > 0)
         .select(
             "doc_id",
@@ -343,5 +355,132 @@ def ta_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("imp", ROUND_DIGITS).alias("importance"),
         )
         .filter(F.col("rank") <= _DSIR_TOPK)
+        .orderBy("rank")
+    )
+
+
+#: BM25 query terms: bigram concepts with moderate df (the corpus's
+#: unigrams are near-ubiquitous; bigram df ≈ 6% of docs gives positive,
+#: discriminative IDF). Constants are the textbook k1/b.
+_BM25_TERMS = ("slow query", "hash join", "fast scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@query(
+    "ta_bm25_search",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS term,
+         len(toks) AS dl
+  FROM d WHERE len(toks) >= 2
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, ANY_VALUE(dl) AS dl
+  FROM big WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM big
+  WHERE term IN {_BM25_TERMS!r} GROUP BY term
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(len(toks)) AS avgdl FROM d
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                      + {_BM25_B} * tf.dl / s.avgdl)))
+             AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, {ROUND_DIGITS}) DESC,
+                               doc_id) AS INT) AS rank,
+       doc_id, n_terms_hit, ROUND(score, {ROUND_DIGITS}) AS score
+FROM scored
+ORDER BY rank
+LIMIT {_BM25_TOPK}
+""",
+)
+def ta_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked keyword retrieval (Robertson-Spärck Jones; the Lucene
+    default scorer's +1-smoothed IDF) for a 3-concept query over bigram
+    terms — the ranked-list complement of ta_phrase_search's exact match:
+    per-term saturation (k1) and document-length normalization (b) over
+    posting-list hits only.
+
+    Scale shape: the query-term filter lands BEFORE any aggregation, so
+    tf touches only matching postings (at index-serving scale, an
+    inverted-index table would make this a 3-key point lookup); df is a
+    3-row aggregate, corpus stats a broadcast scalar, and the final top-k
+    an ordered limit over docs that hit ≥1 term. The one full-corpus pass
+    is the bigram generation — precisely what a materialized posting
+    table eliminates."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    bigrams = F.when(
+        F.expr("size(toks)") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(toks[i-1], ' ', toks[i]))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    big = (
+        d.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode(bigrams).alias("term"),
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
+    )
+    tf = big.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = big.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = idf * F.col("tf") * F.lit(_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_score).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    wr = W.orderBy(F.desc(F.round(F.col("score"), ROUND_DIGITS)), "doc_id")
+    return (
+        scored.select(
+            F.row_number().over(wr).cast("int").alias("rank"),
+            "doc_id",
+            "n_terms_hit",
+            F.round("score", ROUND_DIGITS).alias("score"),
+        )
+        .filter(F.col("rank") <= _BM25_TOPK)
         .orderBy("rank")
     )

@@ -109,6 +109,7 @@ R4_SESSION_FINGERPRINTS = {
     "sim_hard_negatives": "BroadcastNestedLoopJoin",  # broadcast anchors
     "d12_dupspan_rewrite": "LeftAnti",              # covered-position excision
     "mm_audio_energy": "MapInPandas",               # Arrow codec/DSP lane
+    "ta_bm25_search": "BroadcastHashJoin",          # 3-row df broadcast
 }
 
 

@@ -41,6 +41,12 @@ HEAVY = [
     "sim_pq_topk",
     # streaming incremental near-dup
     "s11_stream_incremental_minhash",
+    # r4-session additions with a data-dependent join/shuffle mass
+    "ta_sparse_cosine_pairs",
+    "d12_dupspan_rewrite",
+    "j18_interval_overlap_join",
+    "mb1_frequent_pairs",
+    "ta_dsir_importance",
 ]
 
 
