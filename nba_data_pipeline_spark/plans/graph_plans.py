@@ -374,3 +374,153 @@ def g3_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("lvl").cast("int").alias("hops"))
         .orderBy("hops", "nation")
     )
+
+
+_G4_INF = 10**9
+_G4_ROUNDS = 4
+
+_G4_SQL_ITER = """
+{out} AS (
+  SELECT d.n, LEAST(d.dist, COALESCE(m.best, {inf})) AS dist
+  FROM {inp} d
+  LEFT JOIN (
+    SELECT e.v AS n, MIN(p.dist + e.w) AS best
+    FROM edges e JOIN {inp} p ON p.n = e.u
+    WHERE p.dist < {inf}
+    GROUP BY e.v
+  ) m ON m.n = d.n
+)"""
+
+
+@query(
+    "g4_weighted_sssp",
+    oracle=f"""
+WITH eo AS (
+  SELECT o.o_orderkey, c.c_nationkey AS u
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), ls AS (
+  SELECT l.l_orderkey, s.s_nationkey AS v,
+         CAST(l.l_quantity AS INT) % 9 + 1 AS w
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+), dedges AS (
+  SELECT eo.u, ls.v, CAST(MIN(ls.w) AS BIGINT) AS w
+  FROM eo JOIN ls ON ls.l_orderkey = eo.o_orderkey
+  WHERE eo.u <> ls.v
+  GROUP BY eo.u, ls.v
+), edges AS (
+  SELECT u, v, MIN(w) AS w FROM (
+    SELECT u, v, w FROM dedges UNION ALL SELECT v AS u, u AS v, w FROM dedges
+  ) GROUP BY u, v
+), nodes AS (
+  SELECT DISTINCT u AS n FROM edges
+), d0 AS (
+  SELECT n, CASE WHEN n = 0 THEN 0 ELSE {_G4_INF} END AS dist FROM nodes
+),{",".join(_G4_SQL_ITER.format(out=f"d{i + 1}", inp=f"d{i}", inf=_G4_INF) for i in range(_G4_ROUNDS))}
+SELECT na.n_name AS nation, CAST(d{_G4_ROUNDS}.dist AS BIGINT) AS dist,
+       CAST(ROW_NUMBER() OVER (ORDER BY d{_G4_ROUNDS}.dist, na.n_name) AS INT)
+           AS closeness_rank
+FROM d{_G4_ROUNDS} JOIN nation na ON na.n_nationkey = d{_G4_ROUNDS}.n
+WHERE d{_G4_ROUNDS}.dist < {_G4_INF}
+ORDER BY closeness_rank
+""",
+)
+def g4_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: weighted single-source shortest paths (4 Bellman-Ford
+    rounds) over the nation trade graph, edge weight = the cheapest
+    quantity-derived lead-time proxy observed on any connecting order
+    line. Completes the graph-algorithm triad's metric axis: g1 scores
+    (fixpoint), g3 hops (unweighted reachability), g4 weighted distance.
+
+    Integer discipline: weights and distances are exact BIGINTs (INF as a
+    literal), so a fixed number of unrolled relaxation rounds is bit-equal
+    on both engines regardless of convergence — the oracle runs the same
+    4 rounds, not a fixpoint.
+
+    Scale shape — same contract-then-iterate story as g1: the one
+    expensive stage is mining weighted edges from the fact⋈fact join
+    (shuffles once on orderkey, MIN-combines map-side); relaxation then
+    runs on the contracted nation graph (≤ N² dimension-bounded rows) as
+    4 broadcast-sized join+min rounds. On a graph whose
+    contracted form did NOT fit a task, each round is the standard
+    edge-partitioned join+min — still shuffle-bounded, no frontier
+    materialization needed because Bellman-Ford relaxes all edges."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    eo = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("o_orderkey").alias("ok"), F.col("c_nationkey").alias("u"))
+    )
+    ls = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("s_nationkey").alias("v"),
+            (F.col("l_quantity").cast("int") % 9 + 1).alias("w"),
+        )
+    )
+    dedges = (
+        eo.join(ls, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").cast("long").alias("w"))
+    )
+    edges = (
+        dedges.select("u", "v", "w")
+        .unionByName(
+            dedges.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        # the contracted graph is dimension-bounded (≤ nations²) — pin it
+        # so each relaxation round reuses one materialization
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("u").alias("n")).distinct()
+    dist = nodes.select(
+        "n",
+        F.when(F.col("n") == 0, F.lit(0))
+        .otherwise(F.lit(_G4_INF))
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(_G4_ROUNDS):
+        relaxed = (
+            edges.join(
+                dist.filter(F.col("dist") < _G4_INF).select(
+                    F.col("n").alias("u"), F.col("dist").alias("du")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("n"))
+            .agg(F.min(F.col("du") + F.col("w")).alias("best"))
+        )
+        dist = (
+            dist.join(F.broadcast(relaxed), "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("dist"), F.coalesce(F.col("best"), F.lit(_G4_INF))
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    wr = W.orderBy("dist", "n_name")
+    return (
+        dist.filter(F.col("dist") < _G4_INF)
+        .join(F.broadcast(nation), F.col("n") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("dist").cast("long").alias("dist"),
+            F.row_number().over(wr).cast("int").alias("closeness_rank"),
+        )
+        .orderBy("closeness_rank")
+    )

@@ -333,3 +333,75 @@ def ts4_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts5_time_weighted_avg",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, value FROM events
+),
+seg AS (
+  SELECT user_id, day, value,
+         CAST(date_diff('second', ts,
+              COALESCE(LEAD(ts) OVER (PARTITION BY user_id, day ORDER BY ts,
+                                      value),
+                       CAST(day + 1 AS TIMESTAMP))) AS BIGINT) AS w
+  FROM e
+),
+agg AS (
+  SELECT user_id, day,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(w) AS BIGINT) AS covered_s,
+         SUM(CAST(value AS DECIMAL(18,6)) * w) AS wsum
+  FROM seg GROUP BY 1, 2
+)
+SELECT user_id, day, n_obs, covered_s,
+       ROUND(CAST(wsum AS DOUBLE) / covered_s, 4) AS twap
+FROM agg
+ORDER BY user_id, day
+""",
+)
+def ts5_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS5: time-weighted average (TWAP) per user-day from IRREGULAR
+    samples — each observation holds (LOCF) until the next observation or
+    the end of its day, and is weighted by that holding duration in
+    seconds. The irregular-sampling average a plain AVG() silently gets
+    wrong (it over-weights bursts), and the settlement-price / sensor
+    rollup primitive.
+
+    Float discipline: weights are exact integer seconds from a lead()
+    chain; the weighted numerator is a DECIMAL(18,6) sum (order-
+    independent), so the only float op is the final division, rounded.
+    Scale shape: one shuffle clusters (user, day); the lead() window and
+    the aggregate share that clustering, so the fact table moves once.
+    The day boundary caps segment length, which also bounds the LOCF
+    carry so no segment spans a partition of the output grid."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "value"
+    )
+    w_next = W.partitionBy("user_id", "day").orderBy("ts", "value")
+    day_end = (F.date_add(F.col("day"), 1)).cast("timestamp")
+    seg = e.select(
+        "user_id",
+        "day",
+        "value",
+        (
+            F.coalesce(F.lead("ts").over(w_next), day_end).cast("long")
+            - F.col("ts").cast("long")
+        ).alias("w"),
+    )
+    agg = seg.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("w").alias("covered_s"),
+        F.sum(F.col("value").cast("decimal(18,6)") * F.col("w")).alias("wsum"),
+    )
+    return agg.select(
+        "user_id",
+        "day",
+        "n_obs",
+        "covered_s",
+        F.round(F.col("wsum").cast("double") / F.col("covered_s"), 4).alias(
+            "twap"
+        ),
+    ).orderBy("user_id", "day")

@@ -110,6 +110,10 @@ R4_SESSION_FINGERPRINTS = {
     "d12_dupspan_rewrite": "LeftAnti",              # covered-position excision
     "mm_audio_energy": "MapInPandas",               # Arrow codec/DSP lane
     "ta_bm25_search": "BroadcastHashJoin",          # 3-row df broadcast
+    "ts5_time_weighted_avg": "Window",              # LOCF lead chain
+    # g4's relaxation rounds are checkpointed away from the final plan
+    # (lineage truncation is the point); fingerprint the presentation join
+    "g4_weighted_sssp": "BroadcastHashJoin",
 }
 
 
