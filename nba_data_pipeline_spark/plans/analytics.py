@@ -2295,3 +2295,96 @@ def a32_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "dq7_join_cardinality_estimate",
+    oracle="""
+WITH ok AS (
+  SELECT o_orderkey AS k, substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS b
+  FROM orders
+),
+lk AS (
+  SELECT l_orderkey AS k, substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) AS b
+  FROM lineitem
+),
+oc AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS c FROM ok GROUP BY 1, 2),
+lc AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS c FROM lk GROUP BY 1, 2),
+exact AS (
+  SELECT CAST(SUM(oc.c * lc.c) AS BIGINT) AS exact_rows
+  FROM oc JOIN lc ON oc.k = lc.k
+),
+ob AS (SELECT b, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS d
+       FROM oc GROUP BY 1),
+lb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS d
+       FROM lc GROUP BY 1),
+est AS (
+  SELECT CAST(SUM((ob.n * lb.n) // GREATEST(ob.d, lb.d)) AS BIGINT)
+             AS est_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM ob JOIN lb USING (b)
+)
+SELECT e.exact_rows, s.est_rows, s.n_buckets,
+       ROUND(100.0 * (s.est_rows - e.exact_rows) / e.exact_rows, 4)
+           AS err_pct
+FROM exact e CROSS JOIN est s
+""",
+)
+def dq7_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ7: join-size estimation from mergeable per-bucket histograms — the
+    planner-grade "how big would orders⋈lineitem be?" answered WITHOUT
+    executing the fact join, next to the exact count for error reading.
+    256 md5 buckets per side hold (row count, distinct keys); the
+    uniformity-within-bucket estimator Σ n₁·n₂/max(d₁,d₂) is the textbook
+    equi-height-histogram join formula (Selinger-style selectivity with
+    per-bucket refinement). The exact twin is computed from PER-KEY COUNT
+    tables joined on the key — |keys| rows, still never the fact join.
+
+    Scale shape: both sides collapse to ≤ |keys| count rows in one
+    map-side-combined pass; the histogram is 256 rows per side (mergeable
+    across partitions/loads like a16's HLL and a20's CMS — maintain it
+    incrementally and this query becomes a broadcast lookup). Integer
+    floor-division keeps the estimate engine-exact; only the error
+    percentage is floating, reported rounded."""
+    def keyed(table: str, key: str):
+        return read_table(spark, sf_dir, table).select(
+            F.col(key).alias("k"),
+            F.substring(
+                F.md5(F.col(key).cast("string").cast("binary")), 1, 2
+            ).alias("b"),
+        )
+
+    oc = keyed("orders", "o_orderkey").groupBy("k", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lc = keyed("lineitem", "l_orderkey").groupBy("k", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = (
+        oc.select("k", F.col("c").alias("co"))
+        .join(lc.select("k", F.col("c").alias("cl")), "k")
+        .agg(F.sum(F.col("co") * F.col("cl")).alias("exact_rows"))
+    )
+    ob = oc.groupBy("b").agg(
+        F.sum("c").alias("no"), F.count(F.lit(1)).alias("do")
+    )
+    lb = lc.groupBy("b").agg(
+        F.sum("c").alias("nl"), F.count(F.lit(1)).alias("dl")
+    )
+    est = ob.join(lb, "b").agg(
+        F.sum(
+            F.expr("(no * nl) div greatest(do, dl)")
+        ).alias("est_rows"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("exact_rows").cast("long").alias("exact_rows"),
+        F.col("est_rows").cast("long").alias("est_rows"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.round(
+            F.lit(100.0)
+            * (F.col("est_rows") - F.col("exact_rows"))
+            / F.col("exact_rows"),
+            4,
+        ).alias("err_pct"),
+    )

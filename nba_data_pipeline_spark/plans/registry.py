@@ -139,7 +139,9 @@ _FRONT: tuple[str, ...] = (
     # ta_sparse_cosine_pairs, ta_phrase_search, ta_dsir_importance,
     # j18_interval_overlap_join, lo4_skew_profiler, sim_hard_negatives,
     # s13_stream_outer_join, d12_dupspan_rewrite, mm_audio_energy,
-    # ta_bm25_search, ts5_time_weighted_avg, g4_weighted_sssp.
+    # ta_bm25_search, ts5_time_weighted_avg, g4_weighted_sssp,
+    # w13_sequence_pattern, dq7_join_cardinality_estimate,
+    # sim_ivf_hard_negatives.
 )
 
 

@@ -1407,3 +1407,141 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "q_label", "neg_id", "neg_label", F.round("c", 4).alias("cosine"))
         .orderBy("qid")
     )
+
+
+@query(
+    "sim_ivf_hard_negatives",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_NUM_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, label, e, cid FROM (
+    SELECT a.vec_id, a.label, a.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.e, c.ce) /
+                      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+                      DESC, c.cid
+           ) AS rn
+    FROM v a, cent c
+  ) WHERE rn = 1
+),
+anchors AS (
+  SELECT vec_id AS qid, label AS q_label, e AS qe, cid AS qcid
+  FROM assigned WHERE vec_id < {_HN_QUERIES}
+),
+ann AS (
+  SELECT qid, q_label, vec_id AS ann_neg_id, c AS ann_cosine FROM (
+    SELECT q.qid, q.q_label, a.vec_id,
+           list_dot_product(a.e, q.qe) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS c,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_dot_product(a.e, q.qe) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+               DESC, a.vec_id) AS rn
+    FROM assigned a JOIN anchors q
+      ON a.cid = q.qcid AND a.label <> q.q_label AND a.vec_id <> q.qid
+  ) WHERE rn = 1
+),
+exact AS (
+  SELECT qid, vec_id AS exact_neg_id FROM (
+    SELECT q.qid, a.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_dot_product(a.e, q.qe) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+               DESC, a.vec_id) AS rn
+    FROM v a JOIN anchors q ON a.label <> q.q_label AND a.vec_id <> q.qid
+  ) WHERE rn = 1
+)
+SELECT ann.qid, ann.q_label, ann.ann_neg_id,
+       ROUND(ann.ann_cosine, 4) AS ann_cosine,
+       exact.exact_neg_id, ann.ann_neg_id = exact.exact_neg_id AS hit
+FROM ann JOIN exact USING (qid)
+ORDER BY qid
+""",
+)
+def sim_ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-accelerated hard-negative mining — the scale path
+    sim_hard_negatives' docstring promises: each anchor mines its
+    most-similar wrong-label vector only within its OWN IVF cell
+    (nprobe=1), and the exhaustive miner runs beside it so the output
+    carries a per-anchor hit flag (cell-restricted negative == true
+    negative). That flag is the mining-quality dial: raise nprobe until
+    hits saturate.
+
+    Scale shape: assignment is the standard one-pass broadcast-centroid
+    scoring; the candidate join is an equi-join on the cell id (each
+    anchor scores ~|corpus|/k vectors, not |corpus|); the exhaustive twin
+    exists only to grade the approximation and would be absent at
+    production scale. Everything stays in whole-stage codegen — the
+    cosine is the native HOF dot-fold."""
+    from pyspark.sql import Window as W
+
+    v = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .withColumn("vnorm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+    )
+    cent = v.filter(F.col("vec_id") < _NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "sim",
+        dot(F.col("embedding"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")),
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+    anchors = assigned.filter(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        F.col("cid").alias("qcid"),
+    )
+    wq = W.partitionBy("qid")
+    ann = (
+        assigned.join(
+            F.broadcast(anchors),
+            (F.col("cid") == F.col("qcid"))
+            & (F.col("label") != F.col("q_label"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .withColumn("c", cosine(F.col("embedding"), F.col("qe")))
+        .withColumn("rn", F.row_number().over(wq.orderBy(F.desc("c"), "vec_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            "q_label",
+            F.col("vec_id").alias("ann_neg_id"),
+            F.round("c", 4).alias("ann_cosine"),
+        )
+    )
+    exact = (
+        v.join(
+            F.broadcast(anchors.drop("qcid")),
+            (F.col("label") != F.col("q_label")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .withColumn("c", cosine(F.col("embedding"), F.col("qe")))
+        .withColumn("rn", F.row_number().over(wq.orderBy(F.desc("c"), "vec_id")))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("exact_neg_id"))
+    )
+    return (
+        ann.join(exact, "qid")
+        .select(
+            "qid",
+            "q_label",
+            "ann_neg_id",
+            "ann_cosine",
+            "exact_neg_id",
+            (F.col("ann_neg_id") == F.col("exact_neg_id")).alias("hit"),
+        )
+        .orderBy("qid")
+    )

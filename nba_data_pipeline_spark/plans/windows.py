@@ -677,3 +677,71 @@ def w12_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.select("user_id", "day", "value", slope.alias("slope7")).orderBy(
         "user_id", "day"
     )
+
+
+_W13_PATTERN = "V+CP"  # one-or-more views, then a click, then a purchase
+
+
+@query(
+    "w13_sequence_pattern",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                      WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+                      ELSE 'E' END, '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(s, '{_W13_PATTERN}')) AS BIGINT)
+           AS n_matches,
+       CAST(len(s) AS BIGINT) AS seq_len
+FROM seq
+WHERE len(regexp_extract_all(s, '{_W13_PATTERN}')) > 0
+ORDER BY user_id
+""",
+)
+def w13_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: regex-over-event-sequence matching — the MATCH_RECOGNIZE class
+    in its most general form: each user's time-ordered event types become
+    a symbol string and an arbitrary regular expression counts
+    non-overlapping occurrences (here V+CP: a view burst converting
+    through a click to a purchase). w7's funnel carries fixed steps
+    through window state; this form handles ANY regular pattern
+    (alternation, repetition, optionality) at the cost of materializing
+    the per-key symbol string.
+
+    Scale shape: one shuffle clusters each user's events; the symbol
+    string is an ordered in-group reduction (array_sort over (ts, id,
+    symbol) structs — no second sort pass), and the regex runs once per
+    USER, not per event. Both engines scan regex matches left-to-right
+    non-overlapping with greedy quantifiers, so counts agree exactly.
+    Per-key sequence length is the state bound — cap or window it for
+    unbounded keys (here ≤ |events per user|)."""
+    sym = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", F.struct("ts", "event_id", sym.alias("sym")).alias("ev")
+    )
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.expr("transform(array_sort(collect_list(ev)), s -> s.sym)"),
+        ).alias("s")
+    )
+    n_matches = F.size(F.regexp_extract_all("s", F.lit(_W13_PATTERN), F.lit(0)))
+    return (
+        seq.select(
+            "user_id",
+            n_matches.cast("long").alias("n_matches"),
+            F.length("s").cast("long").alias("seq_len"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy("user_id")
+    )

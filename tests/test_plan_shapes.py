@@ -114,6 +114,9 @@ R4_SESSION_FINGERPRINTS = {
     # g4's relaxation rounds are checkpointed away from the final plan
     # (lineage truncation is the point); fingerprint the presentation join
     "g4_weighted_sssp": "BroadcastHashJoin",
+    "w13_sequence_pattern": "ObjectHashAggregate",  # collect_list reduce
+    "dq7_join_cardinality_estimate": "HashAggregate",  # histogram contraction
+    "sim_ivf_hard_negatives": "WindowGroupLimit",   # per-anchor argmax pushdown
 }
 
 
