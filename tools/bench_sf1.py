@@ -4,7 +4,8 @@ snapshot (bench_full.json) — the measurement VERDICT r3 item 4 asked for:
 linear-ish scaling evidence for the 100 TB design claims, no OOM/spill
 pathology.
 
-Usage: python tools/bench_sf1.py [sf_dir] [> report]
+Usage: python tools/bench_sf1.py [sf_dir] [query ...] [> report]
+       (query names restrict the run to a subset of HEAVY)
 """
 
 from __future__ import annotations
@@ -56,6 +57,7 @@ def main() -> int:
         "sf_scaled",
         "sf1",
     )
+    subset = set(sys.argv[2:])
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     spark = get_spark("bench_sf1", cpus=cpus)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
@@ -66,6 +68,8 @@ def main() -> int:
         ref = json.load(open(ref_path)).get("queries", {})
     out = {}
     for name in HEAVY:
+        if subset and name not in subset:
+            continue
         if name not in specs:
             print(f"skip {name}: not in catalog", file=sys.stderr)
             continue
