@@ -488,3 +488,94 @@ def ta_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25_TOPK)
         .orderBy("rank")
     )
+
+
+_KN_TOPK = 30
+
+
+@query(
+    "ta_kneser_ney_bigram",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+big AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d
+        WHERE len(toks) >= 2)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY 1, 2),
+uc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+              CAST(COUNT(*) AS BIGINT) AS n_follow
+       FROM bc GROUP BY 1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_prec FROM bc GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bc),
+scored AS (
+  SELECT bc.w1, bc.w2, bc.c, uc.cw1,
+         (GREATEST(4 * bc.c - 3, 0) * 1.0 / (4 * uc.cw1))
+           + (3.0 * uc.n_follow / (4 * uc.cw1))
+             * (cont.n_prec * 1.0 / tot.n_types) AS p_kn
+  FROM bc JOIN uc USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+)
+SELECT w1, w2, c, cw1, ROUND(p_kn, 6) AS p_kn,
+       CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS INT) AS rank
+FROM scored
+ORDER BY c DESC, w1, w2
+LIMIT {_KN_TOPK}
+""",
+)
+def ta_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram language model (Kneser & Ney 1995; the
+    standard n-gram smoothing) over the corpus, reported for the top-30
+    bigrams: absolute discount D=3/4 applied in exact quarters
+    (max(4c−3,0)/4c(w1)), back-off mass D·N₁₊(w1·)/c(w1), and the
+    CONTINUATION probability N₁₊(·w2)/|bigram types| — the part that makes
+    KN better than plain discounting (how many contexts a word completes,
+    not how often it occurs). Complements ta_perplexity_score's unigram
+    scorer with the real bigram estimator a quality-filter LM needs.
+
+    Scale shape: three map-side-combined aggregates over the bigram
+    stream (pair counts, per-prefix sums, per-suffix type counts) + one
+    broadcast scalar; the scoring join runs on the COUNT tables, never
+    the corpus. All model terms derive from exact integers; the assembled
+    probability is rounded. The model tables are mergeable across shards
+    (counts add), so incremental corpus growth updates it without
+    rescanning."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    bigrams = F.when(
+        F.expr("size(toks)") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    big = d.select(F.explode(bigrams).alias("bg")).select("bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = bc.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    tot = bc.agg(F.count(F.lit(1)).alias("n_types"))
+    p_kn = (
+        F.greatest(4 * F.col("c") - 3, F.lit(0)) * F.lit(1.0) / (4 * F.col("cw1"))
+    ) + (F.lit(3.0) * F.col("n_follow") / (4 * F.col("cw1"))) * (
+        F.col("n_prec") * F.lit(1.0) / F.col("n_types")
+    )
+    wr = W.orderBy(F.desc("c"), "w1", "w2")
+    return (
+        bc.join(F.broadcast(uc), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "cw1",
+            F.round(p_kn, 6).alias("p_kn"),
+            F.row_number().over(wr).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= _KN_TOPK)
+        .orderBy(F.desc("c"), "w1", "w2")
+    )

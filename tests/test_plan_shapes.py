@@ -117,6 +117,7 @@ R4_SESSION_FINGERPRINTS = {
     "w13_sequence_pattern": "ObjectHashAggregate",  # collect_list reduce
     "dq7_join_cardinality_estimate": "HashAggregate",  # histogram contraction
     "sim_ivf_hard_negatives": "WindowGroupLimit",   # per-anchor argmax pushdown
+    "ta_kneser_ney_bigram": "HashAggregate",        # mergeable count tables
 }
 
 
