@@ -17,6 +17,14 @@ Refreshing budgets after an ACCEPTED perf change:
 
     python tools/benchaudit.py --rebase   # budgets = 1.5x current timings
 
+Round-4 note: full-run timings show run-level noise concentrated on a
+shifting subset (one run doubled the x-suite, the next the streaming
+drains, with totals 156-173 s over four runs of identical code). When two
+clean full runs are available, prefer budgets = 1.5x the per-query MAX of
+the two (what the r4 session committed) over a single-run --rebase — it
+keeps the gate meaningful for real >1.5x regressions without flapping on
+whichever family the next run's noise lands on.
+
 New queries absent from the budget file are reported (so --rebase gets run)
 but are not failures; removed queries are dropped on the next --rebase.
 """
