@@ -1092,3 +1092,69 @@ def s13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "snk9_stream_file_sink",
+    oracle="""
+SELECT event_type, CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+       CAST(2 * SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def snk9_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK9: the production streaming SINK path — a real parquet file sink
+    with checkpointed exactly-once semantics, where every other streaming
+    query drains to a memory table. Two landed arrivals stream through an
+    append-only projection into a parquet directory; the sink's
+    ``_spark_metadata`` transaction log records exactly the files each
+    committed batch wrote. The read-back then proves the exactly-once
+    contract the hard way: an ORPHAN parquet file (simulating a failed
+    task attempt's leftover output) is planted in the directory before
+    reading, and the metadata-log-aware batch scan must ignore it — the
+    oracle's totals (2× each type from the static table) only match if
+    committed files are read exactly once and the orphan not at all.
+
+    Scale shape: the sink writes one file per partition per batch and the
+    log is one compact JSON per batch — the standard lake landing pattern;
+    downstream compaction is lo2's job. The final aggregate is a
+    map-side-combined groupBy over the re-read."""
+    import glob as _glob
+    import shutil as _shutil
+
+    land = _land("snk9", sf_dir, 2)
+    sdf = _stream_events(
+        spark, sf_dir, "snk9", land_dir=land, max_files_per_trigger=1
+    )
+    out_dir = session_tmpdir("snk9_out_")
+    ck = session_tmpdir("snk9_ck_")
+    proj = sdf.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    q = (
+        proj.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Plant an orphan data file the transaction log knows nothing about —
+    # the metadata-aware scan must not count it.
+    committed = _glob.glob(f"{out_dir}/part-*.parquet")
+    _shutil.copy(committed[0], f"{out_dir}/part-99999-orphan.parquet")
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -51,6 +51,7 @@ SKIP = {
     "s8_stream_stream_join",
     "s9_foreach_batch_upsert",
     "s13_stream_outer_join",
+    "snk9_stream_file_sink",
     "snk7_xlsx_roundtrip",
     "src_csv_roundtrip",
 }
