@@ -2388,3 +2388,63 @@ def dq7_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             4,
         ).alias("err_pct"),
     )
+
+
+@query(
+    "a33_share_of_parent",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(100.0 * rev / SUM(rev) OVER (PARTITION BY region), 4)
+           AS pct_of_region,
+       ROUND(100.0 * rev / SUM(rev) OVER (), 4) AS pct_of_total
+FROM rev
+ORDER BY region, nation
+""",
+)
+def a33_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33: share-of-parent ratios (RATIO_TO_REPORT): each nation's revenue
+    as a percentage of its region and of the grand total, in one pass —
+    the hierarchy-share form every BI layer asks of a13's rollup, computed
+    without re-joining the rollup levels.
+
+    Scale shape: the fact table collapses to the (region, nation) grain
+    first (dimension-bounded, decimal-exact sums), so both window
+    denominators run over ≤ |nations| rows — the shares cost nothing
+    beyond the base aggregate. The ratios divide two exact decimals and
+    are reported rounded."""
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w_region = W.partitionBy("region")
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return rev.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(F.lit(100.0) * F.col("rev") / F.sum("rev").over(w_region), 4).alias(
+            "pct_of_region"
+        ),
+        F.round(F.lit(100.0) * F.col("rev") / F.sum("rev").over(w_all), 4).alias(
+            "pct_of_total"
+        ),
+    ).orderBy("region", "nation")

@@ -118,6 +118,8 @@ R4_SESSION_FINGERPRINTS = {
     "dq7_join_cardinality_estimate": "HashAggregate",  # histogram contraction
     "sim_ivf_hard_negatives": "WindowGroupLimit",   # per-anchor argmax pushdown
     "ta_kneser_ney_bigram": "HashAggregate",        # mergeable count tables
+    "mm_video_scene_cut": "MapInPandas",            # Arrow codec/diff lane
+    "a33_share_of_parent": "Window",                # grain-contracted shares
 }
 
 
