@@ -579,3 +579,95 @@ def ta_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KN_TOPK)
         .orderBy(F.desc("c"), "w1", "w2")
     )
+
+
+_SC_ROUNDS = 5
+
+_SC_SQL_ROUND = """
+score{r} AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM sh WHERE s NOT IN (SELECT s FROM cov{p})
+  GROUP BY doc_id
+),
+pick{r} AS (
+  SELECT {r} AS round, doc_id, gain FROM score{r}
+  ORDER BY gain DESC, doc_id LIMIT 1
+),
+cov{r} AS (
+  SELECT s FROM cov{p}
+  UNION
+  SELECT sh.s FROM sh JOIN pick{r} USING (doc_id)
+),
+out{r} AS (
+  SELECT p.round, p.doc_id, p.gain,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cov{r}) AS covered_after
+  FROM pick{r} p
+)"""
+
+
+@query(
+    "ta_greedy_set_cover",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+        FROM d)
+),
+cov0 AS (SELECT s FROM sh WHERE 1 = 0),
+{",".join(_SC_SQL_ROUND.format(r=r, p=r - 1) for r in range(1, _SC_ROUNDS + 1))}
+SELECT * FROM ({" UNION ALL ".join(f"SELECT * FROM out{r}" for r in range(1, _SC_ROUNDS + 1))})
+ORDER BY round
+""",
+)
+def ta_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage corpus selection (the classic (1−1/e)
+    submodular greedy): pick 5 documents that together cover the most
+    distinct trigram shingles — the coverage-maximizing subset-selection
+    primitive behind "choose a small, diverse eval/seed set from a huge
+    corpus". Each round scores every document by its count of
+    still-uncovered shingles, picks the argmax (doc_id tiebreak), and
+    folds the winner's shingles into the covered set; output is one row
+    per round with the marginal gain and cumulative coverage.
+
+    Scale shape — iterate on the CONTRACTED representation: the
+    (doc, shingle) incidence table is built once and checkpointed; each
+    round is one anti-join (uncovered shingles) + one map-side-combined
+    count + a 1-row argmax, and the covered set grows by union+distinct,
+    re-checkpointed so round plans stay flat (no lineage growth across
+    the 5 rounds, the g3/g4 discipline). No driver-side collect anywhere
+    — the per-round coverage total is joined in-plan. The DuckDB oracle
+    unrolls the same 5 rounds as CTEs, so every greedy decision and every
+    marginal gain is value-checked."""
+    sh = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(_trigrams()).alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    covered = sh.select("s").filter(F.lit(False)).localCheckpoint()
+    out = None
+    for r in range(1, _SC_ROUNDS + 1):
+        uncovered = sh.join(covered, "s", "left_anti")
+        score = uncovered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gain"))
+        pick = (
+            score.orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+            .select(F.lit(r).alias("round"), "doc_id", "gain")
+            .localCheckpoint()
+        )
+        covered = (
+            covered.unionByName(
+                sh.join(pick.select("doc_id"), "doc_id").select("s")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        row = pick.crossJoin(
+            F.broadcast(covered.agg(F.count(F.lit(1)).alias("covered_after")))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

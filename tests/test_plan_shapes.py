@@ -120,6 +120,9 @@ R4_SESSION_FINGERPRINTS = {
     "ta_kneser_ney_bigram": "HashAggregate",        # mergeable count tables
     "mm_video_scene_cut": "MapInPandas",            # Arrow codec/diff lane
     "a33_share_of_parent": "Window",                # grain-contracted shares
+    # ta_greedy_set_cover checkpoints each round; fingerprint the in-plan
+    # coverage-total join of the final assembled output
+    "ta_greedy_set_cover": "BroadcastNestedLoopJoin",
 }
 
 
