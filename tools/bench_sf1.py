@@ -48,6 +48,14 @@ HEAVY = [
     "j18_interval_overlap_join",
     "mb1_frequent_pairs",
     "ta_dsir_importance",
+    # late r4-session additions
+    "ta_greedy_set_cover",
+    "ta_kneser_ney_bigram",
+    "w13_sequence_pattern",
+    "g4_weighted_sssp",
+    "ts5_time_weighted_avg",
+    "dq7_join_cardinality_estimate",
+    "mm_video_scene_cut",
 ]
 
 
