@@ -142,7 +142,8 @@ _FRONT: tuple[str, ...] = (
     # ta_bm25_search, ts5_time_weighted_avg, g4_weighted_sssp,
     # w13_sequence_pattern, dq7_join_cardinality_estimate,
     # sim_ivf_hard_negatives, ta_kneser_ney_bigram, snk9_stream_file_sink,
-    # mm_video_scene_cut, a33_share_of_parent, ta_greedy_set_cover.
+    # mm_video_scene_cut, a33_share_of_parent, ta_greedy_set_cover,
+    # ta_quantile_normalize.
 )
 
 

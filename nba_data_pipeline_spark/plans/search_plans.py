@@ -671,3 +671,71 @@ def ta_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
+
+
+@query(
+    "ta_quantile_normalize",
+    oracle="""
+WITH gq_list AS (
+  SELECT quantile_cont(n_chars, [0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.0]) AS gqs FROM documents
+),
+grid AS (
+  SELECT CAST(g.i - 1 AS INT) AS p, g.gq
+  FROM gq_list, (SELECT unnest(gqs) AS gq,
+                        generate_subscripts(gqs, 1) AS i
+                 FROM gq_list) g(gq, i)
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         PERCENT_RANK() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS pr
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.n_chars,
+       ROUND(r.pr, 6) AS pr,
+       ROUND(g.gq, 4) AS normalized
+FROM ranked r
+JOIN grid g ON g.p = CAST(ROUND(r.pr * 100) AS INT)
+ORDER BY r.doc_id
+""",
+)
+def ta_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization — the batch-effect correction
+    of corpus curation: each document's score (here n_chars) is replaced
+    by the GLOBAL distribution's value at the document's within-source
+    percentile, so per-source scale drift (one crawl's scorer runs hot)
+    can't bias source mixing. The mapping table is a 101-point global
+    quantile grid; each row joins to its nearest grid percentile.
+
+    Scale shape: the grid is a 101-row broadcast built from one global
+    percentile aggregate; within-source ranks are one (source)-clustered
+    window; the normalization itself is a broadcast equi-join on the grid
+    index. Nothing beyond the one rank shuffle touches the corpus twice.
+    percent_rank is the exact rational (rank−1)/(n−1) with a doc_id
+    tiebreak, so grid-index assignment is engine-identical."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    pcts = ", ".join(str(p / 100.0) for p in range(101))
+    grid = (
+        d.agg(F.expr(f"percentile(n_chars, array({pcts}))").alias("gqs"))
+        .select(F.posexplode("gqs").alias("p", "gq"))
+    )
+    wr = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id", "source", "n_chars", F.percent_rank().over(wr).alias("pr")
+    )
+    return (
+        ranked.join(
+            F.broadcast(grid),
+            F.col("p") == F.round(F.col("pr") * 100).cast("int"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("pr", 6).alias("pr"),
+            F.round("gq", 4).alias("normalized"),
+        )
+        .orderBy("doc_id")
+    )

@@ -123,6 +123,7 @@ R4_SESSION_FINGERPRINTS = {
     # ta_greedy_set_cover checkpoints each round; fingerprint the in-plan
     # coverage-total join of the final assembled output
     "ta_greedy_set_cover": "BroadcastNestedLoopJoin",
+    "ta_quantile_normalize": "BroadcastHashJoin",   # 101-row grid broadcast
 }
 
 
