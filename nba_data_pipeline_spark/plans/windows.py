@@ -745,3 +745,118 @@ def w13_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matches") > 0)
         .orderBy("user_id")
     )
+
+
+@query(
+    "w14_theil_sen_slope",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id % 25 = 0) t
+  WHERE rn = 1
+), seq AS (
+  SELECT user_id, day, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT)
+             AS x
+  FROM daily
+), pairs AS (
+  SELECT a.user_id, a.day, a.x AS ax,
+         (p2.value - p1.value) / (p2.x - p1.x) AS slope,
+         p1.x AS x1, p2.x AS x2
+  FROM seq a
+  JOIN seq p1 ON p1.user_id = a.user_id
+             AND p1.x BETWEEN a.x - 6 AND a.x
+  JOIN seq p2 ON p2.user_id = a.user_id
+             AND p2.x BETWEEN a.x - 6 AND a.x AND p1.x < p2.x
+), ranked AS (
+  SELECT user_id, day, slope,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ax
+                            ORDER BY slope, x1, x2) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, ax) AS n
+  FROM pairs
+)
+SELECT user_id, day, CAST(ANY_VALUE(n) AS BIGINT) AS n_pairs,
+       ROUND(AVG(slope), 6) AS ts_slope
+FROM ranked
+WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+GROUP BY user_id, day
+HAVING ANY_VALUE(n) >= 3
+ORDER BY user_id, day
+""",
+)
+def w14_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14: Theil-Sen robust rolling trend — the MEDIAN of all pairwise
+    slopes in each series' last-7-observation window, beside w12's OLS
+    slope: a single outlier day shifts OLS arbitrarily but moves the
+    pairwise-slope median by at most one rank (29% breakdown point).
+    The median is taken without any quantile function: rank the ≤21
+    window slopes, average the middle one/two — identical integer rank
+    arithmetic on both engines, so odd/even windows agree exactly.
+
+    Scale shape: the pair expansion is an equi-join on the series key
+    with an x-range predicate — per-anchor candidate mass is w(w−1)/2
+    (≤21 at w=7), so total work is rows × O(w²), the accepted Theil-Sen
+    cost; the ranking windows run over those bounded groups. One shuffle
+    on the series key serves the joins and both windows."""
+    daily_rn = F.row_number().over(
+        W.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    seq_x = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    seq = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)
+        .withColumn("day", F.col("ts").cast("date"))
+        .withColumn("rn", daily_rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+        .withColumn("x", seq_x.cast("long"))
+    )
+    a = seq.select("user_id", "day", F.col("x").alias("ax"))
+    p1 = seq.select("user_id", F.col("x").alias("x1"), F.col("value").alias("v1"))
+    p2 = seq.select("user_id", F.col("x").alias("x2"), F.col("value").alias("v2"))
+    pairs = (
+        a.join(p1, "user_id")
+        .filter(F.col("x1").between(F.col("ax") - 6, F.col("ax")))
+        .join(p2, "user_id")
+        .filter(
+            F.col("x2").between(F.col("ax") - 6, F.col("ax"))
+            & (F.col("x1") < F.col("x2"))
+        )
+        .select(
+            "user_id",
+            "day",
+            "ax",
+            ((F.col("v2") - F.col("v1")) / (F.col("x2") - F.col("x1"))).alias(
+                "slope"
+            ),
+            "x1",
+            "x2",
+        )
+    )
+    wg = W.partitionBy("user_id", "ax")
+    ranked = pairs.select(
+        "user_id",
+        "day",
+        "slope",
+        F.row_number().over(wg.orderBy("slope", "x1", "x2")).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return (
+        mid.groupBy("user_id", "day")
+        .agg(
+            F.first("n").cast("long").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("ts_slope"),
+        )
+        .filter(F.col("n_pairs") >= 3)
+        .orderBy("user_id", "day")
+    )

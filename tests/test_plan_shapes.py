@@ -124,6 +124,7 @@ R4_SESSION_FINGERPRINTS = {
     # coverage-total join of the final assembled output
     "ta_greedy_set_cover": "BroadcastNestedLoopJoin",
     "ta_quantile_normalize": "BroadcastHashJoin",   # 101-row grid broadcast
+    "w14_theil_sen_slope": "Window",                # bounded pair ranking
 }
 
 
