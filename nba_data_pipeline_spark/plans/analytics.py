@@ -2448,3 +2448,62 @@ def a33_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_total"
         ),
     ).orderBy("region", "nation")
+
+
+_DQ9_PAIRS = (
+    ("o_orderkey", "o_custkey"),      # key → attribute: must hold
+    ("o_custkey", "o_orderpriority"), # should fail (customers reorder)
+    ("o_orderdate", "o_orderstatus"), # date does not determine status
+    ("o_orderpriority", "o_orderstatus"),
+)
+
+
+@query(
+    "dq9_functional_dependencies",
+    oracle=" UNION ALL ".join(
+        f"""(
+SELECT '{a}' AS determinant, '{b}' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violations,
+       COUNT(*) FILTER (WHERE nd > 1) = 0 AS holds
+FROM (SELECT {a}, COUNT(DISTINCT {b}) AS nd FROM orders GROUP BY {a})
+)"""
+        for a, b in _DQ9_PAIRS
+    )
+    + " ORDER BY determinant, dependent",
+)
+def dq9_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ9: functional-dependency discovery (the Metanome/profiling class):
+    for each candidate column pair A→B, count determinant groups whose
+    dependent takes >1 distinct value — zero violations means the FD
+    holds, the evidence behind key inference, normalization advice, and
+    dq1-style constraint suggestions. The pair list mixes a guaranteed
+    key dependency with three expected failures so both verdict polarities
+    are oracle-checked.
+
+    Scale shape: each pair is one map-side-combined
+    groupBy(A).countDistinct(B) — the violation test runs on the
+    contracted group table, and the per-pair summaries union into a
+    4-row report. At profiling scale, all pairs over one table share the
+    single scan (Spark schedules the unioned aggregates together); a
+    full column-pair lattice would prune by arity exactly as apriori
+    prunes itemsets (a superset of a failing determinant can still hold,
+    but supersets of HOLDING FDs are redundant)."""
+    o = read_table(spark, sf_dir, "orders")
+    out = None
+    for a, b in _DQ9_PAIRS:
+        grp = o.groupBy(a).agg(F.countDistinct(b).alias("nd"))
+        row = grp.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        ).select(
+            F.lit(a).alias("determinant"),
+            F.lit(b).alias("dependent"),
+            "n_groups",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("determinant", "dependent")

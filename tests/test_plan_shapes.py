@@ -125,6 +125,7 @@ R4_SESSION_FINGERPRINTS = {
     "ta_greedy_set_cover": "BroadcastNestedLoopJoin",
     "ta_quantile_normalize": "BroadcastHashJoin",   # 101-row grid broadcast
     "w14_theil_sen_slope": "Window",                # bounded pair ranking
+    "dq9_functional_dependencies": "HashAggregate", # per-pair group contraction
 }
 
 
