@@ -2507,3 +2507,55 @@ def dq9_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("determinant", "dependent")
+
+
+@query(
+    "a34_sliding_distinct",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d,
+       CAST(COUNT(*) AS BIGINT) AS user_days_7d
+FROM days d
+JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+ORDER BY d.day
+""",
+)
+def a34_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34: EXACT trailing-7-day distinct users per day (rolling DAU→WAU)
+    — the sliding COUNT(DISTINCT) that window frames cannot express
+    (DISTINCT over a RANGE frame is unsupported in every engine):
+    restated as the (day, user) distinct grid joined to a day spine over
+    the trailing range, then an exact distinct per anchor day. Also
+    reports raw user-days so the dedup factor is visible.
+
+    Scale shape: the grid collapses the fact table first (one
+    map-side-combined distinct — |days|×|users| upper bound, tiny vs
+    events); the range join fans each grid row out to ≤7 anchor days
+    (bounded replication, the standard sliding-exact trick); the final
+    distinct aggregates |grid|×7 rows, never the fact table. For wide
+    windows where ×w replication hurts, swap in the a16/a25 mergeable
+    sketch rollup — this is the exact twin those sketches are graded
+    against."""
+    ud = (
+        read_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = ud.select("day").distinct().select(F.col("day").alias("anchor"))
+    return (
+        days.join(
+            ud,
+            F.col("day").between(F.date_sub(F.col("anchor"), 6), F.col("anchor")),
+        )
+        .groupBy(F.col("anchor").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("active_7d"),
+            F.count(F.lit(1)).alias("user_days_7d"),
+        )
+        .orderBy("day")
+    )

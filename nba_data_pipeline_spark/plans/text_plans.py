@@ -1673,3 +1673,63 @@ def x24_suffixed_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").cast("bigint").alias("total"),
         F.max("value").cast("bigint").alias("max_value"),
     )
+
+
+@query(
+    "ta_langid_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_SQL_SCORES}
+  FROM documents
+),
+pred AS (
+  SELECT lang AS labeled, {_SQL_BEST} AS predicted FROM scored
+),
+cells AS (
+  SELECT labeled, predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+tot AS (
+  SELECT labeled, CAST(SUM(n) AS BIGINT) AS n_labeled FROM cells GROUP BY 1
+)
+SELECT c.labeled, c.predicted, c.n,
+       ROUND(100.0 * c.n / t.n_labeled, 4) AS pct_of_label,
+       c.labeled = c.predicted AS correct
+FROM cells c JOIN tot t USING (labeled)
+ORDER BY labeled, predicted
+""",
+)
+def ta_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID classifier EVALUATION: the full confusion matrix of the
+    stopword-scoring predictor against the label column, with per-label
+    recall shares — the model-audit artifact (which language pairs
+    confuse, is the 'en' prior leaking) that ta_language_id's per-doc
+    verdicts don't aggregate. Same class as sim_centroid_classifier_eval
+    but for the text lane.
+
+    Scale shape: prediction is the same single-scan codegen scoring as
+    ta_language_id; the matrix is a |langs|² map-side-combined aggregate
+    and per-label totals re-aggregate the cells, so the corpus is
+    scanned exactly once."""
+    d = _docs_wide(spark, sf_dir)
+    pred = predict_lang_fast(F.col("text"))
+    cells = (
+        d.select(F.col("lang").alias("labeled"), pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.groupBy("labeled").agg(F.sum("n").alias("n_labeled"))
+    return (
+        cells.join(F.broadcast(tot), "labeled")
+        .select(
+            "labeled",
+            "predicted",
+            "n",
+            F.round(F.lit(100.0) * F.col("n") / F.col("n_labeled"), 4).alias(
+                "pct_of_label"
+            ),
+            (F.col("labeled") == F.col("predicted")).alias("correct"),
+        )
+        .orderBy("labeled", "predicted")
+    )

@@ -126,6 +126,8 @@ R4_SESSION_FINGERPRINTS = {
     "ta_quantile_normalize": "BroadcastHashJoin",   # 101-row grid broadcast
     "w14_theil_sen_slope": "Window",                # bounded pair ranking
     "dq9_functional_dependencies": "HashAggregate", # per-pair group contraction
+    "a34_sliding_distinct": "HashAggregate",        # grid-contracted distinct
+    "ta_langid_confusion": "HashAggregate",         # langs^2 matrix contraction
 }
 
 
