@@ -144,7 +144,8 @@ _FRONT: tuple[str, ...] = (
     # sim_ivf_hard_negatives, ta_kneser_ney_bigram, snk9_stream_file_sink,
     # mm_video_scene_cut, a33_share_of_parent, ta_greedy_set_cover,
     # ta_quantile_normalize, w14_theil_sen_slope,
-    # dq9_functional_dependencies, a34_sliding_distinct, ta_langid_confusion.
+    # dq9_functional_dependencies, a34_sliding_distinct, ta_langid_confusion,
+    # ta_ngram_novelty.
 )
 
 

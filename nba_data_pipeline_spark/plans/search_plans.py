@@ -739,3 +739,72 @@ def ta_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ta_ngram_novelty",
+    oracle=f"""
+WITH {_SQL_TRI_TF},
+first_seen AS (
+  SELECT term, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+  FROM tf GROUP BY term
+),
+per_doc AS (
+  SELECT tf.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(COUNT(*) FILTER (WHERE fs.first_doc = tf.doc_id) AS BIGINT)
+             AS n_novel
+  FROM tf JOIN first_seen fs USING (term)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_terms, n_novel,
+       ROUND(n_novel * 1.0 / n_terms, {ROUND_DIGITS}) AS novelty
+FROM per_doc
+ORDER BY doc_id
+""",
+)
+def ta_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in arrival order (doc_id = ingest
+    order): the fraction of a document's distinct trigrams whose first
+    corpus occurrence is the document itself — the marginal-information
+    signal behind curriculum ordering and diminishing-returns stopping
+    ("the crawl's new pages contribute nothing new"), and the streaming
+    counterpart of d8's corpus-level duplication coverage.
+
+    Scale shape: first-occurrence is one map-side-combined MIN per term;
+    the per-doc share is an equi-join of the doc-term table against that
+    term summary followed by one count aggregate — all linear in distinct
+    (doc, term) pairs. Incrementally, the first_seen table is exactly the
+    band-index pattern of s11: new batches join against it and append
+    their novel terms."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    tf = (
+        d.select("doc_id", F.explode(_trigrams()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    first_seen = tf.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        tf.join(first_seen, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_terms",
+        "n_novel",
+        F.round(F.col("n_novel") * F.lit(1.0) / F.col("n_terms"), ROUND_DIGITS).alias(
+            "novelty"
+        ),
+    ).orderBy("doc_id")

@@ -128,6 +128,7 @@ R4_SESSION_FINGERPRINTS = {
     "dq9_functional_dependencies": "HashAggregate", # per-pair group contraction
     "a34_sliding_distinct": "HashAggregate",        # grid-contracted distinct
     "ta_langid_confusion": "HashAggregate",         # langs^2 matrix contraction
+    "ta_ngram_novelty": "HashAggregate",            # first-seen MIN contraction
 }
 
 
