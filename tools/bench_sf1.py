@@ -56,6 +56,25 @@ HEAVY = [
     "ts5_time_weighted_avg",
     "dq7_join_cardinality_estimate",
     "mm_video_scene_cut",
+    "ta_ngram_novelty",
+    "ta_quantile_normalize",
+    "a34_sliding_distinct",
+    "w14_theil_sen_slope",
+    "dq9_functional_dependencies",
+    "ta_langid_confusion",
+    "a33_share_of_parent",
+    "snk9_stream_file_sink",
+    "sim_ivf_hard_negatives",
+    "ta_bm25_search",
+    "s13_stream_outer_join",
+    "sky1_pareto_frontier",
+    "mi1_mutual_information",
+    "lo4_skew_profiler",
+    "sim_hard_negatives",
+    "ta_phrase_search",
+    "w13_sequence_pattern",
+    "mm_audio_energy",
+    "ta_greedy_set_cover",
 ]
 
 
