@@ -405,3 +405,110 @@ def ts5_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap"
         ),
     ).orderBy("user_id", "day")
+
+
+@query(
+    "ts6_linear_interp",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id % 25 = 0) t
+  WHERE rn = 1
+), spine AS (
+  SELECT user_id,
+         UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE
+             AS day
+  FROM daily GROUP BY user_id
+), ctx AS (
+  SELECT s.user_id, s.day, d.value,
+         LAST_VALUE(d.value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(d.day IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         FIRST_VALUE(d.value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(d.day IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+)
+SELECT user_id, day,
+       ROUND(CASE WHEN value IS NOT NULL THEN value
+            ELSE pv + (nv - pv)
+                 * date_diff('day', pd, day) * 1.0 / date_diff('day', pd, nd)
+            END, 4) AS value,
+       CAST(value IS NULL AS BOOLEAN) AS is_interpolated
+FROM ctx
+ORDER BY user_id, day
+""",
+)
+def ts6_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS6: LINEAR-interpolation gap fill — ts1's grid densification with
+    holes filled by the line between the surrounding observations
+    (weighted by day distance) instead of a flat carry-forward: the
+    repair that keeps trends (w12/w14 slopes) unbiased on sparse feeds,
+    where LOCF injects artificial flatness. Interior holes interpolate;
+    series edges have both neighbors by construction (the spine spans
+    min..max observed day).
+
+    Scale shape: identical single-shuffle story to ts1 — per-series
+    spine, one left join, and FOUR ignore-nulls window passes (previous
+    value/day, next value/day) that all ride the same user-clustered
+    sort. The interpolation weight is an exact integer day ratio; the
+    filled value is rounded on both engines."""
+    w_day = W.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 25 == 0)
+        .select("user_id", "ts", "event_id", "value", F.to_date("ts").alias("day"))
+        .withColumn("rn", F.row_number().over(w_day))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    joined = spine.join(
+        daily.withColumnRenamed("day", "obs_day"),
+        (spine["user_id"] == daily["user_id"]) & (spine["day"] == F.col("obs_day")),
+        "left",
+    ).select(spine["user_id"], spine["day"], "value")
+    wb = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wf = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    obs_day = F.when(F.col("value").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "user_id",
+        "day",
+        "value",
+        F.last("value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        "day", "pd"
+    ) * F.lit(1.0) / F.datediff("nd", "pd")
+    return ctx.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(F.col("value").isNotNull(), F.col("value")).otherwise(interp),
+            4,
+        ).alias("value"),
+        F.col("value").isNull().alias("is_interpolated"),
+    ).orderBy("user_id", "day")

@@ -129,6 +129,7 @@ R4_SESSION_FINGERPRINTS = {
     "a34_sliding_distinct": "HashAggregate",        # grid-contracted distinct
     "ta_langid_confusion": "HashAggregate",         # langs^2 matrix contraction
     "ta_ngram_novelty": "HashAggregate",            # first-seen MIN contraction
+    "ts6_linear_interp": "Window",                  # four ignore-null passes
 }
 
 
