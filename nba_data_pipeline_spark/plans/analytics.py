@@ -2559,3 +2559,73 @@ def a34_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "dq10_mad_outliers",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS x,
+         o_orderkey
+  FROM orders
+),
+med AS (
+  SELECT grp, quantile_cont(x, 0.5) AS med FROM base GROUP BY grp
+),
+dev AS (
+  SELECT b.grp, b.o_orderkey, b.x, m.med, ABS(b.x - m.med) AS ad
+  FROM base b JOIN med m USING (grp)
+),
+mad AS (
+  SELECT grp, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY grp
+)
+SELECT d.grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(ANY_VALUE(d.med), 4) AS median,
+       ROUND(ANY_VALUE(m.mad), 4) AS mad,
+       CAST(COUNT(*) FILTER (WHERE d.ad > 3 * 1.4826 * m.mad) AS BIGINT)
+           AS n_outliers
+FROM dev d JOIN mad m USING (grp)
+GROUP BY d.grp
+ORDER BY d.grp
+""",
+)
+def dq10_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ10: median-absolute-deviation outlier audit — dq2's robust twin:
+    the z-score flags break down when outliers inflate the standard
+    deviation itself; MAD (×1.4826 for normal consistency) has a 50%
+    breakdown point, so contaminated groups still flag correctly. Two
+    exact grouped medians (values, then absolute deviations) and one
+    threshold count per group.
+
+    Scale shape: two passes over the grouped data, each a percentile
+    aggregate on the group clustering (exact interpolated median, same
+    operands both engines so the 3·1.4826·MAD flag boundary cannot
+    flip); the deviations join is a broadcast of the |groups|-row median
+    table. The flag count is dimension-bounded output."""
+    base = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("x"),
+        "o_orderkey",
+    )
+    med = base.groupBy("grp").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    dev = base.join(F.broadcast(med), "grp").withColumn(
+        "ad", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("grp").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.first("med"), 4).alias("median"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("ad") > F.lit(3 * 1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("grp")
+    )

@@ -145,7 +145,8 @@ _FRONT: tuple[str, ...] = (
     # mm_video_scene_cut, a33_share_of_parent, ta_greedy_set_cover,
     # ta_quantile_normalize, w14_theil_sen_slope,
     # dq9_functional_dependencies, a34_sliding_distinct, ta_langid_confusion,
-    # ta_ngram_novelty, ts6_linear_interp.
+    # ta_ngram_novelty, ts6_linear_interp, x28_log_template_mining,
+    # dq10_mad_outliers.
 )
 
 

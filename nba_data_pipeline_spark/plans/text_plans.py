@@ -1733,3 +1733,75 @@ def ta_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled", "predicted")
     )
+
+
+@query(
+    "x28_log_template_mining",
+    oracle="""
+WITH lines AS (
+  SELECT o_orderkey,
+         'order ' || o_orderkey || ' priority ' || o_orderpriority ||
+         ' status ' || o_orderstatus || ' amount ' ||
+         CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) || ' cents'
+             AS line
+  FROM orders
+),
+templ AS (
+  SELECT o_orderkey, line,
+         regexp_replace(line, '[0-9]+', '<N>', 'g') AS template
+  FROM lines
+)
+SELECT template,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       MIN(line) AS example
+FROM templ
+GROUP BY template
+ORDER BY n_lines DESC, template
+""",
+)
+def x28_log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: log-template mining (the Drain/SPELL class, reduced to its
+    core move): mask every numeric run to a placeholder so structurally
+    identical log lines collapse to one template, then count lines and
+    distinct keys per template with a deterministic example line — the
+    first step of any log-analytics pipeline (template inventory →
+    anomaly = new/rare template). Lines are constructed deterministically
+    from order columns (the x-suite convention), so the oracle rebuilds
+    and masks the identical corpus.
+
+    Scale shape: one scan, one codegen regex pass, one map-side-combined
+    groupBy on the (low-cardinality) template key; MIN(line) gives a
+    stable exemplar without a window. Variable-position parameters
+    (true Drain's token-tree) reduce to the same collapse with a
+    token-wise mask — the aggregation shape is unchanged."""
+    o = _orders_wide(
+        spark, sf_dir, "o_orderkey", "o_orderpriority", "o_orderstatus",
+        "o_totalprice",
+    )
+    line = F.concat(
+        F.lit("order "),
+        F.col("o_orderkey").cast("string"),
+        F.lit(" priority "),
+        F.col("o_orderpriority"),
+        F.lit(" status "),
+        F.col("o_orderstatus"),
+        F.lit(" amount "),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .cast("string"),
+        F.lit(" cents"),
+    )
+    t = o.select(
+        "o_orderkey",
+        line.alias("line"),
+    ).withColumn("template", F.regexp_replace("line", "[0-9]+", "<N>"))
+    return (
+        t.groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.min("line").alias("example"),
+        )
+        .orderBy(F.desc("n_lines"), "template")
+    )
