@@ -130,7 +130,8 @@ R4_SESSION_FINGERPRINTS = {
     "ta_langid_confusion": "HashAggregate",         # langs^2 matrix contraction
     "ta_ngram_novelty": "HashAggregate",            # first-seen MIN contraction
     "ts6_linear_interp": "Window",                  # four ignore-null passes
-    "x28_log_template_mining": "HashAggregate",     # template-key contraction
+    # MIN(line) over strings forces a sort-based aggregate
+    "x28_log_template_mining": "SortAggregate",
     "dq10_mad_outliers": "BroadcastHashJoin",       # groups-row median broadcast
 }
 
