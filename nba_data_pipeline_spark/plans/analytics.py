@@ -2629,3 +2629,147 @@ def dq10_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "a35_topn_plus_others",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT region, nation, rev,
+         ROW_NUMBER() OVER (PARTITION BY region
+                            ORDER BY rev DESC, nation) AS rn
+  FROM rev
+)
+SELECT region,
+       CASE WHEN rn <= 3 THEN nation ELSE '(others)' END AS nation,
+       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(MIN(rn) AS BIGINT) AS sort_rank
+FROM ranked
+GROUP BY region, CASE WHEN rn <= 3 THEN nation ELSE '(others)' END
+ORDER BY region, sort_rank
+""",
+)
+def a35_topn_plus_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35: top-N-plus-others rollup — the standard BI presentation
+    contract (top 3 nations per region by revenue, everything else
+    collapsed into one '(others)' residual row so totals still add up).
+    Neither a plain top-k (loses the residual) nor a full rollup (loses
+    the ranking) expresses this; it's rank + conditional regrouping.
+
+    Scale shape: facts collapse to the dimension grain first
+    (decimal-exact sums), ranking and regrouping run on ≤ |nations| rows;
+    the '(others)' row aggregates inside the same groupBy — no second
+    pass, no subtraction-from-total (which would go wrong under floats).
+    sort_rank keeps the presentation order deterministic."""
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    wr = W.partitionBy("region").orderBy(F.desc("rev"), "nation")
+    ranked = rev.withColumn("rn", F.row_number().over(wr))
+    bucket = F.when(F.col("rn") <= 3, F.col("nation")).otherwise("(others)")
+    return (
+        ranked.groupBy("region", bucket.alias("nation"))
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("rn").cast("long").alias("sort_rank"),
+        )
+        .orderBy("region", "sort_rank")
+    )
+
+
+@query(
+    "a36_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER () AS total
+  FROM rev
+),
+classed AS (
+  SELECT l_partkey, rev,
+         CASE WHEN cum * 100 <= total * 80 THEN 'A'
+              WHEN cum * 100 <= total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       ROUND(100.0 * SUM(rev) / ANY_VALUE(t.total), 4) AS revenue_pct
+FROM classed CROSS JOIN (SELECT SUM(rev) AS total FROM rev) t
+GROUP BY abc_class
+ORDER BY abc_class
+""",
+)
+def a36_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36: ABC / Pareto classification — parts ranked by revenue, split
+    at 80% / 95% of CUMULATIVE revenue (class A: the vital few, C: the
+    trivial many) — the inventory-curation decision a29's Gini
+    coefficient summarizes but cannot act on. The class boundary compares
+    exact decimals cross-multiplied (cum·100 ≤ total·80), so no float
+    ever decides a class.
+
+    Scale shape: facts collapse to per-part decimal sums; the cumulative
+    sum is one ordered window over the contracted part table (range-
+    partitioned sort at scale); class summaries re-aggregate those rows.
+    The one unpartitioned window runs on |parts| rows, the standard
+    Pareto-report cost."""
+    rev = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_extendedprice")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w_cum = W.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = rev.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_all).alias("total"),
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc_class", abc)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.round(
+                F.lit(100.0) * F.sum("rev") / F.first("total"), 4
+            ).alias("revenue_pct"),
+        )
+        .orderBy("abc_class")
+    )

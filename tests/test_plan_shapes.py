@@ -133,6 +133,8 @@ R4_SESSION_FINGERPRINTS = {
     # MIN(line) over strings forces a sort-based aggregate
     "x28_log_template_mining": "SortAggregate",
     "dq10_mad_outliers": "BroadcastHashJoin",       # groups-row median broadcast
+    "a35_topn_plus_others": "Window",               # rank + regroup
+    "a36_abc_classification": "Window",             # decimal cumulative share
 }
 
 
