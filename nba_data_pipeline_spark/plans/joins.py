@@ -1185,3 +1185,134 @@ def j18_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "o1", "o2")
     )
+
+
+@query(
+    "u5_snapshot_diff_report",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price,
+         o_orderpriority AS priority
+  FROM orders
+),
+b AS (
+  SELECT k,
+         CASE WHEN k % 13 = 0 THEN 'X' ELSE status END AS status,
+         CASE WHEN k % 7 = 0 THEN ROUND(price + 1.5, 2) ELSE price END
+             AS price,
+         priority
+  FROM a WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + 10000000, 'N', 1.0, '1-URGENT' FROM a WHERE k % 89 = 0
+),
+joined AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+         a.k IS NULL AS added, b.k IS NULL AS removed,
+         a.k IS NOT NULL AND b.k IS NOT NULL
+             AND a.status = b.status AND a.price = b.price
+             AND a.priority = b.priority AS same,
+         CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN
+           TRIM(CONCAT(
+             CASE WHEN a.status <> b.status THEN 'status ' ELSE '' END,
+             CASE WHEN a.price <> b.price THEN 'price ' ELSE '' END,
+             CASE WHEN a.priority <> b.priority THEN 'priority ' ELSE '' END))
+         ELSE '' END AS changed_cols
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT CASE WHEN added THEN 'added' WHEN removed THEN 'removed'
+            WHEN same THEN 'same' ELSE 'changed' END AS status,
+       changed_cols, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM joined
+GROUP BY 1, 2
+ORDER BY status, changed_cols
+""",
+)
+def u5_snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: snapshot diff report (the dbt-audit-helper / data-diff class):
+    two table versions full-outer-joined on the business key, every row
+    classified added / removed / changed / same, with the changed rows
+    further grouped by WHICH column set drifted — the reconciliation
+    artifact cdc_merge_apply consumes as its input diff and dq6 checks
+    only at checksum granularity. Version B is derived in-plan with
+    deterministic mutations (deletes, inserts, two overlapping update
+    classes) so every status and several changed-column combinations are
+    exercised and oracle-checked.
+
+    Scale shape: one full outer join on the key (shuffle both sides,
+    AQE-coalesced) and a map-side-combined rollup on the tiny
+    (status × changed-set) grain; per-column flags are codegen string
+    concatenation, no per-column joins. At lake scale, partition-level
+    dq6 checksums prune identical partitions before this row-level diff
+    runs — the two operators compose into the standard two-tier
+    reconciliation."""
+    a = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    b = (
+        a.filter(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 13 == 0, "X").otherwise(F.col("status")).alias(
+                "status"
+            ),
+            F.when(F.col("k") % 7 == 0, F.round(F.col("price") + 1.5, 2))
+            .otherwise(F.col("price"))
+            .alias("price"),
+            "priority",
+        )
+        .unionByName(
+            a.filter(F.col("k") % 89 == 0).select(
+                (F.col("k") + 10000000).alias("k"),
+                F.lit("N").alias("status"),
+                F.lit(1.0).alias("price"),
+                F.lit("1-URGENT").alias("priority"),
+            )
+        )
+    )
+    aj = a.select(
+        F.col("k").alias("ak"),
+        F.col("status").alias("a_status"),
+        F.col("price").alias("a_price"),
+        F.col("priority").alias("a_priority"),
+    )
+    bj = b.select(
+        F.col("k").alias("bk"),
+        F.col("status").alias("b_status"),
+        F.col("price").alias("b_price"),
+        F.col("priority").alias("b_priority"),
+    )
+    j = aj.join(bj, F.col("ak") == F.col("bk"), "full_outer")
+    both = F.col("ak").isNotNull() & F.col("bk").isNotNull()
+    same = (
+        both
+        & (F.col("a_status") == F.col("b_status"))
+        & (F.col("a_price") == F.col("b_price"))
+        & (F.col("a_priority") == F.col("b_priority"))
+    )
+    changed_cols = F.when(
+        both,
+        F.trim(
+            F.concat(
+                F.when(F.col("a_status") != F.col("b_status"), "status ").otherwise(""),
+                F.when(F.col("a_price") != F.col("b_price"), "price ").otherwise(""),
+                F.when(
+                    F.col("a_priority") != F.col("b_priority"), "priority "
+                ).otherwise(""),
+            )
+        ),
+    ).otherwise("")
+    status = (
+        F.when(F.col("ak").isNull(), "added")
+        .when(F.col("bk").isNull(), "removed")
+        .when(same, "same")
+        .otherwise("changed")
+    )
+    return (
+        j.select(status.alias("status"), changed_cols.alias("changed_cols"))
+        .groupBy("status", "changed_cols")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("status", "changed_cols")
+    )

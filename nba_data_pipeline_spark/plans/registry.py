@@ -146,7 +146,8 @@ _FRONT: tuple[str, ...] = (
     # ta_quantile_normalize, w14_theil_sen_slope,
     # dq9_functional_dependencies, a34_sliding_distinct, ta_langid_confusion,
     # ta_ngram_novelty, ts6_linear_interp, x28_log_template_mining,
-    # dq10_mad_outliers, a35_topn_plus_others, a36_abc_classification.
+    # dq10_mad_outliers, a35_topn_plus_others, a36_abc_classification,
+    # u5_snapshot_diff_report.
 )
 
 

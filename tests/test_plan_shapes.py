@@ -135,6 +135,7 @@ R4_SESSION_FINGERPRINTS = {
     "dq10_mad_outliers": "BroadcastHashJoin",       # groups-row median broadcast
     "a35_topn_plus_others": "Window",               # rank + regroup
     "a36_abc_classification": "Window",             # decimal cumulative share
+    "u5_snapshot_diff_report": "FullOuter",         # keyed snapshot diff
 }
 
 
