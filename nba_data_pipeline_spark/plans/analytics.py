@@ -2773,3 +2773,122 @@ def a36_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "a37_mann_whitney_u",
+    oracle="""
+WITH pool AS (
+  SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+ranked AS (
+  SELECT grp, x,
+         RANK() OVER (ORDER BY x) AS r,
+         COUNT(*) OVER (PARTITION BY x) AS t
+  FROM pool
+),
+avg_ranked AS (
+  SELECT grp, r + (t - 1) / 2.0 AS ar FROM ranked
+),
+stats AS (
+  SELECT CAST(SUM(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n1,
+         CAST(SUM(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         SUM(CASE WHEN grp = '1-URGENT' THEN ar ELSE 0 END) AS r1
+  FROM avg_ranked
+),
+ties AS (
+  SELECT SUM(CAST(t * (t * t - 1) AS DOUBLE)) AS tie_term,
+         CAST(SUM(t) AS BIGINT) AS n
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pool GROUP BY x)
+)
+SELECT s.n1, s.n2,
+       ROUND(s.r1 - s.n1 * (s.n1 + 1) / 2.0, 4) AS u1,
+       ROUND((s.r1 - s.n1 * (s.n1 + 1) / 2.0 - s.n1 * s.n2 / 2.0)
+             / sqrt(CAST(s.n1 AS DOUBLE) * s.n2 / 12.0
+                    * ((s.n1 + s.n2 + 1)
+                       - t.tie_term / (CAST(s.n1 + s.n2 AS DOUBLE)
+                                       * (s.n1 + s.n2 - 1)))),
+             4) AS z,
+       ABS((s.r1 - s.n1 * (s.n1 + 1) / 2.0 - s.n1 * s.n2 / 2.0)
+           / sqrt(CAST(s.n1 AS DOUBLE) * s.n2 / 12.0
+                  * ((s.n1 + s.n2 + 1)
+                     - t.tie_term / (CAST(s.n1 + s.n2 AS DOUBLE)
+                                     * (s.n1 + s.n2 - 1))))) > 1.96
+           AS significant_95
+FROM stats s CROSS JOIN ties t
+""",
+)
+def a37_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37: Mann-Whitney U test (Wilcoxon rank-sum) — the NONPARAMETRIC
+    two-sample comparison beside a31's proportion z-test: does one order
+    priority's price distribution stochastically dominate another's,
+    without assuming normality. Tie-corrected normal approximation:
+    average ranks via rank() + (ties−1)/2 (exact halves), U from the
+    rank sum, variance with the standard Σt(t²−1) tie correction; the
+    1.96 significance boundary compares doubles assembled from identical
+    exact operands on both engines.
+
+    Scale shape: one global rank over the pooled sample (range-partitioned
+    sort at scale — the one unavoidable cost of exact ranks; swap in a26's
+    mergeable histogram ranks for an approximate test beyond memory),
+    tie counts ride the same sort, and everything after is a scalar
+    aggregate. Output is a single verdict row."""
+    pool = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_totalprice").cast("double").alias("x"),
+        )
+    )
+    ranked = pool.select(
+        "grp",
+        "x",
+        F.rank().over(W.orderBy("x")).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("x")).alias("t"),
+    )
+    ar = ranked.select(
+        "grp", (F.col("r") + (F.col("t") - 1) / 2.0).alias("ar")
+    )
+    stats = ar.agg(
+        F.sum(F.when(F.col("grp") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == "5-LOW", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("grp") == "1-URGENT", F.col("ar")).otherwise(0.0)).alias(
+            "r1"
+        ),
+    )
+    ties = (
+        pool.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum((F.col("t") * (F.col("t") * F.col("t") - 1)).cast("double")).alias(
+                "tie_term"
+            ),
+            F.sum("t").alias("n"),
+        )
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    sigma = F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_term") / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+    )
+    z = (u1 - mu) / sigma
+    return stats.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n2",
+        F.round(u1, 4).alias("u1"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

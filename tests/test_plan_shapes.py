@@ -136,6 +136,7 @@ R4_SESSION_FINGERPRINTS = {
     "a35_topn_plus_others": "Window",               # rank + regroup
     "a36_abc_classification": "Window",             # decimal cumulative share
     "u5_snapshot_diff_report": "FullOuter",         # keyed snapshot diff
+    "a37_mann_whitney_u": "Window",                 # pooled exact ranks
 }
 
 
