@@ -808,3 +808,157 @@ def ta_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     ).orderBy("doc_id")
+
+
+_NB_SCALE = 10**9
+
+
+@query(
+    "ta_nb_train_classify",
+    oracle=f"""
+WITH d AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+train AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+tok AS (SELECT lang, unnest(toks) AS w FROM train),
+counts AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok),
+totals AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+ntrain AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM train),
+langs AS (
+  SELECT t.lang,
+         CAST(ROUND(ln(p.nd * 1.0 / nt.n) * {_NB_SCALE}) AS BIGINT)
+             AS prior_s,
+         CAST(ROUND(ln(1.0 / (t.tot + vb.v)) * {_NB_SCALE}) AS BIGINT)
+             AS default_s,
+         t.tot
+  FROM totals t
+  JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM train GROUP BY 1) p
+    USING (lang)
+  CROSS JOIN ntrain nt CROSS JOIN vocab vb
+),
+model AS (
+  SELECT c.lang, c.w,
+         CAST(ROUND(ln((c.c + 1.0) / (t.tot + vb.v)) * {_NB_SCALE}) AS BIGINT)
+             AS logp_s
+  FROM counts c JOIN totals t USING (lang) CROSS JOIN vocab vb
+),
+ttok AS (SELECT doc_id, lang AS labeled, unnest(toks) AS w FROM test),
+scoredtok AS (
+  SELECT tt.doc_id, tt.labeled, lg.lang,
+         COALESCE(m.logp_s, lg.default_s) AS term_s
+  FROM ttok tt
+  CROSS JOIN langs lg
+  LEFT JOIN model m ON m.lang = lg.lang AND m.w = tt.w
+),
+docscore AS (
+  SELECT s.doc_id, s.labeled, s.lang,
+         lg.prior_s + SUM(s.term_s) AS score_s
+  FROM scoredtok s JOIN langs lg ON lg.lang = s.lang
+  GROUP BY s.doc_id, s.labeled, s.lang, lg.prior_s
+),
+pred AS (
+  SELECT doc_id, labeled, lang AS predicted FROM (
+    SELECT doc_id, labeled, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score_s DESC, lang) AS rn
+    FROM docscore
+  ) WHERE rn = 1
+)
+SELECT labeled, predicted, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+ORDER BY labeled, predicted
+""",
+)
+def ta_nb_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes TRAINED AND SERVED in-engine: the train split
+    (doc_id%2=0) fits a multinomial NB over word unigrams (Laplace
+    smoothing, log-priors); the test split is classified by the fitted
+    model and the confusion matrix comes back — the full sklearn
+    fit/predict loop as pure relational ops, completing the inference-only
+    ta_quality_classifier and the heuristic ta_langid_confusion. Every
+    log-probability is quantized to a 1e-9-scaled BIGINT at model-build
+    time (the g1 integer-fixpoint trick), so per-document score sums are
+    EXACT integers and the argmax can never flip on summation order —
+    the property that makes a float-scored classifier oracle-checkable.
+
+    Scale shape: the model is three broadcast-sized tables (per-class
+    token counts, totals, priors — |V|·|classes| rows); serving is one
+    explode + a broadcast model join + a per-(doc, class) integer sum +
+    a per-doc argmax window. Training is two map-side-combined
+    aggregates. Corpus scanned once per phase."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", ws_tokens(F.col("text")).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    tok = train.select("lang", F.explode("toks").alias("w"))
+    counts = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tok.agg(F.countDistinct("w").alias("v"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    ntrain = train.agg(F.count(F.lit(1)).alias("n"))
+    priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    scale = F.lit(float(_NB_SCALE))
+    langs = (
+        totals.join(priors, "lang")
+        .crossJoin(F.broadcast(ntrain))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.round(F.log(F.col("nd") * 1.0 / F.col("n")) * scale)
+            .cast("long")
+            .alias("prior_s"),
+            F.round(F.log(1.0 / (F.col("tot") + F.col("v"))) * scale)
+            .cast("long")
+            .alias("default_s"),
+        )
+    )
+    model = (
+        counts.join(totals, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "w",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("tot") + F.col("v"))) * scale
+            )
+            .cast("long")
+            .alias("logp_s"),
+        )
+    )
+    ttok = test.select(
+        "doc_id", F.col("lang").alias("labeled"), F.explode("toks").alias("w")
+    )
+    scoredtok = (
+        ttok.crossJoin(F.broadcast(langs.select("lang", "default_s")))
+        .join(F.broadcast(model), ["lang", "w"], "left")
+        .select(
+            "doc_id",
+            "labeled",
+            "lang",
+            F.coalesce(F.col("logp_s"), F.col("default_s")).alias("term_s"),
+        )
+    )
+    docscore = (
+        scoredtok.groupBy("doc_id", "labeled", "lang")
+        .agg(F.sum("term_s").alias("sum_s"))
+        .join(F.broadcast(langs.select("lang", "prior_s")), "lang")
+        .select(
+            "doc_id",
+            "labeled",
+            "lang",
+            (F.col("prior_s") + F.col("sum_s")).alias("score_s"),
+        )
+    )
+    wr = W.partitionBy("doc_id").orderBy(F.desc("score_s"), "lang")
+    pred = (
+        docscore.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "labeled", F.col("lang").alias("predicted"))
+    )
+    return (
+        pred.groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled", "predicted")
+    )

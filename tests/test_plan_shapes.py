@@ -137,6 +137,7 @@ R4_SESSION_FINGERPRINTS = {
     "a36_abc_classification": "Window",             # decimal cumulative share
     "u5_snapshot_diff_report": "FullOuter",         # keyed snapshot diff
     "a37_mann_whitney_u": "Window",                 # pooled exact ranks
+    "ta_nb_train_classify": "BroadcastHashJoin",    # broadcast model serving
 }
 
 
