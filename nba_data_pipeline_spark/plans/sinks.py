@@ -319,3 +319,70 @@ def dq6_migration_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+@query(
+    "snk10_dynamic_partition_overwrite",
+    oracle="""
+WITH merged AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DECIMAL(18,2))
+             AS price
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price) AS DOUBLE) AS total_price
+FROM merged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def snk10_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK10: dynamic partition overwrite — the lake backfill contract:
+    rewriting ONE partition's data replaces exactly that partition and
+    leaves every other partition's files untouched (static overwrite mode
+    would truncate the whole table — the classic data-loss foot-gun this
+    query pins). The full table lands partitioned by priority; then a
+    corrected '1-URGENT' slice (every price +1, exact decimal) is written
+    with mode=overwrite under partitionOverwriteMode=dynamic; the
+    read-back aggregate must equal original-elsewhere + corrected-slice,
+    which is what the oracle computes.
+
+    Scale shape: the backfill write shuffles only the corrected slice;
+    untouched partitions cost zero I/O; the proof aggregate is one
+    partition-pruned re-read. This composes with snk8 (partition-pruned
+    reads) and lo2 (compaction) as the partition-lifecycle trio."""
+    from nba_data_pipeline_spark.io import session_tmpdir
+
+    out_dir = session_tmpdir("snk10_")
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderpriority",
+    )
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out_dir)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected = base.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey",
+            (F.col("price") + 1).cast("decimal(18,2)").alias("price"),
+            "o_orderpriority",
+        )
+        corrected.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            out_dir
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

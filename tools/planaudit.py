@@ -52,6 +52,7 @@ SKIP = {
     "s9_foreach_batch_upsert",
     "s13_stream_outer_join",
     "snk9_stream_file_sink",
+    "snk10_dynamic_partition_overwrite",
     "snk7_xlsx_roundtrip",
     "src_csv_roundtrip",
 }
