@@ -531,3 +531,107 @@ def g4_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("closeness_rank")
     )
+
+
+_G5_K = 3
+_G5_ROUNDS = 3
+
+_G5_SQL_ROUND = """
+deg{r} AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT e.u AS n FROM sym e
+    JOIN s{p} a ON a.n = e.u JOIN s{p} b ON b.n = e.v
+  ) GROUP BY n
+),
+s{r} AS (SELECT n FROM deg{r} WHERE d >= {k}),
+out{r} AS (
+  SELECT {r} AS round,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r}) AS n_survivors,
+         (SELECT CAST(COUNT(*) / 2 AS BIGINT) FROM (
+            SELECT e.u FROM sym e
+            JOIN s{r} a ON a.n = e.u JOIN s{r} b ON b.n = e.v
+         )) AS n_core_edges
+)"""
+
+
+@query(
+    "g5_kcore_peel",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0
+),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT DISTINCT u, v FROM pairs),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+s0 AS (SELECT DISTINCT u AS n FROM sym),
+{",".join(_G5_SQL_ROUND.format(r=r, p=r - 1, k=_G5_K) for r in range(1, _G5_ROUNDS + 1))}
+SELECT * FROM ({" UNION ALL ".join(f"SELECT * FROM out{r}" for r in range(1, _G5_ROUNDS + 1))})
+ORDER BY round
+""",
+)
+def g5_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: k-core decomposition by iterative peeling (k=3, 3 unrolled
+    rounds) over the part co-order graph — the graph-DENSITY class beside
+    g1 (scores), g2 (enumeration), g3/g4 (distance): repeatedly drop
+    nodes with degree < k among survivors; what remains is the dense
+    backbone (community seeds, spam-farm detection, the dedup-cluster
+    "hub" filter). Per-round survivor and induced-edge counts come back,
+    so the oracle checks the whole peeling trajectory, not just the
+    fixpoint.
+
+    Scale shape: the same contract as every G entry — mine edges once
+    (fact⋈fact, checkpointed), then each peel is one induced-subgraph
+    semi-join + a map-side-combined degree count on the contracted edge
+    table; survivor sets shrink monotonically so rounds get cheaper. A
+    fixed round budget keeps both engines bit-equal whether or not the
+    fixpoint is reached (the true core needs O(peeling-depth) rounds)."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .localCheckpoint()
+    )
+    surv = sym.select(F.col("u").alias("n")).distinct().localCheckpoint()
+    out = None
+    for r in range(1, _G5_ROUNDS + 1):
+        induced = (
+            sym.join(surv.select(F.col("n").alias("u")), "u")
+            .join(surv.select(F.col("n").alias("v")), "v")
+        )
+        deg = induced.groupBy(F.col("u").alias("n")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        surv = deg.filter(F.col("d") >= _G5_K).select("n").localCheckpoint()
+        core_edges = (
+            sym.join(surv.select(F.col("n").alias("u")), "u")
+            .join(surv.select(F.col("n").alias("v")), "v")
+            .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"))
+        )
+        row = (
+            surv.agg(F.count(F.lit(1)).alias("n_survivors"))
+            .crossJoin(F.broadcast(core_edges))
+            .select(
+                F.lit(r).alias("round"),
+                F.col("n_survivors").cast("long"),
+                "n_core_edges",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

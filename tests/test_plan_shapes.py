@@ -138,6 +138,8 @@ R4_SESSION_FINGERPRINTS = {
     "u5_snapshot_diff_report": "FullOuter",         # keyed snapshot diff
     "a37_mann_whitney_u": "Window",                 # pooled exact ranks
     "ta_nb_train_classify": "BroadcastHashJoin",    # broadcast model serving
+    # g5 checkpoints each peel; fingerprint the final summary join
+    "g5_kcore_peel": "BroadcastNestedLoopJoin",
 }
 
 
