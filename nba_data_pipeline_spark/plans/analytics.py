@@ -2892,3 +2892,105 @@ def a37_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+@query(
+    "a38_runs_test",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1
+),
+med AS (SELECT quantile_cont(CAST(v AS DOUBLE), 0.5) AS m FROM daily),
+signs AS (
+  SELECT day, CAST(v AS DOUBLE) > m.m AS above
+  FROM daily CROSS JOIN med m
+  WHERE CAST(v AS DOUBLE) <> m.m
+),
+lagged AS (
+  SELECT above,
+         LAG(above) OVER (ORDER BY day) AS prev
+  FROM signs
+),
+stats AS (
+  SELECT CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND above <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM lagged
+)
+SELECT n1, n2, runs,
+       ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))),
+             4) AS z,
+       ABS((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                  / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))) > 1.96
+           AS nonrandom_95
+FROM stats
+""",
+)
+def a38_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38: Wald-Wolfowitz runs test — is the daily-revenue sequence
+    RANDOM around its median, or does it trend/oscillate? Completes the
+    in-engine hypothesis-testing trio (a31 proportions, a37 rank-sum,
+    this: sequence randomness — the drift detector for monitoring
+    pipelines). Signs from the exact-decimal daily totals vs their
+    median, runs counted with one lag window, and the normal
+    approximation assembled from exact integer (n1, n2, runs) — the 1.96
+    boundary cannot flip between engines.
+
+    Scale shape: the fact table collapses to daily totals first; signs,
+    lag, and the run count all ride one ordered pass over |days| rows;
+    output is a single verdict row."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    med = daily.agg(
+        F.expr("percentile(CAST(v AS DOUBLE), 0.5)").alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("v").cast("double") != F.col("m"))
+        .select("day", (F.col("v").cast("double") > F.col("m")).alias("above"))
+    )
+    lagged = signs.select(
+        "above", F.lag("above").over(W.orderBy("day")).alias("prev")
+    )
+    stats = lagged.agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).cast("long").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("above") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n = F.col("n1") + F.col("n2")
+    mu = 2.0 * F.col("n1") * F.col("n2") / n + 1
+    sigma = F.sqrt(
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (n * n * (n - F.lit(1.0)))
+    )
+    z = (F.col("runs") - mu) / sigma
+    return stats.select(
+        "n1",
+        "n2",
+        "runs",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("nonrandom_95"),
+    )

@@ -140,6 +140,7 @@ R4_SESSION_FINGERPRINTS = {
     "ta_nb_train_classify": "BroadcastHashJoin",    # broadcast model serving
     # g5 checkpoints each peel; fingerprint the final summary join
     "g5_kcore_peel": "BroadcastNestedLoopJoin",
+    "a38_runs_test": "Window",                      # single ordered lag pass
 }
 
 
