@@ -512,3 +512,163 @@ def ts6_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.col("value").isNull().alias("is_interpolated"),
     ).orderBy("user_id", "day")
+
+
+@query(
+    "ts7_autocorrelation",
+    oracle="""
+WITH s AS (
+  SELECT event_type, value,
+         LEAD(value, 1) OVER w AS v1,
+         LEAD(value, 2) OVER w AS v2,
+         LEAD(value, 3) OVER w AS v3
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+)
+SELECT event_type, lag, ROUND(acf, 4) AS acf, n_pairs FROM (
+  SELECT event_type, 1 AS lag, corr(value, v1) AS acf,
+         CAST(COUNT(v1) AS BIGINT) AS n_pairs FROM s GROUP BY 1
+  UNION ALL
+  SELECT event_type, 2, corr(value, v2), CAST(COUNT(v2) AS BIGINT)
+  FROM s GROUP BY 1
+  UNION ALL
+  SELECT event_type, 3, corr(value, v3), CAST(COUNT(v3) AS BIGINT)
+  FROM s GROUP BY 1
+)
+ORDER BY event_type, lag
+""",
+)
+def ts7_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS7: autocorrelation function at lags 1–3 per event type — the
+    seasonality/memory diagnostic behind every rolling-frame choice (A9's
+    window width, ts4's seasonal-naive lag are guesses without it; Box &
+    Jenkins' identification step makes them measurements).
+
+    Scale shape: the lag pairing runs inside (event_type, user_id)
+    windows — per-SERIES partitions that stay small however many users
+    exist (the 100 TB shape: billions of short series, never one giant
+    ordered partition per type). Pairing emits (x_t, x_{t+k}) columns in
+    place; the correlation itself is then a plain distributive groupBy
+    aggregate (Spark's corr = mergeable moment sums), so the only global
+    state per (type, lag) is six moments. One shuffle keys the windows;
+    the agg re-shuffles the already-collapsed pair columns.
+    Per-user series ordering carries the (ts, event_id) tiebreak; corr
+    on both engines skips null pairs, and the statistic is rounded.
+    Ref parity: SURVEY §2 A9/ts4 families (rolling + seasonal lag
+    analytics); reference computes fixed last-N windows only
+    (Cleaning_Glass_#1.py rolling means).
+    """
+    w = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    s = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.lead("value", 1).over(w).alias("v1"),
+        F.lead("value", 2).over(w).alias("v2"),
+        F.lead("value", 3).over(w).alias("v3"),
+    )
+    agg = s.groupBy("event_type").agg(
+        F.corr("value", "v1").alias("a1"),
+        F.count("v1").alias("n1"),
+        F.corr("value", "v2").alias("a2"),
+        F.count("v2").alias("n2"),
+        F.corr("value", "v3").alias("a3"),
+        F.count("v3").alias("n3"),
+    )
+    return agg.select(
+        "event_type",
+        F.expr(
+            "stack(3, 1, round(a1, 4), n1, 2, round(a2, 4), n2,"
+            " 3, round(a3, 4), n3) AS (lag, acf, n_pairs)"
+        ),
+    ).orderBy("event_type", "lag")
+
+
+@query(
+    "ts8_cusum_changepoint",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         AVG(value) OVER (PARTITION BY user_id) AS mu,
+         STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd
+  FROM events
+),
+prefix AS (
+  SELECT user_id, event_id, ts, sd,
+         SUM(value - mu - 0.5 * sd) OVER w AS p
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+walk AS (
+  SELECT user_id, event_id, ts, sd, p,
+         MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS runmin
+  FROM prefix
+),
+scored AS (
+  SELECT user_id, event_id, ts,
+         (p - LEAST(0, runmin)) / sd AS score
+  FROM walk
+)
+SELECT user_id, event_id, ROUND(score, 4) AS cusum_score
+FROM scored WHERE score > 2.0
+ORDER BY user_id, event_id
+""",
+)
+def ts8_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS8: one-sided CUSUM change-point alarms per user series (Page
+    1954) — the drift detector a feed-quality pipeline runs beside dq2's
+    static z-scores: z-scores flag single outliers, CUSUM accumulates
+    small persistent shifts until they cross the decision interval.
+
+    The textbook recursion S_t = max(0, S_{t-1} + x_t − μ0 − k) looks
+    iterative, but solves in closed form to S_t = P_t − min(0, min_{j≤t}
+    P_j) with P the prefix sum of the slack-adjusted deviations — two
+    stacked running windows, no loop, no stateful UDF. Identical algebra
+    on both engines; the sequential ROWS UNBOUNDED PRECEDING sums add in
+    the same (ts, event_id) order, so the score is bit-stable before its
+    final rounding.
+
+    Scale shape: single shuffle on user_id; every window (mean, stddev,
+    prefix sum, running min) shares that partitioning and runs
+    sequentially inside each small per-user series. Reference values μ0/k
+    are per-series statistics computed in the same pass — no second scan,
+    no driver round-trip. Alarm rows (score > 2σ) are the only output
+    that leaves the executors.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    wu = W.partitionBy("user_id")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.avg("value").over(wu).alias("mu"),
+        F.stddev_samp("value").over(wu).alias("sd"),
+    )
+    walk = base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "sd",
+        F.sum(F.col("value") - F.col("mu") - 0.5 * F.col("sd"))
+        .over(wseq)
+        .alias("p"),
+    ).withColumn("runmin", F.min("p").over(wseq))
+    scored = walk.select(
+        "user_id",
+        "event_id",
+        ((F.col("p") - F.least(F.lit(0.0), F.col("runmin"))) / F.col("sd")).alias(
+            "score"
+        ),
+    )
+    return (
+        scored.filter(F.col("score") > 2.0)
+        .select("user_id", "event_id", F.round("score", 4).alias("cusum_score"))
+        .orderBy("user_id", "event_id")
+    )

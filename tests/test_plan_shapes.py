@@ -141,6 +141,8 @@ R4_SESSION_FINGERPRINTS = {
     # g5 checkpoints each peel; fingerprint the final summary join
     "g5_kcore_peel": "BroadcastNestedLoopJoin",
     "a38_runs_test": "Window",                      # single ordered lag pass
+    "ts7_autocorrelation": "HashAggregate",         # mergeable moment sums
+    "ts8_cusum_changepoint": "Window",              # prefix-sum/running-min
 }
 
 

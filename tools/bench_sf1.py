@@ -75,6 +75,18 @@ HEAVY = [
     "w13_sequence_pattern",
     "mm_audio_energy",
     "ta_greedy_set_cover",
+    # tail of the r4 session (added after the last 30x sweep)
+    "x28_log_template_mining",
+    "dq10_mad_outliers",
+    "a35_topn_plus_others",
+    "a36_abc_classification",
+    "u5_snapshot_diff_report",
+    "a37_mann_whitney_u",
+    "ta_nb_train_classify",
+    "snk10_dynamic_partition_overwrite",
+    "g5_kcore_peel",
+    "a38_runs_test",
+    "ts6_linear_interp",
 ]
 
 
