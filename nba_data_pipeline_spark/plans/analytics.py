@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
 from nba_data_pipeline_spark.plans.exact import davg, dsum, sql_davg, sql_dsum
-from nba_data_pipeline_spark.plans.registry import query
+from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
 
 
 # ---------------------------------------------------------------------------
@@ -2994,3 +2994,99 @@ def a38_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("nonrandom_95"),
     )
+
+
+@query(
+    "a39_chi_square_independence",
+    oracle=f"""
+WITH joint AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM orders GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY 1),
+my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY 1),
+n AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT y) AS BIGINT) AS c
+      FROM joint),
+cells AS (
+  SELECT j.x, j.y, j.n_xy,
+         CAST(mx.n_x AS DOUBLE) * my.n_y / n.n AS expected,
+         (j.n_xy - CAST(mx.n_x AS DOUBLE) * my.n_y / n.n) ** 2
+             / (CAST(mx.n_x AS DOUBLE) * my.n_y / n.n) AS contrib,
+         n.n AS total, n.r AS r, n.c AS c
+  FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+)
+SELECT x, y, n_xy, ROUND(expected, {ROUND_DIGITS}) AS expected,
+       ROUND(contrib, {ROUND_DIGITS}) AS chi2_contrib,
+       ROUND(SUM(contrib) OVER (), {ROUND_DIGITS}) AS chi2_total,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(sqrt(SUM(contrib) OVER ()
+                  / (total * LEAST(r - 1, c - 1))), {ROUND_DIGITS}) AS cramers_v
+FROM cells
+ORDER BY x, y
+""",
+)
+def a39_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39: chi-square test of independence (priority x status) with
+    per-cell contributions, degrees of freedom, and Cramer's V effect
+    size -- the categorical-dependence gate beside mi1's information
+    score and a31's two-proportion z (Pearson 1900). A curation pipeline
+    runs it to catch label leakage: a 'random' split column whose
+    contingency with the label rejects independence is not random.
+
+    Scale shape: identical contraction to mi1 -- one map-side-combined
+    groupBy collapses the fact table to the |X|x|Y| contingency cells
+    (<= 15 rows here); marginals, the grand total, and the r/c shape are
+    re-aggregates OF THE CELLS; expected counts and contributions are
+    per-cell arithmetic after two broadcast joins; the chi2 total is a
+    window over the tiny cell table. The fact table is scanned exactly
+    once at any scale."""
+    joint = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    mx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    n = joint.agg(
+        F.sum("n_xy").alias("total"),
+        F.countDistinct("x").alias("r"),
+        F.countDistinct("y").alias("c"),
+    )
+    expected = F.col("n_x").cast("double") * F.col("n_y") / F.col("total")
+    cells = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            expected.alias("exp_raw"),
+            (F.pow(F.col("n_xy") - expected, 2) / expected).alias("contrib"),
+            "total",
+            "r",
+            "c",
+        )
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    chi2 = F.sum("contrib").over(w_all)
+    return cells.select(
+        "x",
+        "y",
+        "n_xy",
+        F.round("exp_raw", ROUND_DIGITS).alias("expected"),
+        F.round("contrib", ROUND_DIGITS).alias("chi2_contrib"),
+        F.round(chi2, ROUND_DIGITS).alias("chi2_total"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(chi2 / (F.col("total") * F.least(F.col("r") - 1, F.col("c") - 1))),
+            ROUND_DIGITS,
+        ).alias("cramers_v"),
+    ).orderBy("x", "y")

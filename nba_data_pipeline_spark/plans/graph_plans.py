@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
-from nba_data_pipeline_spark.plans.registry import query
+from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
 
 _SCALE = 1_000_000_000_000
 
@@ -635,3 +635,95 @@ def g5_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# G6: degree assortativity + average-nearest-neighbor-degree curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g6_degree_assortativity",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0
+),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT DISTINCT u, v FROM pairs),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+ep AS (
+  SELECT du.d AS d_src, dv.d AS d_dst
+  FROM sym s JOIN deg du ON du.node = s.u JOIN deg dv ON dv.node = s.v
+),
+r AS (SELECT corr(d_src, d_dst) AS assortativity FROM ep)
+SELECT d_src AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+       ROUND(AVG(CAST(d_dst AS DOUBLE)), {ROUND_DIGITS}) AS avg_nn_degree,
+       ROUND(ANY_VALUE(r.assortativity), {ROUND_DIGITS}) AS assortativity
+FROM ep CROSS JOIN r
+GROUP BY d_src
+ORDER BY d_src
+""",
+)
+def g6_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: degree assortativity (Newman 2002, Phys. Rev. Lett. 89) and the
+    k_nn(k) average-nearest-neighbor-degree curve over the part co-order
+    graph -- the hub-mixing diagnostic that decides whether g1/g2-style
+    algorithms face a hub-to-hub core (assortative, worst case for the
+    wedge joins) or a star-like periphery (disassortative). One number
+    summarizes what a degree-distribution histogram cannot: who connects
+    to whom.
+
+    Spark-first shape: edges are mined exactly like g2 (equi-join on
+    orderkey, distinct), symmetrized with a unionAll; degrees are one
+    map-side-combined count; the endpoint-degree pairing is two shuffle
+    joins co-partitioned on the node key (deg is |V|-sized -- at 100 TB
+    it stays a regular join, no broadcast assumption); corr and the
+    per-degree means are mergeable-moment aggregates of the pair list.
+    The 1-row corr result rides back on a broadcast cross join. Nothing
+    in the plan holds more than |E| rows, and the only global state is
+    six correlation moments."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    edges = pairs.distinct()
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ep = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("d_src")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("d_dst")), "v")
+        .select("d_src", "d_dst")
+    )
+    r = ep.agg(F.corr("d_src", "d_dst").alias("assortativity"))
+    return (
+        ep.crossJoin(F.broadcast(r))
+        .groupBy(F.col("d_src").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_endpoints"),
+            F.round(F.avg(F.col("d_dst").cast("double")), ROUND_DIGITS).alias(
+                "avg_nn_degree"
+            ),
+            F.round(F.any_value("assortativity"), ROUND_DIGITS).alias(
+                "assortativity"
+            ),
+        )
+        .orderBy("degree")
+    )

@@ -149,7 +149,8 @@ _FRONT: tuple[str, ...] = (
     # dq10_mad_outliers, a35_topn_plus_others, a36_abc_classification,
     # u5_snapshot_diff_report, a37_mann_whitney_u, ta_nb_train_classify,
     # snk10_dynamic_partition_overwrite, g5_kcore_peel, a38_runs_test,
-    # ts7_autocorrelation, ts8_cusum_changepoint.
+    # ts7_autocorrelation, ts8_cusum_changepoint,
+    # a39_chi_square_independence, g6_degree_assortativity.
 )
 
 

@@ -143,6 +143,8 @@ R4_SESSION_FINGERPRINTS = {
     "a38_runs_test": "Window",                      # single ordered lag pass
     "ts7_autocorrelation": "HashAggregate",         # mergeable moment sums
     "ts8_cusum_changepoint": "Window",              # prefix-sum/running-min
+    "a39_chi_square_independence": "HashAggregate", # contingency contraction
+    "g6_degree_assortativity": "HashAggregate",     # mergeable moment sums
 }
 
 
