@@ -1,0 +1,107 @@
+"""Spatial queries (GEO family): grid-bucketed distance joins — the
+blocking pattern for "find everything near X" at scale (geo points,
+UI-coordinate dedupe, any 2-D embedding). The reference has no spatial
+operators; this family exists because a curation engine meets
+coordinates the moment documents carry geotags or layout positions, and
+the naive formulation (all-pairs distance) is the canonical scale
+killer.
+
+Coordinates are synthesized deterministically from md5(custkey) (the
+same cross-engine hash discipline as a25's KMV sketch — a multiplicative
+congruential map was tried first and produced a degenerate 1-D lattice
+with ZERO near pairs), and distances stay squared-integer — no floats
+anywhere, so the oracle match is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.plans.registry import query
+
+#: World is a 10 000 x 10 000 integer grid; the query radius equals the
+#: cell edge, so every true neighbor of a point sits in its 3x3 cell
+#: neighborhood — the invariant the candidate join relies on.
+GRID = 10_000
+RADIUS = 150
+RADIUS2 = RADIUS * RADIUS
+
+
+@query(
+    "geo1_grid_distance_join",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS k,
+         CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % {GRID} AS x,
+         CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % {GRID} AS y
+  FROM customer
+)
+SELECT a.k AS k1, b.k AS k2,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM pts a JOIN pts b ON a.k < b.k
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {RADIUS2}
+ORDER BY k1, k2
+""",
+)
+def geo1_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO1: all pairs of points within RADIUS, via uniform-grid blocking
+    (the fixed-grid spatial join of Patel & DeWitt SIGMOD'96): each point
+    lands in one RADIUS-sized cell; the LEFT side replicates into its 3x3
+    cell neighborhood; candidates are an equi-join on the cell key; the
+    exact squared distance then filters. Because a true neighbor can be
+    at most one cell away, recall is exactly 100% — the oracle
+    brute-forces all pairs and must agree pair-for-pair.
+
+    Scale shape: replication is a constant 9x on one side only, the join
+    is a plain shuffle equi-join on the cell id, and candidate mass is
+    sum-over-cells |A_cell|·|B_3x3| ≈ 9·n·density — linear in n at fixed
+    density, never n². Each unordered pair is emitted exactly once: the
+    right side sits in its HOME cell only, the left side's neighborhood
+    covers that cell exactly once, and k1 < k2 kills mirrors. Skewed
+    cells (hot spots) split under AQE like any hot join key; at planetary
+    scale swap the uniform grid for a space-filling-curve bucketing
+    (lo1's Z-order) with the same join shape. Squared-integer distance —
+    no sqrt, no floats, bit-exact across engines."""
+    h = F.md5(F.col("c_custkey").cast("string").cast("binary"))
+    pts = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % GRID).alias("x"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("bigint") % GRID).alias("y"),
+    )
+    cx = (F.col("x") / RADIUS).cast("long")
+    cy = (F.col("y") / RADIUS).cast("long")
+    # right side: home cell only
+    right = pts.select(
+        F.col("k").alias("k2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        (cx * 1000 + cy).alias("cell"),
+    )
+    # left side: replicate into the 3x3 neighborhood
+    offsets = F.array(
+        *[
+            (cx + dx) * 1000 + (cy + dy)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    left = pts.select(
+        F.col("k").alias("k1"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.explode(offsets).alias("cell"),
+    )
+    d2 = (F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2")) + (
+        F.col("y1") - F.col("y2")
+    ) * (F.col("y1") - F.col("y2"))
+    return (
+        left.join(right, "cell")
+        .filter((F.col("k1") < F.col("k2")) & (d2 <= RADIUS2))
+        .select("k1", "k2", d2.cast("bigint").alias("dist2"))
+        .orderBy("k1", "k2")
+    )

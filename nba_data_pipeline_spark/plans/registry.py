@@ -150,7 +150,8 @@ _FRONT: tuple[str, ...] = (
     # u5_snapshot_diff_report, a37_mann_whitney_u, ta_nb_train_classify,
     # snk10_dynamic_partition_overwrite, g5_kcore_peel, a38_runs_test,
     # ts7_autocorrelation, ts8_cusum_changepoint,
-    # a39_chi_square_independence, g6_degree_assortativity.
+    # a39_chi_square_independence, g6_degree_assortativity,
+    # geo1_grid_distance_join.
 )
 
 
@@ -162,6 +163,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation_plans,
         dedup,
         filters,
+        geo_plans,
         graph_plans,
         joins,
         layout_plans,

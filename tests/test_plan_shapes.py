@@ -145,6 +145,7 @@ R4_SESSION_FINGERPRINTS = {
     "ts8_cusum_changepoint": "Window",              # prefix-sum/running-min
     "a39_chi_square_independence": "HashAggregate", # contingency contraction
     "g6_degree_assortativity": "HashAggregate",     # mergeable moment sums
+    "geo1_grid_distance_join": "Generate",          # 3x3 cell replication
 }
 
 
