@@ -252,3 +252,101 @@ def mi1_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROUND_DIGITS,
         ).alias("mi_total"),
     ).orderBy("x", "y")
+
+
+@query(
+    "mb2_sequential_patterns",
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+firsts AS (
+  SELECT user_id, event_type, ts, event_id FROM ranked WHERE rn = 1
+),
+seq AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM firsts a JOIN firsts b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM firsts GROUP BY 1
+)
+SELECT s.antecedent, s.consequent, s.support,
+       ROUND(CAST(s.support AS DOUBLE) / b.n_users, {ROUND_DIGITS})
+           AS confidence
+FROM seq s JOIN base b ON b.event_type = s.antecedent
+ORDER BY s.support DESC, s.antecedent, s.consequent
+""",
+)
+def mb2_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MB2: sequential-pattern mining over first occurrences — for every
+    ordered pair of event types, how many users did A strictly before B,
+    with confidence P(B later | A) (the length-2 core of AprioriAll,
+    Agrawal & Srikant ICDE'95). The temporal sibling of mb1's unordered
+    co-occurrence and a30's consecutive-step Markov transitions: this one
+    sees A→…→B across any gap, which is what funnel designers actually
+    ask.
+
+    Scale shape: (1) first occurrences via row_number()==1 inside
+    (user, type) windows — per-series partitions, one shuffle; (2) the
+    pair join is an equi-join on user_id whose per-user candidate mass is
+    |alphabet|² — bounded by the TYPE alphabet (here ≤ 5·4), never by
+    event volume; (3) support counts and the per-type user base are
+    map-side-combined aggregates of the firsts table (|users|·|types|
+    rows, already contracted). The strict (ts, event_id) lexicographic
+    order makes 'before' total, so ties cannot flip the counts between
+    engines."""
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    firsts = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("antecedent"),
+        F.col("ts").alias("ts_a"),
+        F.col("event_id").alias("id_a"),
+    )
+    b = firsts.select(
+        "user_id",
+        F.col("event_type").alias("consequent"),
+        F.col("ts").alias("ts_b"),
+        F.col("event_id").alias("id_b"),
+    )
+    seq = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (
+                (F.col("ts_a") < F.col("ts_b"))
+                | ((F.col("ts_a") == F.col("ts_b")) & (F.col("id_a") < F.col("id_b")))
+            )
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    base = firsts.groupBy(F.col("event_type").alias("antecedent")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return (
+        seq.join(F.broadcast(base), "antecedent")
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("n_users"), ROUND_DIGITS
+            ).alias("confidence"),
+        )
+        .orderBy(F.desc("support"), "antecedent", "consequent")
+    )

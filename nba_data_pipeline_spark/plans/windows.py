@@ -860,3 +860,60 @@ def w14_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_pairs") >= 3)
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "w15_rolling_median",
+    oracle="""
+SELECT user_id, event_id,
+       ROUND(median(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+def w15_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: exact rolling median over the trailing 5 observations per
+    user series — the robust twin of A9's rolling mean (one spike moves
+    a mean by spike/5; the median ignores it entirely), the smoother a
+    feed-repair pipeline wants before ts8's CUSUM so a single glitch
+    can't trip the alarm.
+
+    Spark has no exact median window function; the Spark-first form is
+    collect_list over the bounded frame + array_sort + the two-middle
+    interpolation — constant work per row because the frame is ROWS 4
+    PRECEDING (a K-bounded buffer, never the whole partition). The oracle
+    runs DuckDB's native windowed median; both interpolate even-sized
+    frames as the mean of the middles, and the short leading frames
+    (sizes 1–4) interpolate identically, so values match to rounding.
+
+    Scale shape: one shuffle on user_id, sequential scan per series,
+    O(K log K) per row with K=5 — the same cost model at any row count.
+    For large K switch the buffer to two heaps inside
+    applyInPandas (the frame here is small enough that JVM-side HOFs
+    win)."""
+    w5 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w5))
+    n = F.size(arr)
+    lo = F.element_at(arr, (F.floor((n - 1) / 2) + 1).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    return (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round((lo + hi) / 2.0, 4).alias("med5"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -146,6 +146,8 @@ R4_SESSION_FINGERPRINTS = {
     "a39_chi_square_independence": "HashAggregate", # contingency contraction
     "g6_degree_assortativity": "HashAggregate",     # mergeable moment sums
     "geo1_grid_distance_join": "Generate",          # 3x3 cell replication
+    "mb2_sequential_patterns": "HashAggregate",     # alphabet-bounded pairs
+    "w15_rolling_median": "Window",                 # bounded-frame buffer
 }
 
 
