@@ -585,3 +585,192 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         analyze,
         schema="doc_id long, frame_pair int, mean_abs_diff double, is_cut boolean",
     ).orderBy("doc_id", "frame_pair")
+
+
+def _phash_lum_sql() -> tuple[str, str]:
+    """Generate the oracle's 32 per-pixel luminance expressions and the
+    packed-bit expression over them (pixel i = content bytes 3i..3i+2,
+    luminance = r+g+b; bit i set iff luminance strictly above the frame
+    mean). sum/32.0 is a power-of-two division — exact in doubles, so the
+    threshold compare is bit-exact on both engines."""
+    lum = [
+        " + ".join(
+            f"CAST(concat('0x', substr(h, {6 * i + 1 + 2 * c}, 2)) AS INT)"
+            for c in range(3)
+        )
+        for i in range(32)
+    ]
+    lums = ", ".join(f"({e}) AS lum{i}" for i, e in enumerate(lum))
+    total = " + ".join(f"lum{i}" for i in range(32))
+    bits = " + ".join(
+        f"CASE WHEN lum{i} > ({total}) / 32.0 THEN {1 << i} ELSE 0 END"
+        for i in range(32)
+    )
+    return lums, bits
+
+
+_PHASH_LUMS, _PHASH_BITS = _phash_lum_sql()
+_PHASH_HAMMING = 4
+
+
+@query(
+    "mm_image_phash",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id,
+         repeat(md5(CAST(doc_id % 50 AS VARCHAR)), 6) AS h0,
+         doc_id % 7 = 0 AS pert
+  FROM documents
+),
+hx AS (
+  SELECT doc_id,
+         CASE WHEN pert THEN
+           lower(lpad(hex((CAST(concat('0x', substr(h0, 1, 2)) AS INT) + 16)
+                          % 256), 2, '0')) || substr(h0, 3)
+         ELSE h0 END AS h
+  FROM src
+),
+lums AS (SELECT doc_id, {_PHASH_LUMS} FROM hx),
+ph AS (SELECT doc_id, CAST({_PHASH_BITS} AS BIGINT) AS phash FROM lums),
+hashes AS (
+  SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ph GROUP BY 1
+),
+bands AS (
+  SELECT phash, b AS band_idx,
+         (phash >> (8 * b)) & 255 AS band_val
+  FROM hashes CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.phash AS h1, b.phash AS h2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.phash < b.phash
+),
+pairs AS (
+  SELECT h1, h2 FROM cand
+  WHERE bit_count(xor(h1, h2)) <= {_PHASH_HAMMING}
+),
+nbr AS (
+  SELECT h AS phash, CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM (
+    SELECT h1 AS h FROM pairs UNION ALL SELECT h2 FROM pairs
+  ) GROUP BY 1
+)
+SELECT hs.phash, hs.n_docs,
+       COALESCE(nbr.n_neighbors, 0) AS n_neighbors
+FROM hashes hs LEFT JOIN nbr USING (phash)
+ORDER BY hs.phash
+""",
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: perceptual aHash over REAL PNG bytes + banded
+    Hamming neighbor index — the image twin of d5's SimHash lane. Each
+    document carries a real 8x4 RGB PNG (encoded from an md5 chain of its
+    image-group id; every 7th doc gets one channel value shifted, the
+    'same image, tiny edit' case). The engine path runs the production
+    shape end-to-end: encode -> REAL decode (zlib inflate + unfilter) ->
+    luminance aHash (Niu & Jiao 2008's average-hash family), all inside
+    one Arrow mapInPandas lane; near-duplicate hashes are then found by
+    the Manku-style band join over DISTINCT hashes, never all-pairs.
+
+    The oracle re-derives every luminance NATIVELY from the md5 chain (96
+    hex-pair casts — no codec), so a single corrupted byte anywhere in
+    the PNG encode/decode path flips a bit and hash-fails the gate.
+
+    Scale shape: the codec lane is Arrow-batched and stateless (payloads
+    never leave executors); hashes contract by groupBy before banding, so
+    the band join input is |distinct images|, and candidates are banded
+    (8-bit bands -> expected collisions |D|²/256 per band only among
+    near-identical frames). bit_count(xor) verifies exactly. The final
+    report is hash-grain, not pair-grain."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from nba_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    base_hex = F.repeat(
+        F.md5((F.col("doc_id") % 50).cast("string").cast("binary")), 6
+    )
+    first_byte = F.conv(F.substring(base_hex, 1, 2), 16, 10).cast("int")
+    pert_hex = F.concat(
+        F.lower(F.lpad(F.hex((first_byte + 16) % 256), 2, "0")),
+        F.expr("substr(repeat(md5(cast(cast(doc_id % 50 as string) as binary)), 6), 3)"),
+    )
+    src = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, pert_hex)
+            .otherwise(base_hex)
+            .alias("h"),
+        )
+    )
+
+    def lane(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for hhex in pdf["h"]:
+                payload = encode_png(8, 4, bytes.fromhex(hhex))
+                _w, _hgt, px = decode_png(payload)
+                lums = [px[3 * i] + px[3 * i + 1] + px[3 * i + 2] for i in range(32)]
+                mean = sum(lums) / 32.0
+                hashes.append(sum(1 << i for i, l in enumerate(lums) if l > mean))
+            out = pdf[["doc_id"]].copy()
+            out["phash"] = pd.Series(hashes, index=pdf.index, dtype="int64")
+            yield out
+
+    ph = src.mapInPandas(lane, schema="doc_id long, phash long")
+    hashes = ph.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    bands = hashes.select(
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (F.shiftright("phash", 8 * b) % 256).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("phash", "bs.band_idx", "bs.band_val")
+    a = bands.select(
+        F.col("phash").alias("h1"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("phash").alias("h2"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("h1") < F.col("h2"))
+        .select("h1", "h2")
+        .distinct()
+    )
+    pairs = cand.filter(
+        F.bit_count(F.expr("h1 ^ h2")) <= _PHASH_HAMMING
+    )
+    nbr = (
+        pairs.select(F.col("h1").alias("phash"))
+        .unionAll(pairs.select(F.col("h2").alias("phash")))
+        .groupBy("phash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neighbors"))
+    )
+    return (
+        hashes.join(nbr, "phash", "left")
+        .select(
+            "phash",
+            "n_docs",
+            F.coalesce("n_neighbors", F.lit(0).cast("bigint")).alias(
+                "n_neighbors"
+            ),
+        )
+        .orderBy("phash")
+    )

@@ -151,7 +151,8 @@ _FRONT: tuple[str, ...] = (
     # snk10_dynamic_partition_overwrite, g5_kcore_peel, a38_runs_test,
     # ts7_autocorrelation, ts8_cusum_changepoint,
     # a39_chi_square_independence, g6_degree_assortativity,
-    # geo1_grid_distance_join, mb2_sequential_patterns, w15_rolling_median.
+    # geo1_grid_distance_join, mb2_sequential_patterns, w15_rolling_median,
+    # ta_keyword_extract, mm_image_phash.
 )
 
 

@@ -962,3 +962,85 @@ def ta_nb_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("labeled", "predicted")
     )
+
+
+@query(
+    "ta_keyword_extract",
+    oracle=f"""
+WITH {_SQL_TRI_TF},
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, w,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY w DESC, term) AS rk
+  FROM w
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df,
+       ROUND(w, {ROUND_DIGITS}) AS tfidf
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+""",
+)
+def ta_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TA: per-document keyword extraction — the top-3 trigram terms by
+    TF-IDF per document (Sparck Jones 1972), the tagging/faceting step a
+    corpus browser or a topic-drift monitor runs over every crawl
+    increment. Complements ta_sparse_cosine_pairs (which uses the same
+    weights to compare documents) by answering the per-document question:
+    what is this one about?
+
+    Scale shape: term stats reuse the inverted-index contraction — tf is
+    one groupBy over exploded trigrams (map-side combinable), df a
+    re-aggregate of tf, idf joins back on the term key (df is |vocab|-
+    sized: a regular shuffle join, broadcast only the 1-row corpus
+    count). The per-doc top-3 is a row_number window inside each doc's
+    term list — WindowGroupLimit pushes the rank filter below the sort at
+    scale. Ranking happens on the 6-digit-rounded weight with a term-name
+    tiebreak, so cross-engine ln() ulp differences cannot reorder the
+    cut."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    tf = (
+        toks.select("doc_id", F.explode(_trigrams()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("w"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("w"), "term")
+    )
+    return (
+        w.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            "tf",
+            "df",
+            F.round("w", ROUND_DIGITS).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rk")
+    )

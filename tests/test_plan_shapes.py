@@ -148,6 +148,8 @@ R4_SESSION_FINGERPRINTS = {
     "geo1_grid_distance_join": "Generate",          # 3x3 cell replication
     "mb2_sequential_patterns": "HashAggregate",     # alphabet-bounded pairs
     "w15_rolling_median": "Window",                 # bounded-frame buffer
+    "ta_keyword_extract": "WindowGroupLimit",       # per-doc top-3 pushdown
+    "mm_image_phash": "MapInPandas",                # Arrow codec+hash lane
 }
 
 
