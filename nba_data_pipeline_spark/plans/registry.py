@@ -152,7 +152,8 @@ _FRONT: tuple[str, ...] = (
     # ts7_autocorrelation, ts8_cusum_changepoint,
     # a39_chi_square_independence, g6_degree_assortativity,
     # geo1_grid_distance_join, mb2_sequential_patterns, w15_rolling_median,
-    # ta_keyword_extract, mm_image_phash.
+    # ta_keyword_extract, mm_image_phash, src_binaryfile_roundtrip,
+    # sim_alignment_uniformity.
 )
 
 

@@ -1545,3 +1545,88 @@ def sim_ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "sim_alignment_uniformity",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pos AS (
+  SELECT a.label,
+         2 - 2 * ({_SQL_COS}) AS sqdist
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+align AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         AVG(sqdist) AS alignment
+  FROM pos GROUP BY 1
+),
+s AS (SELECT vec_id, e FROM v WHERE vec_id % 4 = 0),
+u AS (
+  SELECT ln(AVG(exp(-2 * (2 - 2 * ({_SQL_COS}))))) AS uniformity
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT align.label, align.n_pairs,
+       ROUND(align.alignment, 4) AS alignment,
+       ROUND(u.uniformity, 4) AS uniformity
+FROM align CROSS JOIN u
+ORDER BY align.label
+""",
+)
+def sim_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health check: ALIGNMENT (mean squared distance
+    between same-label pairs, on the unit sphere: 2−2cos) per label and
+    UNIFORMITY (log-mean Gaussian potential over a vector sample) — the
+    two axes of Wang & Isola (ICML'20) that predict whether a contrastive
+    embedding is collapsing (good alignment, terrible uniformity) or
+    scattering (the reverse). A training-data pipeline runs this per
+    checkpoint export before trusting the embeddings for dedup (d5/d6) or
+    retrieval (sim_*).
+
+    Scale shape: positive pairs come from a LABEL equi-join — blocked by
+    construction, |label|-bounded skew, never all-pairs over the corpus.
+    The uniformity potential is defined over unordered pairs; computing
+    it exactly is quadratic, so it runs on a deterministic systematic
+    sample (vec_id % 4 — no RNG, same rows on any engine) joined via
+    broadcast-NL below the pair filter, the same exact-eval posture as
+    sim_hard_negatives. Both statistics are mergeable averages of
+    per-pair doubles (the engine-stable cosine fold), rounded on both
+    engines."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    a = v.select(
+        F.col("vec_id").alias("ida"), "label", F.col("embedding").alias("ea")
+    )
+    b = v.select(
+        F.col("vec_id").alias("idb"), "label", F.col("embedding").alias("eb")
+    )
+    sqdist = 2.0 - 2.0 * cosine(F.col("ea"), F.col("eb"))
+    align = (
+        a.join(b, "label")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("label", sqdist.alias("sqdist"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.avg("sqdist").alias("alignment"),
+        )
+    )
+    s = v.filter(F.col("vec_id") % 4 == 0)
+    sa = s.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    sb = s.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    u = (
+        sa.join(F.broadcast(sb), F.col("ida") < F.col("idb"))
+        .select(F.exp(-2.0 * sqdist).alias("pot"))
+        .agg(F.log(F.avg("pot")).alias("uniformity"))
+    )
+    return (
+        align.crossJoin(F.broadcast(u))
+        .select(
+            "label",
+            "n_pairs",
+            F.round("alignment", 4).alias("alignment"),
+            F.round("uniformity", 4).alias("uniformity"),
+        )
+        .orderBy("label")
+    )

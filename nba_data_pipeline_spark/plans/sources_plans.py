@@ -734,3 +734,81 @@ def src_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# SRC-BIN: binaryFile scan — the raw-media ingestion source
+# ---------------------------------------------------------------------------
+
+_BIN_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _land_binary(spark: SparkSession, sf_dir: str) -> str:
+    """One 64-byte binary blob per document (an md5 chain of doc_id),
+    landed EXECUTOR-SIDE via foreachPartition — the fixture stand-in for
+    a crawl's raw image/audio payload directory. Cached per (sf_dir,
+    mtime) like the other landings so repeated catalog runs reuse it."""
+    cache_key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    if cache_key in _BIN_CACHE:
+        return _BIN_CACHE[cache_key]
+    root = session_tmpdir("src_bin_")
+
+    def write_part(rows) -> None:
+        import hashlib
+
+        for row in rows:
+            payload = bytes.fromhex(
+                hashlib.md5(str(row.doc_id).encode()).hexdigest() * 4
+            )
+            with open(os.path.join(root, f"doc_{row.doc_id}.bin"), "wb") as f:
+                f.write(payload)
+
+    read_table(spark, sf_dir, "documents").select("doc_id").foreachPartition(
+        write_part
+    )
+    _BIN_CACHE[cache_key] = root
+    return root
+
+
+@query(
+    "src_binaryfile_roundtrip",
+    oracle="""
+SELECT doc_id, CAST(64 AS BIGINT) AS n_bytes, TRUE AS content_ok
+FROM documents
+ORDER BY doc_id
+""",
+)
+def src_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC-BIN round-trip: raw binary payload directory → Spark's
+    ``binaryFile`` source → filename parse + content verification. This
+    is the ingestion mouth of the multimodal lane (mm_*): a crawler lands
+    opaque image/audio blobs as files; the engine scans them
+    distributed (one task per file group), carries bytes as a binary
+    column, and never funnels them through the driver.
+
+    content_ok re-derives each blob's expected bytes IN-PLAN from the
+    doc_id parsed out of the filename (md5-chain, the same cross-engine
+    hash discipline as mm_image_phash) and compares md5(content) against
+    it — the oracle predicts (doc_id, 64, TRUE) rows straight from the
+    documents table, so a single corrupted/truncated/misnamed file
+    hash-fails the gate.
+
+    Scale shape: binaryFile batches small files per task
+    (maxPartitionBytes-sized groups) and prunes on the path glob; the
+    verification is a stateless JVM-codegen map (regexp + md5 + unhex);
+    the only shuffle is the final presentation sort. At 100 TB the same
+    plan reads an object store listing — lineage identical."""
+    path = _land_binary(spark, sf_dir)
+    df = spark.read.format("binaryFile").load(os.path.join(path, "*.bin"))
+    doc_id = F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long")
+    expected = F.unhex(
+        F.repeat(F.md5(doc_id.cast("string").cast("binary")), 4)
+    )
+    return (
+        df.select(
+            doc_id.alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            (F.md5("content") == F.md5(expected)).alias("content_ok"),
+        )
+        .orderBy("doc_id")
+    )

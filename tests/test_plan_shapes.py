@@ -150,6 +150,8 @@ R4_SESSION_FINGERPRINTS = {
     "w15_rolling_median": "Window",                 # bounded-frame buffer
     "ta_keyword_extract": "WindowGroupLimit",       # per-doc top-3 pushdown
     "mm_image_phash": "MapInPandas",                # Arrow codec+hash lane
+    "src_binaryfile_roundtrip": "Project",          # codegen verify map
+    "sim_alignment_uniformity": "BroadcastHashJoin",  # label-blocked pairs
 }
 
 
