@@ -3090,3 +3090,81 @@ def a39_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROUND_DIGITS,
         ).alias("cramers_v"),
     ).orderBy("x", "y")
+
+
+@query(
+    "a40_welch_ttest",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(o_totalprice) AS m,
+         VAR_SAMP(o_totalprice) AS v
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY 1
+),
+w AS (
+  SELECT a.n AS n1, b.n AS n2,
+         ROUND(a.m, {ROUND_DIGITS}) AS mean1,
+         ROUND(b.m, {ROUND_DIGITS}) AS mean2,
+         (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t,
+         (a.v / a.n + b.v / b.n) ** 2
+             / ((a.v / a.n) ** 2 / (a.n - 1)
+                + (b.v / b.n) ** 2 / (b.n - 1)) AS df
+  FROM g a JOIN g b
+    ON a.grp = '1-URGENT' AND b.grp = '5-LOW'
+)
+SELECT n1, n2, mean1, mean2,
+       ROUND(t, {ROUND_DIGITS}) AS t_stat,
+       ROUND(df, {ROUND_DIGITS}) AS welch_df,
+       abs(t) > 1.96 AS reject_95
+FROM w
+""",
+)
+def a40_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40: Welch's unequal-variance t-test (Welch 1947) comparing mean
+    order value between the URGENT and LOW priority classes, with the
+    Welch–Satterthwaite degrees of freedom. Completes the catalog's
+    hypothesis-testing suite: a31 (proportions), a37 (rank-sum,
+    distribution-free), a38 (runs, randomness), a39 (chi-square,
+    categorical) — this is the parametric means member, the default
+    gate for 'did the metric move' on large-n A/B splits.
+
+    Scale shape: the entire test collapses in ONE map-side-combinable
+    aggregate pass — count/mean/var_samp per group are mergeable
+    moments; the t statistic and df are arithmetic over the 2-row group
+    table self-joined into one row. At any data scale the shuffle
+    carries six doubles. The df>30 regime makes the 1.96 normal cutoff
+    the standard reading."""
+    g = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("o_totalprice").alias("m"),
+            F.var_samp("o_totalprice").alias("v"),
+        )
+    )
+    a = g.filter(F.col("grp") == "1-URGENT").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    b = g.filter(F.col("grp") == "5-LOW").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)
+    df = F.pow(se1 + se2, 2) / (
+        F.pow(se1, 2) / (F.col("n1") - 1) + F.pow(se2, 2) / (F.col("n2") - 1)
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n1",
+        "n2",
+        F.round("m1", ROUND_DIGITS).alias("mean1"),
+        F.round("m2", ROUND_DIGITS).alias("mean2"),
+        F.round(t, ROUND_DIGITS).alias("t_stat"),
+        F.round(df, ROUND_DIGITS).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("reject_95"),
+    )

@@ -908,3 +908,84 @@ def ta_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("curl")
     )
+
+
+@query(
+    "ta_readability_forcast",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+syl AS (
+  SELECT doc_id, w,
+         len(regexp_extract_all(w, '[aeiouy]+')) AS s
+  FROM tok
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(s) AS BIGINT) AS n_syllables,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mono,
+         CAST(SUM(CASE WHEN s >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_complex
+  FROM syl GROUP BY 1
+)
+SELECT doc_id, n_words, n_syllables,
+       ROUND(CAST(n_syllables AS DOUBLE) / n_words, 4) AS syll_per_word,
+       ROUND(CAST(n_complex AS DOUBLE) / n_words, 4) AS complex_frac,
+       ROUND(20.0 - 15.0 * n_mono / n_words, 4) AS forcast_grade
+FROM agg
+ORDER BY doc_id
+""",
+)
+def ta_readability_forcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TA: readability profiling — per-document syllable statistics and
+    the FORCAST grade level (Caylor et al. 1973: grade = 20 − N/10 with N
+    the monosyllabic words per 150-word sample, i.e. 20 − 15·mono_frac).
+    FORCAST is chosen deliberately: it is the one classical readability
+    formula defined WITHOUT sentence counts, which matches both this
+    corpus (no punctuation) and real training-data shards (code, tables,
+    OCR dumps — exactly where Flesch/Kincaid go undefined). Syllables
+    use the standard vowel-group heuristic ([aeiouy]+ runs), identical
+    regex semantics on both engines.
+
+    A curation pipeline thresholds on these beside the Gopher rules
+    (ta_gopher_quality): complex_frac and syllables/word catch
+    gibberish and boilerplate that pure length/stopword rules miss.
+
+    Scale shape: tokenize-explode, one regexp per token inside codegen,
+    then a map-side-combinable groupBy back to document grain — the
+    same contraction lane as every ta_* scorer; no joins, no windows,
+    nothing global."""
+    tok = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("w"))
+    )
+    syl = tok.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("w", F.lit("[aeiouy]+"), 0)).alias("s"),
+    )
+    agg = syl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("s").cast("bigint").alias("n_syllables"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mono"),
+        F.sum(F.when(F.col("s") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_complex"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        F.round(
+            F.col("n_syllables").cast("double") / F.col("n_words"), 4
+        ).alias("syll_per_word"),
+        F.round(
+            F.col("n_complex").cast("double") / F.col("n_words"), 4
+        ).alias("complex_frac"),
+        F.round(
+            20.0 - 15.0 * F.col("n_mono") / F.col("n_words"), 4
+        ).alias("forcast_grade"),
+    ).orderBy("doc_id")

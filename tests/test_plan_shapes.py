@@ -152,6 +152,8 @@ R4_SESSION_FINGERPRINTS = {
     "mm_image_phash": "MapInPandas",                # Arrow codec+hash lane
     "src_binaryfile_roundtrip": "Project",          # codegen verify map
     "sim_alignment_uniformity": "BroadcastHashJoin",  # label-blocked pairs
+    "ta_readability_forcast": "HashAggregate",      # token-grain contraction
+    "a40_welch_ttest": "HashAggregate",             # mergeable moments
 }
 
 
