@@ -774,3 +774,116 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phash")
     )
+
+
+_SILENCE_THRESHOLD = 8192  # |int16| below this = quiet (~25% of uniform)
+_SILENCE_MIN_RUN = 2
+
+
+@query(
+    "mm_audio_silence",
+    oracle=f"""
+WITH hx AS (
+  SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 6) AS h FROM documents
+),
+samp AS (
+  SELECT doc_id, i,
+         (strpos('0123456789abcdef', substr(h, 4*i+1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 4*i+2, 1)) - 1) AS lo,
+         (strpos('0123456789abcdef', substr(h, 4*i+3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 4*i+4, 1)) - 1) AS hi
+  FROM (SELECT doc_id, h, unnest(generate_series(0, 47)) AS i FROM hx)
+),
+pcm AS (
+  SELECT doc_id, i,
+         CASE WHEN lo + 256 * hi >= 32768 THEN lo + 256 * hi - 65536
+              ELSE lo + 256 * hi END AS s
+  FROM samp
+),
+quiet AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM pcm WHERE ABS(s) < {_SILENCE_THRESHOLD}
+),
+runs AS (
+  SELECT doc_id, CAST(MIN(i) AS INT) AS run_start,
+         CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM quiet GROUP BY doc_id, grp
+)
+SELECT doc_id, run_start, run_len
+FROM runs WHERE run_len >= {_SILENCE_MIN_RUN}
+ORDER BY doc_id, run_start
+""",
+)
+def mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run detection over REAL WAV audio — the trim/segmentation
+    primitive of an audio curation pipeline (leading/trailing silence
+    stripping, voice-activity chunking before ASR): maximal runs of >= 2
+    consecutive int16 samples under the quiet threshold, as (start, len)
+    spans. The audio twin of mm_video_scene_cut's boundary detection.
+
+    The engine path exercises the production codec lane end-to-end:
+    deterministic PCM (md5 chain of doc_id) -> real RIFF/WAVE encode ->
+    real parse -> numpy run-length extraction, all inside two Arrow
+    ``mapInPandas`` stages with zero shuffle (runs are local to each
+    document's row). The oracle re-derives every sample NATIVELY in SQL
+    (hex -> little-endian int16) and finds the same runs with the
+    gaps-and-islands identity (i − row_number() groups consecutive
+    quiet samples — w3's trick at sample grain), so a codec defect or an
+    off-by-one in the run walker hash-fails the gate, value-for-value.
+
+    Scale shape: payloads never leave executors; per-doc runs are
+    O(samples) local work; output is span-grain (bounded by runs, not
+    samples); the only shuffle is the presentation sort."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from nba_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    content_hex = F.repeat(F.md5(F.col("doc_id").cast("string").cast("binary")), 6)
+    src = d.select("doc_id", F.unhex(content_hex).alias("content"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [
+                encode_wav(8000, 1, bytes(c)) for c in pdf["content"]
+            ]
+            yield out
+
+    encoded = src.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode_wav(bytes(payload))
+                s = np.frombuffer(decoded[-1], dtype="<i2").astype(np.int64)
+                quiet = np.abs(s) < _SILENCE_THRESHOLD
+                # run boundaries: indices where the quiet flag changes
+                edges = np.flatnonzero(np.diff(quiet.astype(np.int8)))
+                starts = np.r_[0, edges + 1]
+                ends = np.r_[edges, len(s) - 1]
+                for st, en in zip(starts, ends):
+                    if quiet[st] and en - st + 1 >= _SILENCE_MIN_RUN:
+                        rows.append(
+                            {"doc_id": did, "run_start": st, "run_len": en - st + 1}
+                        )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "run_start", "run_len"]
+            ).astype({"doc_id": "int64", "run_start": "int32", "run_len": "int64"})
+
+    return (
+        encoded.mapInPandas(runs, schema="doc_id long, run_start int, run_len long")
+        .orderBy("doc_id", "run_start")
+    )

@@ -153,7 +153,8 @@ _FRONT: tuple[str, ...] = (
     # a39_chi_square_independence, g6_degree_assortativity,
     # geo1_grid_distance_join, mb2_sequential_patterns, w15_rolling_median,
     # ta_keyword_extract, mm_image_phash, src_binaryfile_roundtrip,
-    # sim_alignment_uniformity, ta_readability_forcast, a40_welch_ttest.
+    # sim_alignment_uniformity, ta_readability_forcast, a40_welch_ttest,
+    # mm_audio_silence.
 )
 
 

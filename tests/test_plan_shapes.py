@@ -154,6 +154,7 @@ R4_SESSION_FINGERPRINTS = {
     "sim_alignment_uniformity": "BroadcastHashJoin",  # label-blocked pairs
     "ta_readability_forcast": "HashAggregate",      # token-grain contraction
     "a40_welch_ttest": "HashAggregate",             # mergeable moments
+    "mm_audio_silence": "MapInPandas",              # Arrow codec+RLE lane
 }
 
 
