@@ -3168,3 +3168,118 @@ def a40_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df, ROUND_DIGITS).alias("welch_df"),
         (F.abs(t) > 1.96).alias("reject_95"),
     )
+
+
+@query(
+    "a41_ks_test",
+    oracle=f"""
+WITH v AS (
+  SELECT o_totalprice AS val,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+cells AS (
+  SELECT val,
+         CAST(SUM(g1) AS BIGINT) AS c1,
+         CAST(SUM(1 - g1) AS BIGINT) AS c2
+  FROM v GROUP BY 1
+),
+cum AS (
+  SELECT val,
+         SUM(c1) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum1,
+         SUM(c2) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum2
+  FROM cells
+),
+n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM cells
+),
+scored AS (
+  SELECT val, ABS(cum1 * n.n2 - cum2 * n.n1) AS dnum, n.n1, n.n2
+  FROM cum CROSS JOIN n
+),
+best AS (
+  SELECT n1, n2, dnum, val,
+         ROW_NUMBER() OVER (ORDER BY dnum DESC, val) AS rk
+  FROM scored
+)
+SELECT n1, n2,
+       ROUND(CAST(dnum AS DOUBLE) / (n1 * n2), {ROUND_DIGITS}) AS ks_d,
+       val AS at_value,
+       CAST(dnum AS DOUBLE) / (n1 * n2)
+           > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject_95
+FROM best WHERE rk = 1
+""",
+)
+def a41_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41: two-sample Kolmogorov–Smirnov test (max ECDF gap between the
+    URGENT and LOW order-value distributions) — the whole-distribution
+    member of the testing suite: a40's t sees means, a37's U sees
+    location; KS sees ANY shape difference (spread, tails, bimodality),
+    which is what a data-drift monitor between two feed snapshots
+    actually needs.
+
+    Exactness trick: the gap is maximized as the INTEGER |cum1·n2 −
+    cum2·n1| (cross-multiplied ECDFs), so the argmax and its tiebreak
+    (lowest value) are integer-exact on both engines; division and
+    rounding happen once, on the final row. The 1.358·sqrt((n1+n2)/n1n2)
+    cutoff is the standard alpha=0.05 asymptotic critical value.
+
+    Scale shape: the value stream contracts to DISTINCT-value grain with
+    conditional counts (map-side combinable); running sums order that
+    contracted grain (a36/a37's posture — at 100 TB, pre-bucket values
+    and run the same walk per bucket with offset partial sums); the
+    argmax is a row_number over the contracted table and the result is
+    one row."""
+    v = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.col("o_totalprice").alias("val"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("g1"),
+        )
+    )
+    cells = v.groupBy("val").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("c2"),
+    )
+    wseq = W.orderBy("val").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = cells.select(
+        "val",
+        F.sum("c1").over(wseq).alias("cum1"),
+        F.sum("c2").over(wseq).alias("cum2"),
+    )
+    n = cells.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    scored = cum.crossJoin(F.broadcast(n)).select(
+        "val",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+            "dnum"
+        ),
+    )
+    rk = F.row_number().over(W.orderBy(F.desc("dnum"), "val"))
+    ks = F.col("dnum").cast("double") / (F.col("n1") * F.col("n2"))
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "n1",
+            "n2",
+            F.round(ks, ROUND_DIGITS).alias("ks_d"),
+            F.col("val").alias("at_value"),
+            (
+                ks
+                > 1.358
+                * F.sqrt(
+                    (F.col("n1") + F.col("n2")).cast("double")
+                    / (F.col("n1") * F.col("n2"))
+                )
+            ).alias("reject_95"),
+        )
+    )

@@ -989,3 +989,98 @@ def ta_readability_forcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             20.0 - 15.0 * F.col("n_mono") / F.col("n_words"), 4
         ).alias("forcast_grade"),
     ).orderBy("doc_id")
+
+
+@query(
+    "ta_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+ranked AS (
+  SELECT w, f,
+         CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w) AS BIGINT) AS r
+  FROM freq
+),
+pts AS (SELECT w, f, r, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+        FROM ranked),
+fit AS (
+  SELECT (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS slope,
+         AVG(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * AVG(x) AS icept,
+         corr(x, y) AS r_xy
+  FROM pts
+)
+SELECT r AS rank, w AS token, f AS freq,
+       ROUND(x, 4) AS ln_rank, ROUND(y, 4) AS ln_freq,
+       ROUND(fit.slope, 4) AS zipf_slope,
+       ROUND(fit.icept, 4) AS intercept,
+       ROUND(fit.r_xy * fit.r_xy, 4) AS r2
+FROM pts CROSS JOIN fit
+WHERE r <= 20
+ORDER BY r
+""",
+)
+def ta_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TA: Zipf's-law fit over the corpus unigram frequency spectrum —
+    log-log OLS of frequency against rank (Zipf 1949), reported with the
+    top-20 ranks and the fit's slope/intercept/R². Corpus linguists and
+    data curators read the slope as a fingerprint: natural text sits near
+    −1; templated/boilerplate-heavy corpora flatten, spam/generated text
+    steepens — a cheap drift alarm on every crawl increment beside
+    ta_ngram_novelty.
+
+    Scale shape: the token stream contracts to VOCABULARY grain in one
+    map-side-combined groupBy; ranking and the OLS moments (Σx, Σy, Σxy,
+    Σx² — all mergeable) run over that contracted table, so the global
+    rank window orders |vocab| rows, never tokens. The 1-row fit rides
+    back on a broadcast cross join. OLS in closed form — no iteration,
+    no ML library."""
+    tok = read_table(spark, sf_dir, "documents").select(
+        F.explode(ws_tokens(F.col("text"))).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    r = F.row_number().over(W.orderBy(F.desc("f"), "w")).cast("bigint")
+    pts = freq.select(
+        "w",
+        "f",
+        r.alias("r"),
+    ).select(
+        "w",
+        "f",
+        "r",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    fit = pts.agg(
+        slope.alias("slope"),
+        (F.avg("y")).alias("my"),
+        (F.avg("x")).alias("mx"),
+        F.corr("x", "y").alias("r_xy"),
+    ).select(
+        "slope",
+        (F.col("my") - F.col("slope") * F.col("mx")).alias("icept"),
+        "r_xy",
+    )
+    return (
+        pts.filter(F.col("r") <= 20)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.col("r").alias("rank"),
+            F.col("w").alias("token"),
+            F.col("f").alias("freq"),
+            F.round("x", 4).alias("ln_rank"),
+            F.round("y", 4).alias("ln_freq"),
+            F.round("slope", 4).alias("zipf_slope"),
+            F.round("icept", 4).alias("intercept"),
+            F.round(F.col("r_xy") * F.col("r_xy"), 4).alias("r2"),
+        )
+        .orderBy("rank")
+    )

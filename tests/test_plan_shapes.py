@@ -155,6 +155,8 @@ R4_SESSION_FINGERPRINTS = {
     "ta_readability_forcast": "HashAggregate",      # token-grain contraction
     "a40_welch_ttest": "HashAggregate",             # mergeable moments
     "mm_audio_silence": "MapInPandas",              # Arrow codec+RLE lane
+    "ta_zipf_fit": "HashAggregate",                 # vocab-grain contraction
+    "a41_ks_test": "Window",                        # distinct-value ECDF walk
 }
 
 
