@@ -727,3 +727,171 @@ def g6_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# G7: clustering-coefficient distribution + transitivity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g7_clustering_coefficient",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0
+),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT DISTINCT u, v FROM pairs),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+members AS (
+  SELECT a AS node FROM tri UNION ALL
+  SELECT b FROM tri UNION ALL
+  SELECT c FROM tri
+),
+tcount AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM members GROUP BY 1
+),
+deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)
+  GROUP BY 1
+),
+nodes AS (
+  SELECT deg.node, deg.d, COALESCE(tcount.t, 0) AS t
+  FROM deg LEFT JOIN tcount USING (node)
+  WHERE deg.d >= 2
+),
+gstats AS (
+  SELECT ROUND(AVG(2.0 * t / (d * (d - 1))), {ROUND_DIGITS}) AS avg_cc,
+         ROUND(SUM(t) * 1.0 / SUM(d * (d - 1) / 2), {ROUND_DIGITS})
+             AS transitivity
+  FROM nodes
+)
+SELECT CAST(LEAST(9, (20 * t) // (d * (d - 1))) AS INT) AS cc_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       ROUND(AVG(2.0 * t / (d * (d - 1))), {ROUND_DIGITS}) AS bin_avg_cc,
+       ANY_VALUE(gstats.avg_cc) AS avg_cc,
+       ANY_VALUE(gstats.transitivity) AS transitivity
+FROM nodes CROSS JOIN gstats
+GROUP BY 1
+ORDER BY cc_bin
+""",
+)
+def g7_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: local clustering-coefficient distribution (Watts & Strogatz
+    1998) over the part co-order graph, plus the global average cc and
+    the transitivity ratio (Σtriangle-memberships / Σwedges — equal to
+    3T/wedges since each triangle contributes three memberships). g2
+    names the top triangle-closers; this reports the SHAPE of local
+    density — the small-world diagnostic that tells a dedup/community
+    pipeline whether cluster closure (D6) will produce tight cliques or
+    loose chains.
+
+    Spark-first shape: triangles per node reuse g2's degree-ordered
+    orientation (wedge mass O(m^1.5)-bounded); every node with d ≥ 2
+    enters via a LEFT join from the degree table so zero-triangle nodes
+    count in every bin and in both global ratios. The cc histogram bin
+    is the INTEGER (20·t) div (d(d−1)) — floor(10·cc) computed in exact
+    integer arithmetic, so binning cannot disagree across engines; only
+    the reported averages are floating and they are rounded. Everything
+    after the wedge join is node-grain contraction."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    edges = pairs.distinct().persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+    )
+    wedges = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+        )
+        .select(
+            F.col("e1.s").alias("a"), F.col("e1.t").alias("b"), F.col("e2.t").alias("c")
+        )
+    )
+    canon = e.select(
+        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    )
+    tri = wedges.join(
+        canon,
+        (F.least("b", "c") == F.col("x")) & (F.greatest("b", "c") == F.col("y")),
+    ).select("a", "b", "c")
+    tcount = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    nodes = (
+        deg.filter(F.col("d") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce("t", F.lit(0).cast("bigint")).alias("t"),
+        )
+    )
+    cc = 2.0 * F.col("t") / (F.col("d") * (F.col("d") - 1))
+    glob = nodes.agg(
+        F.round(F.avg(cc), ROUND_DIGITS).alias("avg_cc"),
+        F.round(
+            F.sum("t") * 1.0 / F.sum(F.col("d") * (F.col("d") - 1) / 2),
+            ROUND_DIGITS,
+        ).alias("transitivity"),
+    )
+    return (
+        nodes.crossJoin(F.broadcast(glob))
+        .groupBy(
+            F.expr("least(9, (20 * t) div (d * (d - 1)))")
+            .cast("int")
+            .alias("cc_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.round(F.avg(cc), ROUND_DIGITS).alias("bin_avg_cc"),
+            F.any_value("avg_cc").alias("avg_cc"),
+            F.any_value("transitivity").alias("transitivity"),
+        )
+        .orderBy("cc_bin")
+    )

@@ -157,6 +157,7 @@ R4_SESSION_FINGERPRINTS = {
     "mm_audio_silence": "MapInPandas",              # Arrow codec+RLE lane
     "ta_zipf_fit": "HashAggregate",                 # vocab-grain contraction
     "a41_ks_test": "Window",                        # distinct-value ECDF walk
+    "g7_clustering_coefficient": "HashAggregate",   # node-grain contraction
 }
 
 
