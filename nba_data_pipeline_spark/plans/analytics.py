@@ -3283,3 +3283,84 @@ def a41_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reject_95"),
         )
     )
+
+
+@query(
+    "a42_qq_deciles",
+    oracle=f"""
+WITH v AS (
+  SELECT o_totalprice AS val, o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'g1' ELSE 'g2' END AS grp
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+ranked AS (
+  SELECT grp, val,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY val, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM v
+),
+dec AS (SELECT UNNEST(generate_series(1, 9)) AS d),
+pick AS (
+  SELECT r.grp, dec.d, r.val
+  FROM ranked r JOIN dec ON r.rn = (dec.d * r.n + 9) // 10
+)
+SELECT CAST(a.d * 10 AS INT) AS pct,
+       a.val AS q_urgent, b.val AS q_low,
+       ROUND(a.val - b.val, {ROUND_DIGITS}) AS diff,
+       ROUND(a.val / b.val, {ROUND_DIGITS}) AS ratio
+FROM pick a JOIN pick b ON a.d = b.d AND a.grp = 'g1' AND b.grp = 'g2'
+ORDER BY pct
+""",
+)
+def a42_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A42: quantile–quantile decile table between the URGENT and LOW
+    order-value distributions — the WHERE companion to a41's KS verdict:
+    KS says the distributions differ; the QQ table says at which
+    quantiles and by how much (the drift report a feed monitor actually
+    pages on). Exact order statistics, not approx_percentile: the d-th
+    decile is the value at integer rank (d·n+9) div 10 — ceil(d·n/10)
+    computed in pure integer arithmetic, so both engines select the
+    IDENTICAL row (total order via the orderkey tiebreak) and the
+    reported quantiles match bit-for-bit before any rounding.
+
+    Scale shape: one rank window per group partition (two partitions
+    here; at billions of rows swap to the a26 mergeable-histogram
+    quantiles — this operator is the exact-verification twin the sketch
+    is validated against, the same pairing as sim bruteforce vs IVF).
+    The 9-row decile spine broadcasts; output is 9 rows."""
+    v = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.col("o_totalprice").alias("val"),
+            "o_orderkey",
+            F.when(F.col("o_orderpriority") == "1-URGENT", "g1")
+            .otherwise("g2")
+            .alias("grp"),
+        )
+    )
+    wg = W.partitionBy("grp")
+    ranked = v.select(
+        "grp",
+        "val",
+        F.row_number().over(wg.orderBy("val", "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    dec = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    pick = ranked.join(
+        F.broadcast(dec),
+        F.col("rn") == F.expr("(d * n + 9) div 10"),
+    ).select("grp", "d", "val")
+    a = pick.filter(F.col("grp") == "g1").select("d", F.col("val").alias("q_urgent"))
+    b = pick.filter(F.col("grp") == "g2").select("d", F.col("val").alias("q_low"))
+    return (
+        a.join(b, "d")
+        .select(
+            (F.col("d") * 10).cast("int").alias("pct"),
+            "q_urgent",
+            "q_low",
+            F.round(F.col("q_urgent") - F.col("q_low"), ROUND_DIGITS).alias("diff"),
+            F.round(F.col("q_urgent") / F.col("q_low"), ROUND_DIGITS).alias("ratio"),
+        )
+        .orderBy("pct")
+    )

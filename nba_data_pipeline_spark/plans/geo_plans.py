@@ -105,3 +105,89 @@ def geo1_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k1", "k2", d2.cast("bigint").alias("dist2"))
         .orderBy("k1", "k2")
     )
+
+
+@query(
+    "geo2_density_smooth",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % {GRID} AS x,
+         CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % {GRID} AS y
+  FROM customer
+),
+cells AS (
+  SELECT x // {RADIUS} AS cx, y // {RADIUS} AS cy,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM pts GROUP BY 1, 2
+),
+offs AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM (SELECT UNNEST([-1, 0, 1]) AS d) dx,
+       (SELECT UNNEST([-1, 0, 1]) AS d) dy
+),
+sm AS (
+  SELECT a.cx + o.dx AS cx, a.cy + o.dy AS cy, a.n_points
+  FROM cells a CROSS JOIN offs o
+)
+SELECT c.cx, c.cy, c.n_points,
+       CAST(SUM(sm.n_points) AS BIGINT) AS smoothed_3x3
+FROM cells c JOIN sm ON sm.cx = c.cx AND sm.cy = c.cy
+GROUP BY c.cx, c.cy, c.n_points
+ORDER BY c.cx, c.cy
+""",
+)
+def geo2_density_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO2: grid density with 3x3 box-kernel smoothing — the hotspot /
+    heatmap primitive over the same md5-derived point field as geo1. Raw
+    per-cell counts flicker at sparse scales; the box-smoothed count is
+    what density-based pruning (only probe ANN cells above a density
+    floor) and load forecasting (pre-split hot regions before the geo1
+    join) actually consume.
+
+    Spark-first stencil shape: points contract to CELL grain first
+    (map-side-combined groupBy — the stream never reaches the stencil),
+    then each occupied cell SCATTERS its count to its 9 neighbors
+    (explode of a constant 9-element offset array) and the scatter
+    re-aggregates on the cell key. Scatter-then-gather via equi-join is
+    the distributed convolution idiom: work is 9·|occupied cells|
+    regardless of point count, and the same plan runs any kernel by
+    swapping the offset array. Empty neighbor cells are never
+    materialized (inner join back to occupied cells only). All counts
+    integer — no float surface at all."""
+    h = F.md5(F.col("c_custkey").cast("string").cast("binary"))
+    pts = read_table(spark, sf_dir, "customer").select(
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % GRID).alias("x"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("bigint") % GRID).alias("y"),
+    )
+    cells = (
+        pts.select(
+            F.expr(f"x div {RADIUS}").alias("cx"),
+            F.expr(f"y div {RADIUS}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    scatter = cells.select(
+        "n_points", F.explode(offsets).alias("o"), "cx", "cy"
+    ).select(
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        F.col("n_points").alias("contrib"),
+    )
+    smoothed = scatter.groupBy("cx", "cy").agg(
+        F.sum("contrib").cast("bigint").alias("smoothed_3x3")
+    )
+    return (
+        cells.join(smoothed, ["cx", "cy"])
+        .select("cx", "cy", "n_points", "smoothed_3x3")
+        .orderBy("cx", "cy")
+    )

@@ -154,7 +154,8 @@ _FRONT: tuple[str, ...] = (
     # geo1_grid_distance_join, mb2_sequential_patterns, w15_rolling_median,
     # ta_keyword_extract, mm_image_phash, src_binaryfile_roundtrip,
     # sim_alignment_uniformity, ta_readability_forcast, a40_welch_ttest,
-    # mm_audio_silence, ta_zipf_fit, a41_ks_test, g7_clustering_coefficient.
+    # mm_audio_silence, ta_zipf_fit, a41_ks_test, g7_clustering_coefficient,
+    # ts9_seasonal_strength, a42_qq_deciles, geo2_density_smooth.
 )
 
 

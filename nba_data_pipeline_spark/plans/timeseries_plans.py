@@ -672,3 +672,113 @@ def ts8_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", F.round("score", 4).alias("cusum_score"))
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "ts9_seasonal_strength",
+    oracle="""
+WITH base AS (
+  SELECT event_type, hour(ts) AS hr, value FROM events
+),
+seas AS (
+  SELECT event_type, hr, AVG(value) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM base GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, hr, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ROUND(m, 6) DESC, hr) AS rk_peak,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ROUND(m, 6) ASC, hr) AS rk_trough
+  FROM seas
+),
+resid AS (
+  SELECT b.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         VAR_SAMP(b.value) AS var_total,
+         VAR_SAMP(b.value - s.m) AS var_resid
+  FROM base b JOIN seas s
+    ON s.event_type = b.event_type AND s.hr = b.hr
+  GROUP BY 1
+)
+SELECT r.event_type, r.n,
+       ROUND(r.var_total, 4) AS var_total,
+       ROUND(r.var_resid, 4) AS var_resid,
+       ROUND(GREATEST(0, 1 - r.var_resid / r.var_total), 4)
+           AS seasonal_strength,
+       CAST(p.hr AS INT) AS peak_hour,
+       CAST(t.hr AS INT) AS trough_hour
+FROM resid r
+JOIN ranked p ON p.event_type = r.event_type AND p.rk_peak = 1
+JOIN ranked t ON t.event_type = r.event_type AND t.rk_trough = 1
+ORDER BY r.event_type
+""",
+)
+def ts9_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS9: hour-of-day seasonal strength per event type — Hyndman &
+    Athanasopoulos' F_s = max(0, 1 − Var(remainder)/Var(detrended)) with
+    a seasonal-means decomposition, plus the peak and trough hours. The
+    decision input for every windowing choice upstream: strength ≈ 0
+    says ts4's seasonal-naive baseline and s6's day-aligned windows are
+    wasted; strength near 1 says hourly partitioning will skew and
+    needs time-salting.
+
+    Scale shape: the seasonal profile contracts the stream to
+    (type, hour) grain in one map-side-combined pass and broadcasts back
+    (|types|·24 rows); residual and total variances are mergeable-moment
+    aggregates in a SECOND single pass over the stream — two scans
+    total, no windows over raw events, no global state beyond 24-row
+    profiles. Peak/trough argmax runs on the contracted profile with
+    6-digit-rounded means + hour tiebreak so float ulps cannot flip the
+    winner."""
+    base = read_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    seas = base.groupBy("event_type", "hr").agg(
+        F.avg("value").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    rk_peak = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.desc(F.round("m", 6)), "hr")
+    )
+    rk_trough = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.round("m", 6).asc(), "hr")
+    )
+    ranked = seas.select(
+        "event_type", "hr", "m", rk_peak.alias("rk_peak"), rk_trough.alias("rk_trough")
+    )
+    resid = (
+        base.join(F.broadcast(seas.select("event_type", "hr", "m")), ["event_type", "hr"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.var_samp("value").alias("var_total"),
+            F.var_samp(F.col("value") - F.col("m")).alias("var_resid"),
+        )
+    )
+    peak = ranked.filter(F.col("rk_peak") == 1).select(
+        "event_type", F.col("hr").cast("int").alias("peak_hour")
+    )
+    trough = ranked.filter(F.col("rk_trough") == 1).select(
+        "event_type", F.col("hr").cast("int").alias("trough_hour")
+    )
+    return (
+        resid.join(F.broadcast(peak), "event_type")
+        .join(F.broadcast(trough), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("var_total", 4).alias("var_total"),
+            F.round("var_resid", 4).alias("var_resid"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0), 1 - F.col("var_resid") / F.col("var_total")
+                ),
+                4,
+            ).alias("seasonal_strength"),
+            "peak_hour",
+            "trough_hour",
+        )
+        .orderBy("event_type")
+    )

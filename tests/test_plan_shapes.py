@@ -158,6 +158,9 @@ R4_SESSION_FINGERPRINTS = {
     "ta_zipf_fit": "HashAggregate",                 # vocab-grain contraction
     "a41_ks_test": "Window",                        # distinct-value ECDF walk
     "g7_clustering_coefficient": "HashAggregate",   # node-grain contraction
+    "ts9_seasonal_strength": "HashAggregate",       # (type,hour) contraction
+    "a42_qq_deciles": "Window",                     # exact rank selection
+    "geo2_density_smooth": "Generate",              # 9-offset scatter
 }
 
 
