@@ -87,6 +87,27 @@ HEAVY = [
     "g5_kcore_peel",
     "a38_runs_test",
     "ts6_linear_interp",
+    # continuation-session additions (catalog 234 -> 254)
+    "ts7_autocorrelation",
+    "ts8_cusum_changepoint",
+    "a39_chi_square_independence",
+    "g6_degree_assortativity",
+    "geo1_grid_distance_join",
+    "mb2_sequential_patterns",
+    "w15_rolling_median",
+    "ta_keyword_extract",
+    "mm_image_phash",
+    "src_binaryfile_roundtrip",
+    "sim_alignment_uniformity",
+    "ta_readability_forcast",
+    "a40_welch_ttest",
+    "mm_audio_silence",
+    "ta_zipf_fit",
+    "a41_ks_test",
+    "g7_clustering_coefficient",
+    "ts9_seasonal_strength",
+    "a42_qq_deciles",
+    "geo2_density_smooth",
 ]
 
 
