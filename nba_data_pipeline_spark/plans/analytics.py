@@ -3364,3 +3364,129 @@ def a42_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# A43: RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a43_rfm_segmentation",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+             AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, monetary_cents,
+         CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS INT)
+             AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary_cents, o_custkey) AS INT)
+             AS m_score
+  FROM cust
+)
+SELECT r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'core' END AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS total_cents
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+)
+def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43: RFM segmentation (Hughes 1994) — score every customer 1–5 on
+    Recency (days since last order, vs the corpus's own latest date),
+    Frequency (order count) and Monetary (lifetime cents), then label the
+    classic marketing segments from the R×F corner they land in. The
+    canonical customer-value rollup every warehouse team rebuilds, and
+    the quantile-bucketing counterpart of w8's curriculum deciles on the
+    CUSTOMER axis instead of the document axis.
+
+    Determinism: recency anchors to MAX(o_orderdate) FROM THE DATA (no
+    wall clock — the catalog is replayable), all three metrics are exact
+    integers (cents, counts, day diffs), and every NTILE carries
+    o_custkey as tiebreaker so tile membership is bit-stable on both
+    engines. Segment labels are a shared integer CASE.
+
+    Scale shape: orders collapse to customer grain in one partially
+    aggregated shuffle; the three NTILEs are global total orders over the
+    CUSTOMER-grain frame (w8's scale note applies — one range-partitioned
+    sort each, run once per snapshot; at extreme cardinality swap for
+    approx-percentile boundary lookup, trading exact equal-count tiles
+    for a broadcast bucketize). The final contraction is ≤125 groups."""
+    anchor = F.broadcast(
+        read_table(spark, sf_dir, "orders").agg(
+            F.to_date(F.max("o_orderdate")).alias("anchor_date")
+        )
+    )
+    cust = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(
+            F.to_date(F.max("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(anchor)
+        .select(
+            "o_custkey",
+            F.datediff("anchor_date", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(5)
+        .over(W.orderBy(F.desc("recency_days"), "o_custkey"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy("frequency", "o_custkey"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy("monetary_cents", "o_custkey"))
+        .cast("int")
+        .alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("core")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            segment.alias("segment"),
+            "n_customers",
+            "total_cents",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -895,3 +895,260 @@ def g7_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cc_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# G8: HITS hubs & authorities (unnormalized, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g8_hits_hubs_authorities",
+    oracle="""
+WITH eo AS (
+  SELECT o.o_orderkey, c.c_nationkey AS u
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), ls AS (
+  SELECT l.l_orderkey, s.s_nationkey AS v
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+), edges AS (
+  SELECT DISTINCT eo.u, ls.v FROM eo JOIN ls ON ls.l_orderkey = eo.o_orderkey
+  WHERE eo.u <> ls.v
+), nodes AS (
+  SELECT u AS n FROM edges UNION SELECT v FROM edges
+), h1 AS (  -- h1(u) = sum over out-edges of a0(v)=1, i.e. outdegree
+  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS h FROM edges GROUP BY 1
+), a1 AS (  -- a1(v) = sum of h1 over in-neighbors
+  SELECT e.v AS n, CAST(SUM(h1.h) AS BIGINT) AS a
+  FROM edges e JOIN h1 ON h1.n = e.u GROUP BY 1
+), h2 AS (  -- h2(u) = sum of a1 over out-neighbors
+  SELECT e.u AS n, CAST(SUM(a1.a) AS BIGINT) AS h
+  FROM edges e JOIN a1 ON a1.n = e.v GROUP BY 1
+), a2 AS (  -- a2(v) = sum of h2 over in-neighbors
+  SELECT e.v AS n, CAST(SUM(h2.h) AS BIGINT) AS a
+  FROM edges e JOIN h2 ON h2.n = e.u GROUP BY 1
+)
+SELECT na.n_name AS nation,
+       COALESCE(h2.h, 0) AS hub_score,
+       COALESCE(a2.a, 0) AS auth_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(h2.h, 0) DESC, na.n_name)
+            AS INT) AS hub_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(a2.a, 0) DESC, na.n_name)
+            AS INT) AS auth_rank
+FROM nodes
+JOIN nation na ON na.n_nationkey = nodes.n
+LEFT JOIN h2 ON h2.n = nodes.n
+LEFT JOIN a2 ON a2.n = nodes.n
+ORDER BY auth_rank
+""",
+)
+def g8_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: HITS hubs & authorities (Kleinberg, JACM 1999) on the directed
+    customer-nation → supplier-nation trade graph (same edge mining as
+    g1_pagerank_trade). PageRank answers "who is important"; HITS splits
+    that into "who points at the important" (hubs — big importer nations)
+    vs "who is pointed at" (authorities — big supplier nations), the
+    asymmetry a one-score centrality cannot express.
+
+    Integer-exact iteration: HITS normally renormalizes each round by an
+    L2 norm (unhashable across engines). Normalization is a positive
+    scalar, so it never changes the RANKING — we run the UNNORMALIZED
+    recurrence from a0=1 (h1 = outdeg; a1 = Σ_in h1; h2 = Σ_out a1;
+    a2 = Σ_in h2: pure BIGINT path counts, bit-exact on both engines)
+    and report scores plus both rankings. Two full mutual-reinforcement
+    rounds on a 25-node nation graph is past the rank-stability point.
+
+    Spark-first shape: edge mining is two fact joins + DISTINCT at
+    nation-pair grain (≤ 25×24 rows); each HITS half-step is one
+    broadcast join of the tiny score frame against the edge list plus a
+    map-side-combined SUM — at 100 TB the fact scans dominate and the
+    iteration itself stays dim-sized. No floats anywhere."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    eo = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.col("c_nationkey").alias("u"))
+    )
+    ls = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", F.col("s_nationkey").alias("v"))
+    )
+    edges = (
+        eo.join(ls, eo["o_orderkey"] == ls["l_orderkey"])
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    h1 = edges.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    a1 = (
+        edges.join(F.broadcast(h1), edges["u"] == h1["n"])
+        .groupBy(edges["v"].alias("n"))
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    h2 = (
+        edges.join(F.broadcast(a1), edges["v"] == a1["n"])
+        .groupBy(edges["u"].alias("n"))
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        edges.join(F.broadcast(h2), edges["u"] == h2["n"])
+        .groupBy(edges["v"].alias("n"))
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    scored = (
+        nodes.join(F.broadcast(nation), nodes["n"] == nation["n_nationkey"])
+        .join(F.broadcast(h2.withColumnRenamed("n", "hn")), F.col("n") == F.col("hn"), "left")
+        .join(F.broadcast(a2.withColumnRenamed("n", "an")), F.col("n") == F.col("an"), "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("h", F.lit(0).cast("long")).alias("hub_score"),
+            F.coalesce("a", F.lit(0).cast("long")).alias("auth_score"),
+        )
+    )
+    return scored.select(
+        "nation",
+        "hub_score",
+        "auth_score",
+        F.row_number()
+        .over(W.orderBy(F.desc("hub_score"), "nation"))
+        .cast("int")
+        .alias("hub_rank"),
+        F.row_number()
+        .over(W.orderBy(F.desc("auth_score"), "nation"))
+        .cast("int")
+        .alias("auth_rank"),
+    ).orderBy("auth_rank")
+
+
+# ---------------------------------------------------------------------------
+# G9: Adamic-Adar link prediction (common-neighbor scoring)
+# ---------------------------------------------------------------------------
+
+#: Intermediate-node degree cap for g9's wedge enumeration. Hubs are both
+#: the wedge-mass blowup (a degree-d node emits d(d-1)/2 candidate pairs)
+#: and the LEAST informative common neighbors (their Adamic-Adar weight
+#: 1/ln d is the smallest) — pruning them is the standard scalable AA
+#: approximation and here it is part of the DEFINITION both engines share,
+#: so the oracle stays exact.
+_G9_DEG_CAP = 64
+
+
+@query(
+    "g9_adamic_adar_links",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0
+),
+cpairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT DISTINCT u, v FROM cpairs),
+adj AS (SELECT u AS z, v AS nb FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+mid AS (
+  SELECT adj.z, adj.nb, deg.d FROM adj JOIN deg USING (z)
+  WHERE deg.d <= {_G9_DEG_CAP}
+),
+wedges AS (
+  SELECT a.nb AS u, b.nb AS w, a.z, a.d
+  FROM mid a JOIN mid b ON a.z = b.z AND a.nb < b.nb
+),
+cand AS (
+  SELECT wg.u, wg.w,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         ROUND(SUM(1.0 / LN(wg.d)), {{rd}}) AS aa_score
+  FROM wedges wg
+  LEFT JOIN edges e ON e.u = wg.u AND e.v = wg.w
+  WHERE e.u IS NULL
+  GROUP BY wg.u, wg.w
+)
+SELECT u, w, n_common, aa_score
+FROM cand
+ORDER BY n_common DESC, u, w
+LIMIT 20
+""".replace("{rd}", str(ROUND_DIGITS)),
+)
+def g9_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: Adamic-Adar link prediction (Adamic & Adar, Social Networks
+    2003) over the part co-order graph — for part pairs NOT yet bought
+    together, score how likely the link is by their common neighbors,
+    weighting each shared neighbor z by 1/ln(deg(z)) (rare co-purchase
+    partners are stronger evidence than ubiquitous ones). The
+    "customers who bought X also bought Y" primitive, and the classic
+    graph-ML feature the reference's co-occurrence dicts cannot rank.
+
+    Spark-first shape: (1) symmetric adjacency from the distinct edge
+    set; (2) HUB CAP — intermediates with deg > _G9_DEG_CAP are dropped
+    BEFORE the wedge self-join, bounding wedge mass at cap²·|nodes|
+    instead of Σdeg² (and those hubs carry the smallest AA weight, so
+    the cap removes the most mass for the least signal — the standard
+    scalable-AA move, and part of the shared definition so the oracle
+    is exact, not approximate); (3) wedge equi-join on z with u < w
+    canonicalization; (4) LEFT ANTI probe against the edge list keeps
+    only non-adjacent pairs (we predict NEW links); (5) one grouped SUM.
+    Ranking and the top-20 cut use the integer n_common with a unique
+    (u, w) tiebreak so no float ulp can move the boundary; aa_score is
+    reported ROUND()ed. At 100 TB the adjacency buckets on z and the
+    wedge join co-locates on that bucketing."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    cpairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    edges = cpairs.distinct().persist()
+    adj = edges.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionAll(
+        edges.select(F.col("v").alias("z"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    mid = adj.join(deg.filter(F.col("d") <= _G9_DEG_CAP), "z")
+    wedges = (
+        mid.alias("a")
+        .join(
+            mid.alias("b"),
+            (F.col("a.z") == F.col("b.z")) & (F.col("a.nb") < F.col("b.nb")),
+        )
+        .select(
+            F.col("a.nb").alias("u"),
+            F.col("b.nb").alias("w"),
+            F.col("a.z").alias("z"),
+            F.col("a.d").alias("d"),
+        )
+    )
+    non_adjacent = wedges.join(
+        edges.withColumnRenamed("u", "eu").withColumnRenamed("v", "ev"),
+        (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
+        "left_anti",
+    )
+    return (
+        non_adjacent.groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), ROUND_DIGITS).alias("aa_score"),
+        )
+        .orderBy(F.desc("n_common"), "u", "w")
+        .limit(20)
+    )

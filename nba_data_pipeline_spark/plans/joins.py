@@ -1316,3 +1316,137 @@ def u5_snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("status", "changed_cols")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface, continued: TPC-H Q5 and Q18 shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+""",
+)
+def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL entry point #2 (TPC-H Q5 shape): local-supplier volume —
+    revenue per nation where the customer and the supplier sit in the
+    SAME nation of one region, over one order-date year. The canonical
+    SIX-WAY join-ordering stress test: two fact tables (orders,
+    lineitem), two mid dims (customer, supplier), two tiny dims (nation,
+    region), a selective dim predicate (r_name) that must prune through
+    two hops, and the c_nationkey = s_nationkey CYCLE edge that gives
+    optimizers a choice of join trees — exactly the shape Catalyst's
+    cost-based reordering + AQE exist for, and the first query a
+    migrating warehouse user will paste in.
+
+    Runs verbatim through ``spark.sql`` over registered views (the SQL
+    front-end surface sql_q3 established). Scale notes: the date filter
+    pushes into the orders scan as a parquet predicate; nation/region
+    (and at real scale supplier) resolve as broadcast joins under AQE's
+    size estimates; the revenue aggregate is 5 groups of decimal partial
+    sums (exact.py discipline) so the 2-fact shuffle is the only real
+    data movement."""
+    from nba_data_pipeline_spark.io import register_views
+
+    register_views(
+        spark,
+        sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                      AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation
+        """
+    )
+
+
+#: Q18 quantity threshold — 84 qualifying orders at sf0.01 (TPC-H's own 300
+#: would leave 46; 280 keeps the sf0.001 result non-empty too).
+_Q18_QTY = 280
+
+
+@query(
+    "sql_q18_large_volume_customer",
+    oracle=f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > {_Q18_QTY}
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY total_cents DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def sql_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL entry point #3 (TPC-H Q18 shape): large-volume customers —
+    orders whose total line quantity clears a threshold, with their
+    customer. The canonical AGGREGATE-SUBQUERY shape: an IN predicate
+    over a grouped HAVING on the same fact table, which a naive engine
+    runs as two full scans plus a distinct — and a good one rewrites to
+    a semi-join against the pre-aggregated keys (Spark compiles the IN
+    to LeftSemi, and the lineitem aggregate partials map-side on
+    l_orderkey, the table's natural clustering).
+
+    Determinism: the top-100 cut orders on (total_cents DESC,
+    o_orderkey) — the price is carried as exact cents so the LIMIT
+    boundary can't move on a float ulp; sum_qty is a sum of doubles
+    holding small integers, exact well past 2^53."""
+    from nba_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        f"""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+               CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > {_Q18_QTY}
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY total_cents DESC, o.o_orderkey
+        LIMIT 100
+        """
+    )

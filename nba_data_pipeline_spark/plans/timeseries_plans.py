@@ -782,3 +782,323 @@ def ts9_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# TS10: Kaplan-Meier survival curve (product-limit estimator)
+# ---------------------------------------------------------------------------
+
+#: A "churn" is the first error event whose value exceeds this — calibrated
+#: so both lanes of the estimator are populated in the test data (sf0.01:
+#: 75/150 users churn, 75 are right-censored at their last-seen event).
+_TS10_CHURN_VALUE = 150
+
+
+@query(
+    "ts10_kaplan_meier",
+    oracle=f"""
+WITH birth AS (
+  SELECT user_id, MIN(ts) AS b, MAX(ts) AS last_seen FROM events GROUP BY 1
+),
+churn AS (
+  SELECT user_id, MIN(ts) AS c FROM events
+  WHERE event_type = 'error' AND value > {_TS10_CHURN_VALUE}
+  GROUP BY 1
+),
+obs AS (
+  SELECT birth.user_id,
+         CASE WHEN churn.c IS NOT NULL
+              THEN date_diff('day', CAST(birth.b AS DATE), CAST(churn.c AS DATE))
+              ELSE date_diff('day', CAST(birth.b AS DATE),
+                             CAST(birth.last_seen AS DATE)) END AS dur,
+         CASE WHEN churn.c IS NOT NULL THEN 1 ELSE 0 END AS died
+  FROM birth LEFT JOIN churn USING (user_id)
+),
+grp AS (
+  SELECT CAST(dur AS INT) AS dur_day,
+         CAST(SUM(died) AS BIGINT) AS n_deaths,
+         CAST(SUM(1 - died) AS BIGINT) AS n_censored
+  FROM obs GROUP BY 1
+),
+risk AS (
+  SELECT dur_day, n_deaths, n_censored,
+         SUM(n_deaths + n_censored)
+             OVER (ORDER BY dur_day DESC) AS n_at_risk
+  FROM grp
+)
+SELECT dur_day, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_deaths, n_censored,
+       ROUND(EXP(SUM(LN(1.0 - CAST(n_deaths AS DOUBLE) / n_at_risk))
+                 OVER (ORDER BY dur_day)), 4) AS survival
+FROM risk
+WHERE n_deaths > 0
+ORDER BY dur_day
+""",
+)
+def ts10_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS10: Kaplan-Meier product-limit survival curve (Kaplan & Meier,
+    JASA 1958) over user lifetimes mined from the event log: birth = first
+    event, death = first error with value > _TS10_CHURN_VALUE, users who
+    never die are RIGHT-CENSORED at their last-seen event — the censoring
+    handling is the whole point (naive "fraction still alive" curves are
+    biased the moment observation windows differ per user, which they
+    always do in a growing product). The retention primitive behind
+    churn/LTV analytics, and the missing rigor in a24's cohort grid.
+
+    Scale shape: the event scan collapses to USER GRAIN in one partially
+    aggregated pass (min/max ts, conditional min for the death time), so
+    everything after the first shuffle is |users| rows; the life table
+    then contracts to DISTINCT DURATION grain (bounded by the observation
+    span in days, a few hundred rows at any corpus size). The at-risk
+    count is a descending cumulative sum and the survival product is the
+    classic EXP(running SUM(LN(1 - d/n))) — both windows run over the
+    duration-grain table, never over raw events. The single-partition
+    window is bounded by the calendar, not the data.
+
+    Determinism: durations and death/censor counts are exact integers;
+    only the survival product is floating and it is ROUND()ed after an
+    ordered prefix sum both engines evaluate in the same order.
+    Ref parity: SURVEY §2 A-family retention analytics (the reference
+    stops at per-season averages, e.g. Cleaning_Glass_#1.py aggregates).
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    obs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("b"),
+            F.max("ts").alias("last_seen"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("value") > _TS10_CHURN_VALUE),
+                    F.col("ts"),
+                )
+            ).alias("c"),
+        )
+        .select(
+            F.when(
+                F.col("c").isNotNull(),
+                F.datediff(F.to_date("c"), F.to_date("b")),
+            )
+            .otherwise(F.datediff(F.to_date("last_seen"), F.to_date("b")))
+            .cast("int")
+            .alias("dur_day"),
+            F.when(F.col("c").isNotNull(), 1).otherwise(0).alias("died"),
+        )
+    )
+    grp = obs.groupBy("dur_day").agg(
+        F.sum("died").cast("long").alias("n_deaths"),
+        F.sum(1 - F.col("died")).cast("long").alias("n_censored"),
+    )
+    w_risk = W.orderBy(F.desc("dur_day")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = grp.select(
+        "dur_day",
+        "n_deaths",
+        "n_censored",
+        F.sum(F.col("n_deaths") + F.col("n_censored"))
+        .over(w_risk)
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    w_surv = W.orderBy("dur_day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        risk.withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            1.0
+                            - F.col("n_deaths").cast("double") / F.col("n_at_risk")
+                        )
+                    ).over(w_surv)
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("n_deaths") > 0)
+        .select("dur_day", "n_at_risk", "n_deaths", "n_censored", "survival")
+        .orderBy("dur_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS11: LTTB downsampling (largest-triangle, bucket-anchor variant)
+# ---------------------------------------------------------------------------
+
+#: Fixed TIME width per LTTB bucket (6 h). Equal-time buckets instead of the
+#: textbook equal-count buckets: bucket assignment becomes a stateless
+#: expression on the timestamp (no global row_number pass), so the plan has
+#: no single-partition window over raw events — the scalable variant.
+_TS11_BUCKET_SEC = 6 * 3600
+
+
+@query(
+    "ts11_lttb_downsample",
+    oracle=f"""
+WITH pts AS (
+  SELECT epoch_ms(ts) // 1000 AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y,
+         ts, event_id,
+         (epoch_ms(ts) // 1000) // {_TS11_BUCKET_SEC} AS b
+  FROM events
+),
+agg AS (
+  SELECT b, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1
+),
+bounds AS (SELECT MIN(b) AS bmin, MAX(b) AS bmax FROM agg),
+interior AS (
+  SELECT p.b, p.x, p.y, p.ts, p.event_id,
+         ABS((pa.sx * na.n - na.sx * pa.n) * (p.y * pa.n - pa.sy)
+             - (pa.sx - p.x * pa.n) * (pa.sy * na.n - na.sy * pa.n))
+             AS area2
+  FROM pts p
+  JOIN agg pa ON pa.b = p.b - 1
+  JOIN agg na ON na.b = p.b + 1
+  CROSS JOIN bounds
+  WHERE p.b > bounds.bmin AND p.b < bounds.bmax
+),
+picked AS (
+  SELECT b, x, y,
+         ROW_NUMBER() OVER (PARTITION BY b
+                            ORDER BY area2 DESC, ts, event_id) AS rn
+  FROM interior
+),
+edges AS (
+  SELECT b, x, y,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY ts, event_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY ts DESC, event_id DESC)
+             AS rn_last
+  FROM pts CROSS JOIN bounds
+  WHERE b = bounds.bmin OR b = bounds.bmax
+)
+SELECT CAST(b AS BIGINT) AS bucket, CAST(x AS BIGINT) AS x_epoch_sec, y AS y_cents
+FROM (
+  SELECT b, x, y FROM picked WHERE rn = 1
+  UNION ALL
+  SELECT b, x, y FROM edges
+  WHERE (b = (SELECT bmin FROM bounds) AND rn_first = 1)
+     OR (b = (SELECT bmax FROM bounds) AND rn_last = 1)
+)
+ORDER BY bucket, x_epoch_sec
+""",
+)
+def ts11_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS11: LTTB downsampling (Steinarsson 2013, "largest triangle three
+    buckets") of the event value series — keep, per bucket, the point
+    that subtends the largest triangle against its neighbor buckets, so
+    the downsampled series preserves visual extremes instead of averaging
+    them away (the downsampler inside every time-series dashboard).
+
+    Two deliberate deviations from the sequential textbook algorithm,
+    both FOR scale and both part of the shared definition so the oracle
+    is exact:
+      * equal-TIME buckets (_TS11_BUCKET_SEC) instead of equal-count —
+        bucket id is a stateless expression on the timestamp, so no
+        global row-numbering pass exists anywhere in the plan;
+      * both anchors are neighbor-bucket CENTROIDS (the classic
+        effective-area variant) rather than the previously-selected
+        point — this removes the left-to-right sequential dependency,
+        making every bucket's argmax independent and parallel.
+
+    Integer-exact argmax: with a = centroid(b-1), c = centroid(b+1), the
+    triangle area's sign-free double form is scaled by na²·nc (positive
+    constants per bucket) into pure BIGINT products of epoch-second and
+    value-cent sums — `area2 = |(sx_a·n_a' ... )|` as written — so the
+    per-bucket winner cannot flip on a float ulp; ties break on
+    (ts, event_id). Magnitude bound: |x|≤2e9·240, |y|≤5e4, products stay
+    ≤ ~1e15, far inside BIGINT.
+
+    Scale shape: one partial-agg shuffle to bucket grain, then the point
+    table joins the TINY bucket-centroid frame twice (broadcast) and the
+    argmax window partitions BY BUCKET — fully parallel, no global
+    window over raw rows. First/last buckets contribute their first/last
+    point (LTTB's fixed endpoints)."""
+    pts = read_table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        "ts",
+        "event_id",
+        (F.unix_timestamp("ts") / _TS11_BUCKET_SEC).cast("long").alias("b"),
+    )
+    agg = pts.groupBy("b").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    bounds = agg.agg(F.min("b").alias("bmin"), F.max("b").alias("bmax"))
+    pa = F.broadcast(
+        agg.select(
+            (F.col("b") + 1).alias("b"),
+            F.col("sx").alias("pa_sx"),
+            F.col("sy").alias("pa_sy"),
+            F.col("n").alias("pa_n"),
+        )
+    )
+    na = F.broadcast(
+        agg.select(
+            (F.col("b") - 1).alias("b"),
+            F.col("sx").alias("na_sx"),
+            F.col("sy").alias("na_sy"),
+            F.col("n").alias("na_n"),
+        )
+    )
+    interior = (
+        pts.crossJoin(F.broadcast(bounds))
+        .filter((F.col("b") > F.col("bmin")) & (F.col("b") < F.col("bmax")))
+        .join(pa, "b")
+        .join(na, "b")
+        .withColumn(
+            "area2",
+            F.abs(
+                (F.col("pa_sx") * F.col("na_n") - F.col("na_sx") * F.col("pa_n"))
+                * (F.col("y") * F.col("pa_n") - F.col("pa_sy"))
+                - (F.col("pa_sx") - F.col("x") * F.col("pa_n"))
+                * (F.col("pa_sy") * F.col("na_n") - F.col("na_sy") * F.col("pa_n"))
+            ),
+        )
+    )
+    picked = (
+        interior.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("b").orderBy(F.desc("area2"), "ts", "event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("b", "x", "y")
+    )
+    edge_pts = pts.crossJoin(F.broadcast(bounds)).filter(
+        (F.col("b") == F.col("bmin")) | (F.col("b") == F.col("bmax"))
+    )
+    edges = (
+        edge_pts.withColumn(
+            "rn_first",
+            F.row_number().over(W.partitionBy("b").orderBy("ts", "event_id")),
+        )
+        .withColumn(
+            "rn_last",
+            F.row_number().over(
+                W.partitionBy("b").orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter(
+            ((F.col("b") == F.col("bmin")) & (F.col("rn_first") == 1))
+            | ((F.col("b") == F.col("bmax")) & (F.col("rn_last") == 1))
+        )
+        .select("b", "x", "y")
+    )
+    return (
+        picked.unionAll(edges)
+        .select(
+            F.col("b").cast("long").alias("bucket"),
+            F.col("x").cast("long").alias("x_epoch_sec"),
+            F.col("y").alias("y_cents"),
+        )
+        .orderBy("bucket", "x_epoch_sec")
+    )
