@@ -54,108 +54,87 @@ def query(name: str, oracle: str | None = None):
 # Everything else — driver-green in r1/r2 and semantically unchanged — sits
 # after the prefix and stays covered by tools/check.py locally.
 _FRONT: tuple[str, ...] = (
-    # ROUND-4 ROTATION (executes the queue pre-committed in r3 / VERDICT r3
-    # item 1): 48 of the 59 entries never driver-checked after r1∪r2∪r3,
-    # plus the two mm queries whose implementation CHANGES this round
-    # (routed through use_real_codecs=True — VERDICT r3 item 6), so they
-    # need driver re-verification. Everything driver-green r1–r3 and
-    # semantically unchanged sits after the prefix, covered by
-    # tools/check.py locally.
-    # --- analytics (a2x) never driver-checked ---
-    "a22_grouping_sets",
-    "a23_equiwidth_histogram",
-    "a24_cohort_retention",
-    "a25_kmv_set_ops",
-    "a27_unpivot_roundtrip",
-    "a32_weighted_median",
-    # --- data quality ---
-    "dq1_constraint_audit",
-    "dq2_zscore_outliers",
-    "dq4_benford_digit_audit",
-    "dq5_column_profile",  # also changed r4: lazy in-plan row count
-    "dq6_migration_reconciliation",
-    # --- text analysis ---
+    # ROUND-5 ROTATION (executes the queue pre-committed in r4 / VERDICT r4
+    # item 3): the 11 r4-deferred entries lead, then the oldest
+    # never-driver-checked session additions in their original order.
+    # Three slots are spent on entries whose implementation CHANGES this
+    # round and therefore needs driver re-verification even though they
+    # were driver-green before: w8_curriculum_deciles and
+    # ta_weighted_sample are rewired onto the distributed total-order
+    # rank primitive (VERDICT r4 item 1), and src_html_by_id is the new
+    # SRC3 catalog entry (VERDICT r4 item 7). The changed-in-place
+    # never-checked entries (a29, a37, a41, a42, a43,
+    # sim_alignment_uniformity) are pulled forward for the same reason.
+    # --- r4-deferred (11) ---
+    "a21_bitmap_rollup_reuse",
+    "ta_contamination_overlap",
+    "sim_random_projection",
+    "sim_matryoshka_prefix_eval",
+    "sim_centroid_classifier_eval",
+    "sim_pq_recall_eval",
+    "a26_histogram_quantile_rollup",
+    "a28_running_distinct",
+    "a29_gini_concentration",  # changed r5: distributed total-order rank
+    "a30_markov_transitions",
+    "a31_ab_proportion_ztest",
+    # --- changed this round: global-window family rewired onto the
+    # two-pass distributed rank primitive (operators/rank.py) ---
+    "w8_curriculum_deciles",
     "ta_weighted_sample",
-    "ta_bpe_encode",
-    "ta_url_canonicalize",
-    "ta_quality_classifier",
-    # --- dedup / graph ---
-    "d5_simhash_hamming_neighbors",
-    "d10_lsh_recall_eval",
-    "d11_survivor_selection",
-    "g2_triangle_count",
-    "g3_bfs_levels",
-    # --- joins / CDC ---
-    "cdc_merge_apply",
-    "j13_incremental_join_maintenance",
-    "j14_asof_tolerance_union",
-    "j15_dynamic_partition_pruning",
-    "j16_point_in_time_join",
-    "j17_null_safe_join",
-    # --- data layout ---
-    "lo1_zorder_layout",
-    "lo2_compaction_bins",
-    "lo3_skipping_effectiveness",
-    # --- SQL / sources / sinks ---
-    "sql_q3_shipping_priority",
-    "snk8_partitioned_parquet_roundtrip",
-    "src_json_variant",
-    "src_orc_roundtrip",
-    "src_schema_evolution",
-    "src_csv_corrupt_records",
-    # --- streaming (s11 also changed r4: bounded assert collect; s12's
-    # polldir reader gained the mid-write backstop) ---
-    "s10_dedupe_within_watermark",
-    "s11_stream_incremental_minhash",
-    "s12_custom_pystream_source",
-    # --- extraction / time series / windows ---
-    "x23_deletion_neighborhood_join",
-    "x24_suffixed_number_parse",
-    "ts1_locf_gapfill",
-    "ts2_ohlc_bars",
-    "ts3_ewma_smooth",
-    "ts4_backtest_seasonal_naive",
-    "w9_scd2_intervals",
-    "w10_interval_coalesce",
-    "w11_distribution_ranks",
-    "w12_rolling_regression_slope",
-    # --- changed this round: real PNG/NVID codecs become the default
-    # decode path for the resize and frame-sample plans ---
-    "mm_resize_plan",
-    "mm_frame_sample",
-    # R4 DEFERRED (11 entries, never driver-checked; each family already
-    # has driver-green relatives, and every one carries a structural
-    # plan-fingerprint assertion in tests/test_plan_shapes.py per VERDICT
-    # r3 item 7): a21_bitmap_rollup_reuse (a18 driver-r3),
-    # ta_contamination_overlap (ta_decontaminate driver-r2),
-    # sim_random_projection / sim_matryoshka_prefix_eval /
-    # sim_centroid_classifier_eval / sim_pq_recall_eval (5 sim_* entries
-    # driver-green r1–r3), a26_histogram_quantile_rollup,
-    # a28_running_distinct, a29_gini_concentration, a30_markov_transitions,
-    # a31_ab_proportion_ztest (a1–a25 driver-green across r1–r4). These
-    # lead the r5 prefix, followed by the 12 new r4-session additions
-    # (never driver-checked, all local-green + plan-fingerprinted):
-    # mb1_frequent_pairs, sky1_pareto_frontier, mi1_mutual_information,
-    # ta_sparse_cosine_pairs, ta_phrase_search, ta_dsir_importance,
-    # j18_interval_overlap_join, lo4_skew_profiler, sim_hard_negatives,
-    # s13_stream_outer_join, d12_dupspan_rewrite, mm_audio_energy,
-    # ta_bm25_search, ts5_time_weighted_avg, g4_weighted_sssp,
-    # w13_sequence_pattern, dq7_join_cardinality_estimate,
-    # sim_ivf_hard_negatives, ta_kneser_ney_bigram, snk9_stream_file_sink,
-    # mm_video_scene_cut, a33_share_of_parent, ta_greedy_set_cover,
-    # ta_quantile_normalize, w14_theil_sen_slope,
-    # dq9_functional_dependencies, a34_sliding_distinct, ta_langid_confusion,
-    # ta_ngram_novelty, ts6_linear_interp, x28_log_template_mining,
-    # dq10_mad_outliers, a35_topn_plus_others, a36_abc_classification,
-    # u5_snapshot_diff_report, a37_mann_whitney_u, ta_nb_train_classify,
+    "a37_mann_whitney_u",
+    "a41_ks_test",
+    "a42_qq_deciles",
+    "a43_rfm_segmentation",
+    "sim_alignment_uniformity",  # changed r5: bounded top-k sample
+    # --- new this round (SRC3 table-by-id gets an oracle-checked entry) ---
+    "src_html_by_id",
+    # --- oldest never-driver-checked session additions, original order ---
+    "mb1_frequent_pairs",
+    "sky1_pareto_frontier",
+    "mi1_mutual_information",
+    "ta_sparse_cosine_pairs",
+    "ta_phrase_search",
+    "ta_dsir_importance",
+    "j18_interval_overlap_join",
+    "lo4_skew_profiler",
+    "sim_hard_negatives",
+    "s13_stream_outer_join",
+    "d12_dupspan_rewrite",
+    "mm_audio_energy",
+    "ta_bm25_search",
+    "ts5_time_weighted_avg",
+    "g4_weighted_sssp",
+    "w13_sequence_pattern",
+    "dq7_join_cardinality_estimate",
+    "sim_ivf_hard_negatives",
+    "ta_kneser_ney_bigram",
+    "snk9_stream_file_sink",
+    "mm_video_scene_cut",
+    "a33_share_of_parent",
+    "ta_greedy_set_cover",
+    "ta_quantile_normalize",
+    "w14_theil_sen_slope",
+    "dq9_functional_dependencies",
+    "a34_sliding_distinct",
+    "ta_langid_confusion",
+    "ta_ngram_novelty",
+    "ts6_linear_interp",
+    "x28_log_template_mining",
+    # R5 DEFERRED (31 entries, never driver-checked after r1∪r2∪r3∪r4∪r5;
+    # all local-green via tools/check.py and plan-fingerprinted in
+    # tests/test_plan_shapes.py). These ARE the r6 rotation queue, in this
+    # order: dq10_mad_outliers, a35_topn_plus_others, a36_abc_classification,
+    # u5_snapshot_diff_report, ta_nb_train_classify,
     # snk10_dynamic_partition_overwrite, g5_kcore_peel, a38_runs_test,
     # ts7_autocorrelation, ts8_cusum_changepoint,
     # a39_chi_square_independence, g6_degree_assortativity,
     # geo1_grid_distance_join, mb2_sequential_patterns, w15_rolling_median,
     # ta_keyword_extract, mm_image_phash, src_binaryfile_roundtrip,
-    # sim_alignment_uniformity, ta_readability_forcast, a40_welch_ttest,
-    # mm_audio_silence, ta_zipf_fit, a41_ks_test, g7_clustering_coefficient,
-    # ts9_seasonal_strength, a42_qq_deciles, geo2_density_smooth.
+    # ta_readability_forcast, a40_welch_ttest, mm_audio_silence,
+    # ta_zipf_fit, g7_clustering_coefficient, ts9_seasonal_strength,
+    # geo2_density_smooth, g8_hits_hubs_authorities, g9_adamic_adar_links,
+    # ts10_kaplan_meier, ts11_lttb_downsample, sql_q5_local_supplier_volume,
+    # sql_q18_large_volume_customer — followed by any r5-session additions.
 )
 
 
