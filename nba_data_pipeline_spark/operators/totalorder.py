@@ -1,0 +1,339 @@
+"""Distributed total-order primitives: exact global rank / NTILE / prefix
+sums WITHOUT a single-partition window.
+
+Spark executes ``Window.orderBy(...)`` with no partition spec by moving the
+ENTIRE input into one task (``WindowExec`` logs "No Partition Defined ...
+Moving all data to a single partition"). That is fine for a 25-row nation
+frame and fatal for a 100 TB fact table. This module gives every caller an
+honest choice between exactly two postures, and ``tools/planaudit.py`` (R4)
+rejects any plan that still carries a bare unpartitioned window:
+
+* :func:`total_order` — the scale path, a deterministic two-pass rank:
+
+  1. a fixed-size uniform sample (top ``SAMPLE_PER_BUCKET×k`` rows by
+     ``xxhash64`` — a TakeOrderedAndProject, fully parallel, bounded
+     driver collect) yields ``k-1`` order-space CUT tuples, embedded as
+     literal lexicographic comparisons;
+  2. every row's BUCKET id is then a pure projection (count of cuts ≤ its
+     key), so the per-bucket local rank / running sums (one hash exchange
+     + in-partition sort, all buckets in parallel) and the tiny per-bucket
+     count/sum frame (map-side combined aggregate) agree on partition
+     boundaries BY CONSTRUCTION — no reliance on exchange reuse, AQE
+     behavior, or the nondeterministically-seeded range sampler (an
+     earlier ``repartitionByRange + spark_partition_id`` draft was killed
+     by exactly that: the two DAG branches sampled different boundaries
+     and the offsets went off by one at a partition edge — caught by
+     tests/test_totalorder.py);
+  3. per-bucket counts/sums are prefix-summed over the ``k``-row stats
+     frame and broadcast back, so ``global = local + offset[bucket]``.
+
+  Total cost: one full shuffle of the payload + two column-pruned passes
+  (sample, stats). Every stage is whole-stage-codegen relational algebra;
+  no stage ever holds more than one bucket of one group.
+
+* :func:`bounded_window` — the audited single-task path, for frames whose
+  cardinality is BOUNDED BY CONSTRUCTION (a dimension, an alphabet, a
+  calendar, an optimizer-limited top-k). Physically identical to an
+  unpartitioned window (all rows hash to one partition), but the partition
+  key is an explicit constant-valued expression, which (a) declares the
+  boundedness decision at the call site instead of leaving it an accident,
+  (b) stays visible to audit: planaudit R4 distinguishes it from a bare
+  global window, and (c) keeps ``InferWindowGroupLimit`` working, so a
+  ``filter(rank <= k)`` on top still computes map-side partial top-k before
+  the (tiny) exchange — verified on pyspark 4.1.2. The key is
+  ``length(cast(anchor as string)) % 1`` because Catalyst 4.x constant-folds
+  literal partition keys back to the warning-emitting empty spec; an
+  attribute-anchored expression is not foldable, and ``coalesce(.., 0)``
+  keeps it single-valued under NULLs.
+
+Determinism contract (what keeps the oracle hashes stable):
+
+* callers pass a TOTAL order — plain column names with an optional
+  direction, including a unique tiebreaker; null placement follows
+  Spark's sort defaults (asc → NULLS FIRST, desc → NULLS LAST) and the
+  cut comparisons encode the identical rule;
+* the driver-side sample sort only SELECTS cut tuples — a bad selection
+  can unbalance buckets but can never corrupt a rank, because bucket
+  membership is decided by the Spark-side comparison expressions, which
+  mirror the window's own sort order column-for-column;
+* ``materialize=True`` localCheckpoints the input first — for inputs with
+  expensive lineage (a join/aggregate feeding the rank) so the sample,
+  stats, and data passes share one computation. Use it when the input is
+  already contracted (customer/part/vocab grain); leave it off for plain
+  scan-projections where re-reading pruned parquet is cheaper than a
+  persist.
+
+Reference parity: the reference engine sorts whole result sets on one node
+(e.g. DEFENSEVSPOSTION.PY:152-178 pandas sort_values over the full frame);
+this module is the distributed re-expression demanded by VERDICT r4 item 1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, WindowSpec
+from pyspark.sql import functions as F
+
+__all__ = ["bounded_window", "total_order", "ntile_from_rank"]
+
+_BKT = "__to_bkt"
+_CNT = "__to_cnt"
+_OFF = "__to_off"
+_LPOS = "__to_lpos"
+
+#: sample rows collected per requested bucket; 32k-row ceiling at k=1024.
+SAMPLE_PER_BUCKET = 32
+
+OrderSpec = Sequence[str | tuple[str, str]]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def bounded_window(*order: Column | str, anchor: Column | str) -> WindowSpec:
+    """WindowSpec for an audited BOUNDED frame (see module docstring).
+
+    ``anchor`` is any column available to the window (used only to build a
+    non-foldable constant partition key). With no ``order`` columns the
+    spec is partition-only (whole-frame aggregates)."""
+    a = _col(anchor)
+    key = F.coalesce(F.length(a.cast("string")), F.lit(0)) % 1
+    spec = W.partitionBy(key)
+    if order:
+        spec = spec.orderBy(*[_col(c) for c in order])
+    return spec
+
+
+def _ceil_div(a: Column, b: Column) -> Column:
+    """ceil(a / b) for positive integral columns, in exact integer ops."""
+    num = a + b - 1
+    return ((num - (num % b)) / b).cast("bigint")
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """Exact SQL NTILE(k) from a 1-based exact rank and the frame size n.
+
+    Standard semantics (Spark and DuckDB agree): with q = n div k and
+    r = n mod k, the first r tiles hold q+1 rows, the rest q. Pure integer
+    arithmetic — property-tested against ``F.ntile``."""
+    nn = n.cast("bigint")
+    rk = rank.cast("bigint")
+    q = ((nn - (nn % k)) / k).cast("bigint")
+    r = nn % k
+    boundary = (q + 1) * r
+    in_first = _ceil_div(rk, q + 1)
+    in_rest = r + _ceil_div(rk - boundary, q)
+    return F.when(rk <= boundary, in_first).otherwise(in_rest).cast("int")
+
+
+def _norm_order(order: OrderSpec) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    for o in order:
+        if isinstance(o, str):
+            out.append((o, "asc"))
+        else:
+            name, d = o
+            d = d.lower()
+            if d not in ("asc", "desc"):
+                raise ValueError(f"direction must be asc/desc, got {d!r}")
+            out.append((name, d))
+    return out
+
+
+def _order_exprs(info: Sequence[tuple[str, str]]) -> list[Column]:
+    return [
+        F.col(n).asc() if d == "asc" else F.col(n).desc() for n, d in info
+    ]
+
+
+def _py_sort_key(info: Sequence[tuple[str, str]]):
+    """Driver-side sort key mirroring Spark's (asc NULLS FIRST / desc
+    NULLS LAST) order, for cut SELECTION only (see module docstring)."""
+
+    class _Rev:
+        __slots__ = ("v",)
+
+        def __init__(self, v):
+            self.v = v
+
+        def __lt__(self, other):  # descending compare
+            return other.v < self.v
+
+    def key(row):
+        ks = []
+        for i, (_, d) in enumerate(info):
+            v = row[i]
+            if d == "asc":
+                ks.append((v is not None, v if v is not None else 0))
+            else:
+                ks.append((v is None, _Rev(v) if v is not None else 0))
+        return ks
+
+    return key
+
+
+def _cut_le_row(cut, info: Sequence[tuple[str, str]]) -> Column:
+    """Literal lexicographic ``cut <= row`` under the window's sort order."""
+    le: Column = F.lit(True)
+    for (name, d), cv in reversed(list(zip(info, cut))):
+        col = F.col(name)
+        if cv is None:
+            if d == "asc":  # null sorts first
+                lt = col.isNotNull()
+                eq = col.isNull()
+            else:  # desc: null sorts last — nothing after it
+                lt = F.lit(False)
+                eq = col.isNull()
+        else:
+            lit = F.lit(cv)
+            eq = col.isNotNull() & (col == lit)
+            if d == "asc":
+                lt = col.isNotNull() & (lit < col)
+            else:
+                lt = col.isNull() | (col < lit)
+        le = lt | (eq & le)
+    return le
+
+
+def _bucket_expr(cuts, info: Sequence[tuple[str, str]]) -> Column:
+    # Non-foldable zero base (anchored on the leading key) so that even a
+    # cut-less single bucket keeps a real partition expression — Catalyst
+    # folds a literal one away, reintroducing the single-partition warning.
+    lead = F.col(info[0][0])
+    base: Column = F.coalesce(F.length(lead.cast("string")), F.lit(0)) % 1
+    terms = [base, *(_cut_le_row(cut, info).cast("int") for cut in cuts)]
+    # balanced-tree sum: a left-deep chain of +(k) blows the converter
+    # stack past a few hundred cuts
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _collect_cuts(df: DataFrame, info: Sequence[tuple[str, str]], k: int):
+    """Fixed-size uniform sample -> k-1 order-space cut tuples.
+
+    TakeOrderedAndProject by xxhash64 over the key columns: parallel,
+    deterministic, bounded (SAMPLE_PER_BUCKET*k rows to the driver)."""
+    names = [n for n, _ in info]
+    samp = (
+        df.select(*names)
+        .orderBy(F.xxhash64(*[F.col(n) for n in names]))
+        .limit(SAMPLE_PER_BUCKET * k)
+        .collect()
+    )
+    if not samp:
+        return []
+    rows = sorted((tuple(r) for r in samp), key=_py_sort_key(info))
+    cuts = []
+    for j in range(1, k):
+        c = rows[(j * len(rows)) // k]
+        if not cuts or c != cuts[-1]:
+            cuts.append(c)
+    return cuts
+
+
+def total_order(
+    df: DataFrame,
+    order: OrderSpec,
+    *,
+    part_cols: Sequence[str] = (),
+    rank_col: str | None = None,
+    cum: Mapping[str, str] | None = None,
+    totals: Mapping[str, str] | None = None,
+    n_col: str | None = None,
+    num_partitions: int | None = None,
+    materialize: bool = False,
+) -> DataFrame:
+    """Attach exact global-order columns to ``df`` with no single-partition
+    stage.
+
+    Parameters
+    ----------
+    order : total-order columns — names or (name, "asc"/"desc") tuples;
+        include a unique tiebreaker.
+    part_cols : optional grouping columns — rank/cums restart per group
+        (groups share the one shuffle; offsets are per (group, bucket)).
+    rank_col : name for the 1-based exact rank (ROW_NUMBER over ``order``).
+    cum : {out_name: src_col} running sums INCLUSIVE of the current row.
+    totals : {out_name: src_col} whole-frame (or per-group) sums, attached
+        to every row via the same tiny broadcast (replaces the
+        unbounded-to-unbounded global window).
+    n_col : name for the frame (or group) row count.
+    num_partitions : bucket count; defaults to defaultParallelism.
+    materialize : localCheckpoint the input first — set when the input has
+        expensive lineage (a join/aggregate) so the sample/stats/data
+        passes share one computation.
+    """
+    cum = dict(cum or {})
+    totals = dict(totals or {})
+    if not (rank_col or cum or totals or n_col):
+        raise ValueError("total_order: nothing requested")
+    info = _norm_order(order)
+    k = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = list(part_cols)
+
+    if materialize:
+        df = df.localCheckpoint(eager=False)
+
+    cuts = _collect_cuts(df, info, k)
+    tagged = df.withColumn(_BKT, _bucket_expr(cuts, info))
+
+    lw = W.partitionBy(_BKT, *part).orderBy(*_order_exprs(info))
+    lcw = lw.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local_cols = []
+    if rank_col:
+        local_cols.append(F.row_number().over(lw).cast("bigint").alias(_LPOS))
+    for out, src in cum.items():
+        local_cols.append(F.sum(F.col(src)).over(lcw).alias(f"__to_l_{out}"))
+    local = tagged.select("*", *local_cols)
+
+    # Tiny branch: one row per (bucket, group) — num_partitions × |groups|.
+    sum_srcs = sorted({*cum.values(), *totals.values()})
+    aggs = [F.count(F.lit(1)).cast("bigint").alias(_CNT)]
+    for src in sum_srcs:
+        aggs.append(F.sum(F.col(src)).alias(f"__to_s_{src}"))
+    stats = tagged.groupBy(_BKT, *part).agg(*aggs)
+
+    if part:
+        excl = (
+            W.partitionBy(*part).orderBy(_BKT)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        whole = W.partitionBy(*part)
+    else:
+        excl = bounded_window(_BKT, anchor=_BKT).rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        whole = bounded_window(anchor=_BKT)
+
+    off_cols = [
+        F.coalesce(F.sum(_CNT).over(excl), F.lit(0)).cast("bigint").alias(_OFF)
+    ]
+    if n_col:
+        off_cols.append(F.sum(_CNT).over(whole).cast("bigint").alias(n_col))
+    for out, src in cum.items():
+        off_cols.append(F.sum(f"__to_s_{src}").over(excl).alias(f"__to_o_{out}"))
+    for out, src in totals.items():
+        off_cols.append(F.sum(f"__to_s_{src}").over(whole).alias(out))
+    offs = stats.select(_BKT, *part, *off_cols)
+
+    joined = local.join(F.broadcast(offs), [_BKT, *part])
+
+    out_cols = [F.col(c) for c in df.columns]
+    if rank_col:
+        out_cols.append((F.col(_LPOS) + F.col(_OFF)).alias(rank_col))
+    for out in cum:
+        out_cols.append(
+            (F.col(f"__to_l_{out}") + F.coalesce(F.col(f"__to_o_{out}"), F.lit(0)))
+            .alias(out)
+        )
+    for out in totals:
+        out_cols.append(F.col(out))
+    if n_col:
+        out_cols.append(F.col(n_col))
+    return joined.select(*out_cols)

@@ -14,7 +14,15 @@ Rules enforced on the optimized physical plan of every catalog query:
   R3  every parquet scan must prune columns: a scan whose ``ReadSchema``
       carries every column of a wide table when the query uses a few is a
       wasted-IO flag (enforced as: no scan of ``lineitem``/``orders``
-      reads all 16/9 columns).
+      reads all 16/9 columns);
+  R4  no UNPARTITIONED window — ``Window.orderBy(...)`` with an empty
+      partition spec moves the whole input to ONE task (WindowExec logs
+      "No Partition Defined"). Data-grain total orders must go through
+      ``operators/totalorder.total_order`` (range-partitioned two-pass);
+      frames bounded by construction must declare it via
+      ``operators/totalorder.bounded_window`` (constant-keyed spec, same
+      physical execution, visible to this audit). A bare empty spec is
+      always a bug.
 
 Streaming queries (s1/s2/s3/s7) execute a stream when built, and their final
 DataFrame is a drained in-memory table — both pointless to lint — so they
@@ -60,6 +68,38 @@ SKIP = {
 FULL_WIDTH = {"lineitem": 16, "orders": 9}
 
 
+def unpartitioned_window_specs(plan: str) -> list[str]:
+    """Return every ``windowspecdefinition(...)`` in ``plan`` whose
+    partition spec is empty (first top-level argument is a sort entry or
+    the frame itself). Used by R4 and by tests/test_totalorder.py."""
+    bad: list[str] = []
+    marker = "windowspecdefinition("
+    pos = 0
+    while True:
+        i = plan.find(marker, pos)
+        if i < 0:
+            return bad
+        j = i + len(marker)
+        depth = 0
+        first_arg = []
+        while j < len(plan):
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            first_arg.append(ch)
+            j += 1
+        arg = "".join(first_arg).strip()
+        if arg.startswith("specifiedwindowframe") or " ASC NULL" in arg or " DESC NULL" in arg:
+            bad.append(plan[i : j + 40].split("\n")[0])
+        pos = j
+
+
 def plan_string(df) -> str:
     return df._jdf.queryExecution().explainString(
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
@@ -78,6 +118,8 @@ def audit_one(name: str, df) -> list[str]:
         problems.append("R1: row-at-a-time Python UDF (BatchEvalPython) in plan")
     if "CartesianProduct" in plan:
         problems.append("R2: CartesianProduct join in plan")
+    for spec in unpartitioned_window_specs(plan):
+        problems.append(f"R4: unpartitioned window in plan: {spec[:90]}")
 
     for m in re.finditer(r"FileScan parquet \[(?P<cols>[^\]]*)\][^\n]*?(?P<tbl>\w+)\.parquet", plan):
         tbl = m.group("tbl")
