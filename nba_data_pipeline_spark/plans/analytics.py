@@ -16,6 +16,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.totalorder import (
+    bounded_window,
+    ntile_from_rank,
+    total_order,
+)
 from nba_data_pipeline_spark.plans.exact import davg, dsum, sql_davg, sql_dsum
 from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
 
@@ -1947,11 +1952,13 @@ def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, so the two final divisions are IEEE on identical operands
     — no Lorenz-curve float accumulation.
 
-    Shape: one aggregate to customer grain, one global sort for ranks
-    (range-partitioned at scale — same contract as w8's NTILE), then a
-    one-row reduce. The tiebreak on o_custkey pins equal-revenue ranks;
-    Σ(i·wᵢ) is tie-order-invariant anyway (equal w), so the statistic is
-    doubly deterministic."""
+    Shape: one aggregate to customer grain, then the distributed
+    total-order rank (operators/totalorder.py — sampled bucket cuts, one
+    hash shuffle, broadcast offsets; the customer-grain frame is
+    localCheckpointed so the cut/stats/rank passes share the
+    aggregation), then a one-row reduce. The tiebreak on o_custkey pins
+    equal-revenue ranks; Σ(i·wᵢ) is tie-order-invariant anyway (equal
+    w), so the statistic is doubly deterministic."""
     c = (
         read_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1961,10 +1968,9 @@ def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    ranked = c.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents", "o_custkey")).cast("bigint").alias("i"),
-    )
+    ranked = total_order(
+        c, ["cents", "o_custkey"], rank_col="i", materialize=True
+    ).select("cents", "i")
     agg = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
@@ -2736,26 +2742,22 @@ def a36_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever decides a class.
 
     Scale shape: facts collapse to per-part decimal sums; the cumulative
-    sum is one ordered window over the contracted part table (range-
-    partitioned sort at scale); class summaries re-aggregate those rows.
-    The one unpartitioned window runs on |parts| rows, the standard
-    Pareto-report cost."""
+    sum rides the distributed total-order primitive (sampled bucket
+    cuts, one hash shuffle, per-bucket local prefix sums + broadcast
+    offsets — operators/totalorder.py), with the part-grain frame
+    localCheckpointed so the cut/stats/cum passes share the aggregation;
+    the grand total arrives from the same tiny stats frame instead of an
+    unbounded window. Class summaries re-aggregate those rows."""
     rev = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_extendedprice")
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
     )
-    w_cum = W.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = rev.select(
-        "l_partkey",
-        "rev",
-        F.sum("rev").over(w_cum).alias("cum"),
-        F.sum("rev").over(w_all).alias("total"),
-    )
+    ranked = total_order(
+        rev, [("rev", "desc"), "l_partkey"],
+        cum={"cum": "rev"}, totals={"total": "rev"}, materialize=True,
+    ).select("l_partkey", "rev", "cum", "total")
     abc = (
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
         .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
@@ -2830,11 +2832,19 @@ def a37_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.96 significance boundary compares doubles assembled from identical
     exact operands on both engines.
 
-    Scale shape: one global rank over the pooled sample (range-partitioned
-    sort at scale — the one unavoidable cost of exact ranks; swap in a26's
-    mergeable histogram ranks for an approximate test beyond memory),
-    tie counts ride the same sort, and everything after is a scalar
-    aggregate. Output is a single verdict row."""
+    Scale shape: the pooled sample contracts to DISTINCT-value grain
+    first (map-side-combined counts per value: t rows, t1 of them in
+    group 1), so the exact rank walk touches |distinct values|, never
+    |rows| — the min-rank of a tied block is its exclusive prefix count
+    + 1, and its average rank follows in closed form. The prefix count
+    rides the distributed total-order primitive (sampled bucket cuts,
+    one hash shuffle, broadcast offsets — operators/totalorder.py; the
+    contracted frame is localCheckpointed so the passes share it); tie
+    terms reduce in the same final scalar aggregate. Output is one
+    verdict row. Σ t1·ar is exactly the row-grain rank sum because tied
+    rows all carry the block's average rank, and halves are
+    double-exact, so the statistic matches the row-grain oracle
+    bit-for-bit."""
     pool = (
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
@@ -2843,35 +2853,24 @@ def a37_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("x"),
         )
     )
-    ranked = pool.select(
-        "grp",
-        "x",
-        F.rank().over(W.orderBy("x")).alias("r"),
-        F.count(F.lit(1)).over(W.partitionBy("x")).alias("t"),
-    )
-    ar = ranked.select(
-        "grp", (F.col("r") + (F.col("t") - 1) / 2.0).alias("ar")
-    )
-    stats = ar.agg(
+    cells = pool.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
         F.sum(F.when(F.col("grp") == "1-URGENT", 1).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-        F.sum(F.when(F.col("grp") == "5-LOW", 1).otherwise(0))
-        .cast("long")
-        .alias("n2"),
-        F.sum(F.when(F.col("grp") == "1-URGENT", F.col("ar")).otherwise(0.0)).alias(
-            "r1"
-        ),
+        .cast("bigint")
+        .alias("t1"),
     )
-    ties = (
-        pool.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.sum((F.col("t") * (F.col("t") * F.col("t") - 1)).cast("double")).alias(
-                "tie_term"
-            ),
-            F.sum("t").alias("n"),
-        )
+    cumd = total_order(cells, ["x"], cum={"cumt": "t"}, materialize=True)
+    # min-rank of the tied block = exclusive prefix + 1; average rank of
+    # the block = min-rank + (t-1)/2 (exact halves).
+    ar = F.col("cumt") - F.col("t") + 1 + (F.col("t") - 1) / 2.0
+    stats = cumd.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
+        F.sum(F.col("t1") * ar).alias("r1"),
+        F.sum((F.col("t") * (F.col("t") * F.col("t") - 1)).cast("double")).alias(
+            "tie_term"
+        ),
+        F.sum("t").cast("long").alias("n"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     mu = F.col("n1") * F.col("n2") / 2.0
@@ -2885,7 +2884,7 @@ def a37_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     z = (u1 - mu) / sigma
-    return stats.crossJoin(F.broadcast(ties)).select(
+    return stats.select(
         "n1",
         "n2",
         F.round(u1, 4).alias("u1"),

@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
 from nba_data_pipeline_spark.operators.textops import ws_tokens
+from nba_data_pipeline_spark.operators.totalorder import (
+    bounded_window,
+    total_order,
+)
 from nba_data_pipeline_spark.plans.registry import query
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
@@ -607,14 +611,16 @@ def ta_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair"),
     )
     pc = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.desc("pair_count"), "pair")
+    # BOUNDED frame: |distinct 2-char shingles| is alphabet^2-bounded, so
+    # the top-20 rank is an audited single-task sort (bounded_window) —
+    # and InferWindowGroupLimit keeps the pre-exchange side a map-side
+    # partial top-20 anyway.
+    w = bounded_window(F.desc("pair_count"), F.col("pair"), anchor="pair")
     return (
         pc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
         .select("rank", "pair", "pair_count")
         .orderBy(F.desc("pair_count"), "pair")
-        .limit(20)
     )
 
 
@@ -666,27 +672,23 @@ def ta_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-mix sense), and expected sample size = total//step ≈ target
     with at-most-1 deviation per stratum.
 
-    Scale shape: the running sum is one global-order window — at 100 TB
-    this is a range-partitioned prefix sum (Spark sorts by range then
-    scans; no single-reducer stage); everything after it is map-side.
-    Versus A-ES exponential-jump sampling, systematic needs no floating
-    pow/log — which is exactly what keeps the cross-engine hash stable."""
+    Scale shape: the running sum rides the distributed total-order
+    primitive (operators/totalorder.py): sampled bucket cuts over the md5
+    permutation, ONE hash shuffle, per-bucket local prefix sums plus
+    broadcast per-bucket offsets — no single-reducer stage, and the
+    corpus total arrives from the same tiny stats frame instead of an
+    unbounded global window. Everything after it is map-side. Versus A-ES
+    exponential-jump sampling, systematic needs no floating pow/log —
+    which is exactly what keeps the cross-engine hash stable."""
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.col("n_chars").cast("bigint").alias("w"),
         F.md5(F.col("doc_id").cast("string").cast("binary")).alias("ord"),
     )
-    wcum = W.orderBy("ord", "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = d.select(
-        "doc_id",
-        "source",
-        "w",
-        F.sum("w").over(wcum).alias("cum"),
-        F.sum("w").over(W.orderBy(F.lit(1)).rowsBetween(
-            W.unboundedPreceding, W.unboundedFollowing
-        )).alias("total"),
-    )
+    cum = total_order(
+        d, ["ord", "doc_id"], cum={"cum": "w"}, totals={"total": "w"}
+    ).select("doc_id", "source", "w", "cum", "total")
     stepped = cum.withColumn(
         "step", F.greatest(F.expr(f"total div {_WS_TARGET}"), F.lit(1).cast("bigint"))
     )
@@ -1034,20 +1036,19 @@ def ta_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta_ngram_novelty.
 
     Scale shape: the token stream contracts to VOCABULARY grain in one
-    map-side-combined groupBy; ranking and the OLS moments (Σx, Σy, Σxy,
-    Σx² — all mergeable) run over that contracted table, so the global
-    rank window orders |vocab| rows, never tokens. The 1-row fit rides
-    back on a broadcast cross join. OLS in closed form — no iteration,
-    no ML library."""
+    map-side-combined groupBy; ranking runs on the distributed
+    total-order primitive (vocab is fact-scaled once n-grams enter — a
+    single-task sort would not survive it), with the contracted table
+    localCheckpointed so the cut-sample, stats, and rank passes share
+    one aggregation. The OLS moments (Σx, Σy, Σxy, Σx² — all mergeable)
+    reduce over the ranked rows; the 1-row fit rides back on a broadcast
+    cross join. OLS in closed form — no iteration, no ML library."""
     tok = read_table(spark, sf_dir, "documents").select(
         F.explode(ws_tokens(F.col("text"))).alias("w")
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
-    r = F.row_number().over(W.orderBy(F.desc("f"), "w")).cast("bigint")
-    pts = freq.select(
-        "w",
-        "f",
-        r.alias("r"),
+    pts = total_order(
+        freq, [("f", "desc"), "w"], rank_col="r", materialize=True
     ).select(
         "w",
         "f",
