@@ -124,7 +124,10 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     r = nn % k
     boundary = (q + 1) * r
     in_first = _ceil_div(rk, q + 1)
-    in_rest = r + _ceil_div(rk - boundary, q)
+    # Guarded divisor: when n < k, q == 0 and every row has rk <= boundary,
+    # so the otherwise-branch value is unused — but ANSI mode (or any
+    # refactor that evaluates both branches) must never see a divide-by-zero.
+    in_rest = r + _ceil_div(rk - boundary, F.greatest(q, F.lit(1)))
     return F.when(rk <= boundary, in_first).otherwise(in_rest).cast("int")
 
 
@@ -268,6 +271,14 @@ def total_order(
     materialize : localCheckpoint the input first — set when the input has
         expensive lineage (a join/aggregate) so the sample/stats/data
         passes share one computation.
+
+    .. note:: BUILD-TIME JOB — the cut-sample collect (and the lazy
+       localCheckpoint when ``materialize=True``) runs a real Spark job at
+       DataFrame *construction* time, one bounded
+       ``SAMPLE_PER_BUCKET×k``-row TakeOrderedAndProject over the pruned
+       key columns. Plan-only tooling (planaudit, plan-fingerprint tests)
+       therefore pays one input pass per migrated query; callers that
+       build plans they never execute should know they pay it too.
     """
     cum = dict(cum or {})
     totals = dict(totals or {})

@@ -64,11 +64,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     (W4) → broadcast dim join (J2) → rank (W2). All built-in, whole-stage
     codegen; the fact-fact join shuffles on orderkey, the dim join broadcasts.
 
-    The final unpartitioned RANK (Spark warns it single-partitions) is
-    deliberate: by then the frame is one row per SUPPLIER — dim cardinality,
-    ~1e4 rows at sf1 — not fact cardinality, so the leaderboard sort is a
-    kilobyte-scale task even when lineitem is 100 TB. If the "players" dim
-    ever grew fact-sized, swap in a range-sorted two-phase rank.
+    The final RANK runs on one row per SUPPLIER — dim cardinality, ~1e4
+    rows at sf1 — not fact cardinality, so the leaderboard sort is a
+    kilobyte-scale task even when lineitem is 100 TB. That boundedness is
+    declared via ``bounded_window`` (audited single-task path, planaudit
+    R4); if the "players" dim ever grew fact-sized, swap in
+    ``operators/totalorder.total_order``.
     """
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_quantity", "l_orderkey", "l_linenumber"
@@ -107,7 +108,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolled.join(F.broadcast(supplier), rolled.l_suppkey == supplier.s_suppkey)
         .withColumn(
             "hit_rank",
-            F.rank().over(W.orderBy(F.desc("hit_rate"), F.asc("s_suppkey"))).cast("int"),
+            F.rank()
+            .over(
+                bounded_window(
+                    F.desc("hit_rate"), F.asc("s_suppkey"), anchor="s_suppkey"
+                )
+            )
+            .cast("int"),
         )
         .select("s_suppkey", "s_name", "rolling_avg_qty", "hit_rate", "hit_rank")
         .orderBy("hit_rank")
@@ -736,10 +743,8 @@ ORDER BY status
 def a8_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: run-status roll-up (get_basketball_stats_all_teams_Version6.py:
     334-354 — done/skipped/not_found/errors manifest): CASE routing +
-    groupBy count + share-of-total via an unpartitioned window over the
-    tiny aggregated result (3 rows — safe single partition)."""
-    from pyspark.sql import Window as W
-
+    groupBy count + share-of-total via a declared ``bounded_window`` over
+    the tiny aggregated result (3 rows — CASE-alphabet grain)."""
     o = read_table(spark, sf_dir, "orders")
     routed = o.select(
         F.when(F.col("o_orderstatus") == "F", "done")
@@ -751,7 +756,9 @@ def a8_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "status",
         "n",
-        F.round(100.0 * F.col("n") / F.sum("n").over(W.partitionBy()), 4).alias("pct"),
+        F.round(
+            100.0 * F.col("n") / F.sum("n").over(bounded_window(anchor="status")), 4
+        ).alias("pct"),
     ).orderBy("status")
 
 
@@ -1902,8 +1909,10 @@ def dq4_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("d"))
     )
     counts = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # 9-row digit alphabet — declared bounded (a literal partition key would
+    # constant-fold back to the bare empty spec)
     counts = counts.withColumn(
-        "total", F.sum("n").over(W.partitionBy(F.lit(1))).cast("bigint")
+        "total", F.sum("n").over(bounded_window(anchor="d")).cast("bigint")
     )
     bf = F.expr(_BENFORD_SQL_CASE.replace("CASE d", "CASE d"))
     obs = F.col("n").cast("double") / F.col("total")
@@ -2442,7 +2451,8 @@ def a33_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     )
     w_region = W.partitionBy("region")
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # (region, nation) grain ≤ |nations| rows — declared bounded
+    w_all = bounded_window(anchor="region")
     return rev.select(
         "region",
         "nation",
@@ -2957,8 +2967,9 @@ def a38_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v").cast("double") != F.col("m"))
         .select("day", (F.col("v").cast("double") > F.col("m")).alias("above"))
     )
+    # |days| rows (calendar grain) — declared bounded
     lagged = signs.select(
-        "above", F.lag("above").over(W.orderBy("day")).alias("prev")
+        "above", F.lag("above").over(bounded_window("day", anchor="day")).alias("prev")
     )
     stats = lagged.agg(
         F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("long").alias("n1"),
@@ -3074,8 +3085,8 @@ def a39_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
         )
     )
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    chi2 = F.sum("contrib").over(w_all)
+    # |X|×|Y| contingency cells (≤15 rows) — declared bounded
+    chi2 = F.sum("contrib").over(bounded_window(anchor="x"))
     return cells.select(
         "x",
         "y",
@@ -3225,11 +3236,12 @@ def a41_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff is the standard alpha=0.05 asymptotic critical value.
 
     Scale shape: the value stream contracts to DISTINCT-value grain with
-    conditional counts (map-side combinable); running sums order that
-    contracted grain (a36/a37's posture — at 100 TB, pre-bucket values
-    and run the same walk per bucket with offset partial sums); the
-    argmax is a row_number over the contracted table and the result is
-    one row."""
+    conditional counts (map-side combinable); the running ECDF sums ride
+    the distributed total-order primitive (operators/totalorder.py —
+    sampled cuts, one hash shuffle, broadcast offsets — no
+    single-partition stage at any distinct-value cardinality); the argmax
+    is ONE map-side-combined struct-max aggregate (max dnum, min-val
+    tiebreak via negated value), and the result is one row."""
     v = (
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
@@ -3244,17 +3256,14 @@ def a41_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("bigint").alias("c1"),
         F.sum(1 - F.col("g1")).cast("bigint").alias("c2"),
     )
-    wseq = W.orderBy("val").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = cells.select(
-        "val",
-        F.sum("c1").over(wseq).alias("cum1"),
-        F.sum("c2").over(wseq).alias("cum2"),
+    cum = total_order(
+        cells,
+        ["val"],
+        cum={"cum1": "c1", "cum2": "c2"},
+        totals={"n1": "c1", "n2": "c2"},
+        materialize=True,
     )
-    n = cells.agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
-    )
-    scored = cum.crossJoin(F.broadcast(n)).select(
+    scored = cum.select(
         "val",
         "n1",
         "n2",
@@ -3262,25 +3271,38 @@ def a41_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dnum"
         ),
     )
-    rk = F.row_number().over(W.orderBy(F.desc("dnum"), "val"))
+    # global argmax (max dnum, lowest val on ties) as one struct-max
+    # aggregate — map-side combinable, no window, one output row
+    best = scored.agg(
+        F.max(
+            F.struct(
+                F.col("dnum"),
+                (-F.col("val")).alias("__negval"),
+                F.col("val"),
+                F.col("n1"),
+                F.col("n2"),
+            )
+        ).alias("b")
+    ).select(
+        F.col("b.n1").alias("n1"),
+        F.col("b.n2").alias("n2"),
+        F.col("b.dnum").alias("dnum"),
+        F.col("b.val").alias("val"),
+    )
     ks = F.col("dnum").cast("double") / (F.col("n1") * F.col("n2"))
-    return (
-        scored.withColumn("rk", rk)
-        .filter(F.col("rk") == 1)
-        .select(
-            "n1",
-            "n2",
-            F.round(ks, ROUND_DIGITS).alias("ks_d"),
-            F.col("val").alias("at_value"),
-            (
-                ks
-                > 1.358
-                * F.sqrt(
-                    (F.col("n1") + F.col("n2")).cast("double")
-                    / (F.col("n1") * F.col("n2"))
-                )
-            ).alias("reject_95"),
-        )
+    return best.select(
+        "n1",
+        "n2",
+        F.round(ks, ROUND_DIGITS).alias("ks_d"),
+        F.col("val").alias("at_value"),
+        (
+            ks
+            > 1.358
+            * F.sqrt(
+                (F.col("n1") + F.col("n2")).cast("double")
+                / (F.col("n1") * F.col("n2"))
+            )
+        ).alias("reject_95"),
     )
 
 
@@ -3421,11 +3443,14 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Segment labels are a shared integer CASE.
 
     Scale shape: orders collapse to customer grain in one partially
-    aggregated shuffle; the three NTILEs are global total orders over the
-    CUSTOMER-grain frame (w8's scale note applies — one range-partitioned
-    sort each, run once per snapshot; at extreme cardinality swap for
-    approx-percentile boundary lookup, trading exact equal-count tiles
-    for a broadcast bucketize). The final contraction is ≤125 groups."""
+    aggregated shuffle; the three NTILEs ride the distributed total-order
+    primitive (operators/totalorder.py — sampled cuts, one hash shuffle
+    each, broadcast offsets; the customer-grain frame and each chained
+    rank output are localCheckpointed so the three passes share work).
+    No single-partition stage at any customer cardinality; at extreme
+    cardinality swap for approx-percentile boundary lookup, trading exact
+    equal-count tiles for a broadcast bucketize. The final contraction is
+    ≤125 groups."""
     anchor = F.broadcast(
         read_table(spark, sf_dir, "orders").agg(
             F.to_date(F.max("o_orderdate")).alias("anchor_date")
@@ -3450,21 +3475,31 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    scored = cust.select(
+    t = total_order(
+        cust,
+        [("recency_days", "desc"), ("o_custkey", "asc")],
+        rank_col="__r_rk",
+        n_col="__n",
+        materialize=True,
+    )
+    t = total_order(
+        t,
+        [("frequency", "asc"), ("o_custkey", "asc")],
+        rank_col="__f_rk",
+        materialize=True,
+    )
+    t = total_order(
+        t,
+        [("monetary_cents", "asc"), ("o_custkey", "asc")],
+        rank_col="__m_rk",
+        materialize=True,
+    )
+    scored = t.select(
         "o_custkey",
         "monetary_cents",
-        F.ntile(5)
-        .over(W.orderBy(F.desc("recency_days"), "o_custkey"))
-        .cast("int")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy("frequency", "o_custkey"))
-        .cast("int")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy("monetary_cents", "o_custkey"))
-        .cast("int")
-        .alias("m_score"),
+        ntile_from_rank(F.col("__r_rk"), F.col("__n"), 5).alias("r_score"),
+        ntile_from_rank(F.col("__f_rk"), F.col("__n"), 5).alias("f_score"),
+        ntile_from_rank(F.col("__m_rk"), F.col("__n"), 5).alias("m_score"),
     )
     segment = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")

@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.totalorder import bounded_window
 from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
 
 _SCALE = 1_000_000_000_000
@@ -134,7 +135,8 @@ def g1_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.col("pr").cast("long").alias("pr_scaled"),
     )
-    wr = W.orderBy(F.desc("pr_scaled"), "nation")
+    # nation-grain leaderboard (25 rows) — bounded by construction
+    wr = bounded_window(F.desc("pr_scaled"), "nation", anchor="nation")
     return out.withColumn(
         "pr_rank", F.row_number().over(wr).cast("int")
     ).orderBy("pr_rank")
@@ -520,7 +522,8 @@ def g4_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
-    wr = W.orderBy("dist", "n_name")
+    # nation-grain leaderboard (25 rows) — bounded by construction
+    wr = bounded_window("dist", "n_name", anchor="n_name")
     return (
         dist.filter(F.col("dist") < _G4_INF)
         .join(F.broadcast(nation), F.col("n") == F.col("n_nationkey"))
@@ -1022,12 +1025,13 @@ def g8_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         "hub_score",
         "auth_score",
+        # nation-grain leaderboards (25 rows) — bounded by construction
         F.row_number()
-        .over(W.orderBy(F.desc("hub_score"), "nation"))
+        .over(bounded_window(F.desc("hub_score"), "nation", anchor="nation"))
         .cast("int")
         .alias("hub_rank"),
         F.row_number()
-        .over(W.orderBy(F.desc("auth_score"), "nation"))
+        .over(bounded_window(F.desc("auth_score"), "nation", anchor="nation"))
         .cast("int")
         .alias("auth_rank"),
     ).orderBy("auth_rank")

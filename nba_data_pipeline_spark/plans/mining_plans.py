@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.totalorder import bounded_window
 from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
 
 #: Apriori thresholds for mb1 — pruning singles below MIN_ITEM_SUPPORT
@@ -154,7 +155,8 @@ def sky1_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(F.max("p_size").alias("bmax"))
     )
-    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    # price-band grain (≤ |price range|/100 rows) — declared bounded
+    wb = bounded_window("b", anchor="b").rowsBetween(W.unboundedPreceding, -1)
     prev_best = bands.select("b", F.max("bmax").over(wb).alias("prev_best"))
     cand = (
         p.withColumn("b", bucket)
@@ -162,11 +164,11 @@ def sky1_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_best").isNull() | (F.col("p_size") > F.col("prev_best")))
         .select("p_partkey", "p_retailprice", "p_size")
     )
-    # Phase 2: exact sweep over the candidate sliver.
-    w = (
-        W.orderBy(F.asc("p_retailprice"), F.desc("p_size"), "p_partkey")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
+    # Phase 2: exact sweep over the candidate sliver — bounded by the
+    # phase-1 dominance prefilter (skyline candidates ~ O(log² n)).
+    w = bounded_window(
+        F.asc("p_retailprice"), F.desc("p_size"), "p_partkey", anchor="p_partkey"
+    ).rowsBetween(W.unboundedPreceding, -1)
     s = cand.withColumn("cm", F.max("p_size").over(w))
     return (
         s.filter(F.col("cm").isNull() | (F.col("p_size") > F.col("cm")))
@@ -174,6 +176,13 @@ def sky1_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_retailprice", "p_partkey")
     )
 
+
+#: mi1's fixpoint scale — log terms quantized to 1e-9-scaled BIGINTs at
+#: cell level (the ta_nb_train_classify trick), so the window total is an
+#: exact integer sum: summation order can't move it, and ROUND(x, 4) can't
+#: land on opposite sides of a half-way boundary between engines (the r5
+#: driver hash failure).
+_MI_SCALE = 10**9
 
 @query(
     "mi1_mutual_information",
@@ -188,14 +197,15 @@ my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY 1),
 n AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint),
 cells AS (
   SELECT j.x, j.y, j.n_xy,
-         ln(CAST(j.n_xy AS DOUBLE) * n.n / (mx.n_x * my.n_y)) AS pmi,
-         CAST(j.n_xy AS DOUBLE) / n.n
-             * ln(CAST(j.n_xy AS DOUBLE) * n.n / (mx.n_x * my.n_y)) AS contrib
+         CAST(ROUND(ln(CAST(j.n_xy AS DOUBLE) * n.n / (mx.n_x * my.n_y))
+                    * {_MI_SCALE}) AS BIGINT) AS pmi_s,
+         CAST(ROUND(CAST(j.n_xy AS DOUBLE) / n.n
+                    * ln(CAST(j.n_xy AS DOUBLE) * n.n / (mx.n_x * my.n_y))
+                    * {_MI_SCALE}) AS BIGINT) AS contrib_s
   FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
 )
-SELECT x, y, n_xy, ROUND(pmi, {ROUND_DIGITS}) AS pmi,
-       ROUND(contrib, {ROUND_DIGITS}) AS mi_contrib,
-       ROUND(SUM(contrib) OVER (), {ROUND_DIGITS}) AS mi_total
+SELECT x, y, n_xy, pmi_s, contrib_s AS mi_contrib_s,
+       CAST(SUM(contrib_s) OVER () AS BIGINT) AS mi_total_s
 FROM cells
 ORDER BY x, y
 """,
@@ -211,7 +221,12 @@ def mi1_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency table (|X|·|Y| rows — dimension-bounded, here ≤ 15);
     marginals and the total are re-aggregates OF THE CELLS, not of the
     facts, so the fact table is scanned exactly once regardless of scale.
-    The final window runs over the tiny cell table."""
+    The final window runs over the tiny cell table (declared bounded).
+
+    Determinism: pmi/contrib are quantized to 1e-9-scaled BIGINTs per cell
+    (each is one deterministic IEEE ln/mul/round of identical integer
+    operands on both engines), so mi_total_s is an exact integer sum —
+    invariant to summation order, the r5 hash-failure mode."""
     joint = (
         read_table(spark, sf_dir, "orders")
         .select(
@@ -227,6 +242,7 @@ def mi1_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.col("n_xy").cast("double") * F.col("n") / (
         F.col("n_x") * F.col("n_y")
     )
+    scale = F.lit(float(_MI_SCALE))
     cells = (
         joint.join(F.broadcast(mx), "x")
         .join(F.broadcast(my), "y")
@@ -235,22 +251,24 @@ def mi1_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
             "y",
             "n_xy",
-            F.log(ratio).alias("pmi_raw"),
-            (F.col("n_xy").cast("double") / F.col("n") * F.log(ratio)).alias(
-                "contrib"
-            ),
+            F.round(F.log(ratio) * scale).cast("long").alias("pmi_s"),
+            F.round(
+                F.col("n_xy").cast("double") / F.col("n") * F.log(ratio) * scale
+            )
+            .cast("long")
+            .alias("mi_contrib_s"),
         )
     )
     return cells.select(
         "x",
         "y",
         "n_xy",
-        F.round("pmi_raw", ROUND_DIGITS).alias("pmi"),
-        F.round("contrib", ROUND_DIGITS).alias("mi_contrib"),
-        F.round(
-            F.sum("contrib").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
-            ROUND_DIGITS,
-        ).alias("mi_total"),
+        "pmi_s",
+        "mi_contrib_s",
+        F.sum("mi_contrib_s")
+        .over(bounded_window(anchor="x"))
+        .cast("long")
+        .alias("mi_total_s"),
     ).orderBy("x", "y")
 
 
