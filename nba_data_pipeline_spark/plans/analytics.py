@@ -1080,7 +1080,6 @@ def a20_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     from nba_data_pipeline_spark.operators.textops import ws_tokens
-    from pyspark.sql import Window as W
 
     exact = (
         d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
@@ -1106,20 +1105,19 @@ def a20_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.min("bsum").alias("cms_estimate"))
     )
-    w = W.orderBy(F.desc("exact_count"), "token")
-    return (
-        exact.join(est, "token")
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .select(
-            "rank",
-            "token",
-            "exact_count",
-            "cms_estimate",
-            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
-        )
-        .orderBy(F.desc("exact_count"), "token")
-        .limit(20)
-    )
+    # fixed-k top-k: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition top-k + tiny merge — no token-grain global window);
+    # the rank label is a bounded_window over the 20 surviving rows.
+    key = [F.desc("exact_count"), F.asc("token")]
+    topk = exact.join(est, "token").orderBy(*key).limit(20)
+    w = bounded_window(*key, anchor="token")
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "token",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+    ).orderBy(F.desc("exact_count"), "token")
 
 
 @query(
@@ -1511,11 +1509,14 @@ def a25_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_grp.join(exact_grp, "grp")
         .select("grp", "k_used", est.alias("est_distinct"), "exact_distinct")
     )
+    # k-minimum selection over the unioned sketches as a sort-limit
+    # (TakeOrderedAndProject: per-partition top-k + tiny merge — no
+    # hash-grain global rank window)
     merged = (
         sk.select("h")
         .distinct()
-        .withColumn("rn", F.row_number().over(W.orderBy("h")))
-        .filter(F.col("rn") <= _KMV_K)
+        .orderBy("h")
+        .limit(_KMV_K)
         .agg(F.count(F.lit(1)).cast("bigint").alias("k_used"), F.max("h").alias("h_k"))
     )
     exact_all = o.agg(

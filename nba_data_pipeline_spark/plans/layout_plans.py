@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.totalorder import bounded_window
 from nba_data_pipeline_spark.plans.registry import query
 
 _BITS = 8  # 8+8-bit z-value; top 4+4 bits pick one of 256 files
@@ -320,14 +321,17 @@ def lo4_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_cnt"),
         F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
     )
-    top = cnt.select(
+    # fixed-k top-k via TakeOrderedAndProject (per-partition top-5 + tiny
+    # merge); the rank label is a bounded_window over the 5 surviving rows
+    top5 = cnt.orderBy(F.desc("cnt"), "key").limit(5)
+    top = top5.select(
         "key",
         "cnt",
         F.row_number()
-        .over(W.orderBy(F.desc("cnt"), "key"))
+        .over(bounded_window(F.desc("cnt"), "key", anchor="key"))
         .cast("int")
         .alias("rank"),
-    ).filter(F.col("rank") <= 5)
+    )
     return (
         top.crossJoin(F.broadcast(stats))
         .select(

@@ -54,87 +54,72 @@ def query(name: str, oracle: str | None = None):
 # Everything else — driver-green in r1/r2 and semantically unchanged — sits
 # after the prefix and stays covered by tools/check.py locally.
 _FRONT: tuple[str, ...] = (
-    # ROUND-5 ROTATION (executes the queue pre-committed in r4 / VERDICT r4
-    # item 3): the 11 r4-deferred entries lead, then the oldest
-    # never-driver-checked session additions in their original order.
-    # Three slots are spent on entries whose implementation CHANGES this
-    # round and therefore needs driver re-verification even though they
-    # were driver-green before: w8_curriculum_deciles and
-    # ta_weighted_sample are rewired onto the distributed total-order
-    # rank primitive (VERDICT r4 item 1), and src_html_by_id is the new
-    # SRC3 catalog entry (VERDICT r4 item 7). The changed-in-place
-    # never-checked entries (a29, a37, a41, a42, a43,
-    # sim_alignment_uniformity) are pulled forward for the same reason.
-    # --- r4-deferred (11) ---
-    "a21_bitmap_rollup_reuse",
-    "ta_contamination_overlap",
-    "sim_random_projection",
-    "sim_matryoshka_prefix_eval",
-    "sim_centroid_classifier_eval",
-    "sim_pq_recall_eval",
-    "a26_histogram_quantile_rollup",
-    "a28_running_distinct",
-    "a29_gini_concentration",  # changed r5: distributed total-order rank
-    "a30_markov_transitions",
-    "a31_ab_proportion_ztest",
-    # --- changed this round: global-window family rewired onto the
-    # two-pass distributed rank primitive (operators/rank.py) ---
-    "w8_curriculum_deciles",
-    "ta_weighted_sample",
-    "a37_mann_whitney_u",
-    "a41_ks_test",
-    "a42_qq_deciles",
-    "a43_rfm_segmentation",
-    "sim_alignment_uniformity",  # changed r5: bounded top-k sample
-    # --- new this round (SRC3 table-by-id gets an oracle-checked entry) ---
-    "src_html_by_id",
-    # --- oldest never-driver-checked session additions, original order ---
-    "mb1_frequent_pairs",
-    "sky1_pareto_frontier",
+    # ROUND-6 ROTATION. Head: entries whose implementation CHANGED this
+    # round (the R4 unpartitioned-window migration onto
+    # operators/totalorder.total_order / bounded_window, VERDICT r5 item 1;
+    # mi1's 1e-9-BIGINT hash fix, item 2) plus the new SRC3 by-id entry
+    # (item 3) — all need (re-)verification on the driver signal even where
+    # r1–r5 checked the old plan. Tail: the r5-deferred never-driver-checked
+    # queue, verbatim (item 4); its four members that changed this round
+    # (a38, a39, g8, ts10) are pulled into the head instead.
+    # --- changed r6: mi1 hash fix (head of prefix per VERDICT item 2) ---
     "mi1_mutual_information",
-    "ta_sparse_cosine_pairs",
-    "ta_phrase_search",
+    # --- new r6: SRC3 table-by-id oracle entry (VERDICT item 3) ---
+    "src_html_by_id",
+    # --- new r6: X13/X16/X20 batched oracle entry (VERDICT item 8) ---
+    "x_sanitize_dates",
+    # --- changed r6: R4 migration (VERDICT item 1) ---
+    "flagship_hitrate_last10",
+    "a43_rfm_segmentation",
+    "a41_ks_test",
     "ta_dsir_importance",
-    "j18_interval_overlap_join",
-    "lo4_skew_profiler",
-    "sim_hard_negatives",
-    "s13_stream_outer_join",
-    "d12_dupspan_rewrite",
-    "mm_audio_energy",
     "ta_bm25_search",
-    "ts5_time_weighted_avg",
-    "g4_weighted_sssp",
-    "w13_sequence_pattern",
-    "dq7_join_cardinality_estimate",
-    "sim_ivf_hard_negatives",
     "ta_kneser_ney_bigram",
-    "snk9_stream_file_sink",
-    "mm_video_scene_cut",
+    "a20_cms_heavy_hitters",
+    "a25_kmv_set_ops",
+    "lo4_skew_profiler",
+    "ts10_kaplan_meier",
+    "a8_status_rollup",
     "a33_share_of_parent",
-    "ta_greedy_set_cover",
-    "ta_quantile_normalize",
-    "w14_theil_sen_slope",
-    "dq9_functional_dependencies",
-    "a34_sliding_distinct",
-    "ta_langid_confusion",
-    "ta_ngram_novelty",
-    "ts6_linear_interp",
-    "x28_log_template_mining",
-    # R5 DEFERRED (31 entries, never driver-checked after r1∪r2∪r3∪r4∪r5;
-    # all local-green via tools/check.py and plan-fingerprinted in
-    # tests/test_plan_shapes.py). These ARE the r6 rotation queue, in this
-    # order: dq10_mad_outliers, a35_topn_plus_others, a36_abc_classification,
-    # u5_snapshot_diff_report, ta_nb_train_classify,
-    # snk10_dynamic_partition_overwrite, g5_kcore_peel, a38_runs_test,
-    # ts7_autocorrelation, ts8_cusum_changepoint,
-    # a39_chi_square_independence, g6_degree_assortativity,
-    # geo1_grid_distance_join, mb2_sequential_patterns, w15_rolling_median,
-    # ta_keyword_extract, mm_image_phash, src_binaryfile_roundtrip,
-    # ta_readability_forcast, a40_welch_ttest, mm_audio_silence,
-    # ta_zipf_fit, g7_clustering_coefficient, ts9_seasonal_strength,
-    # geo2_density_smooth, g8_hits_hubs_authorities, g9_adamic_adar_links,
-    # ts10_kaplan_meier, ts11_lttb_downsample, sql_q5_local_supplier_volume,
-    # sql_q18_large_volume_customer — followed by any r5-session additions.
+    "a38_runs_test",
+    "a39_chi_square_independence",
+    "dq4_benford_digit_audit",
+    "sky1_pareto_frontier",
+    "g1_pagerank_trade",
+    "g4_weighted_sssp",
+    "g8_hits_hubs_authorities",
+    # --- changed r6: g7 wedge-volume cap (VERDICT item 6) ---
+    "g7_clustering_coefficient",
+    # --- r5-deferred queue, original order (minus the four pulled up) ---
+    "dq10_mad_outliers",
+    "a35_topn_plus_others",
+    "a36_abc_classification",
+    "u5_snapshot_diff_report",
+    "ta_nb_train_classify",
+    "snk10_dynamic_partition_overwrite",
+    "g5_kcore_peel",
+    "ts7_autocorrelation",
+    "ts8_cusum_changepoint",
+    "g6_degree_assortativity",
+    "geo1_grid_distance_join",
+    "mb2_sequential_patterns",
+    "w15_rolling_median",
+    "ta_keyword_extract",
+    "mm_image_phash",
+    "src_binaryfile_roundtrip",
+    "ta_readability_forcast",
+    "a40_welch_ttest",
+    "mm_audio_silence",
+    "ta_zipf_fit",
+    "ts9_seasonal_strength",
+    "geo2_density_smooth",
+    "g9_adamic_adar_links",
+    "ts11_lttb_downsample",
+    "sql_q5_local_supplier_volume",
+    "sql_q18_large_volume_customer",
+    # R6 DEFERRED: none — every catalog entry is driver-checked in some
+    # r1–r6 round once CORRECTNESS_r06 lands this prefix; r7's rotation
+    # should lead with whatever r7 changes or adds.
 )
 
 
@@ -163,6 +148,13 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
     )
 
-    front = [n for n in _FRONT if n in REGISTRY]
+    # A _FRONT name missing from REGISTRY is a promised-but-unimplemented
+    # entry; silently dropping it once cost a driver rotation slot (the r5
+    # src_html_by_id ghost), so it is a hard error now.
+    ghosts = [n for n in _FRONT if n not in REGISTRY]
+    if ghosts:
+        raise KeyError(
+            f"_FRONT names not in REGISTRY (unimplemented?): {ghosts}"
+        )
     rest = [n for n in REGISTRY if n not in _FRONT]
-    return {n: REGISTRY[n] for n in (*front, *rest)}
+    return {n: REGISTRY[n] for n in (*_FRONT, *rest)}

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
 from nba_data_pipeline_spark.operators.textops import ws_tokens
+from nba_data_pipeline_spark.operators.totalorder import bounded_window
 from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
 
 #: Trigram shingles as retrieval terms: the documents corpus draws from a
@@ -349,18 +350,19 @@ def ta_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("logratio") / F.count(F.lit(1))).alias("imp"),
         )
     )
-    wr = W.orderBy(F.desc(F.round(F.col("imp"), ROUND_DIGITS)), "doc_id")
-    return (
-        scored.select(
-            F.row_number().over(wr).cast("int").alias("rank"),
-            "doc_id",
-            "lang",
-            "n_bigrams",
-            F.round("imp", ROUND_DIGITS).alias("importance"),
-        )
-        .filter(F.col("rank") <= _DSIR_TOPK)
-        .orderBy("rank")
-    )
+    # fixed-k top-k: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition top-k + tiny driver merge — no global sort); the rank
+    # label is then a bounded_window over the k surviving rows only.
+    key = [F.desc(F.round(F.col("imp"), ROUND_DIGITS)), F.asc("doc_id")]
+    topk = scored.orderBy(*key).limit(_DSIR_TOPK)
+    wr = bounded_window(*key, anchor="doc_id")
+    return topk.select(
+        F.row_number().over(wr).cast("int").alias("rank"),
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        F.round("imp", ROUND_DIGITS).alias("importance"),
+    ).orderBy("rank")
 
 
 #: BM25 query terms: bigram concepts with moderate df (the corpus's
@@ -477,17 +479,16 @@ def ta_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
-    wr = W.orderBy(F.desc(F.round(F.col("score"), ROUND_DIGITS)), "doc_id")
-    return (
-        scored.select(
-            F.row_number().over(wr).cast("int").alias("rank"),
-            "doc_id",
-            "n_terms_hit",
-            F.round("score", ROUND_DIGITS).alias("score"),
-        )
-        .filter(F.col("rank") <= _BM25_TOPK)
-        .orderBy("rank")
-    )
+    # fixed-k top-k via TakeOrderedAndProject; rank over the k-row sliver
+    key = [F.desc(F.round(F.col("score"), ROUND_DIGITS)), F.asc("doc_id")]
+    topk = scored.orderBy(*key).limit(_BM25_TOPK)
+    wr = bounded_window(*key, anchor="doc_id")
+    return topk.select(
+        F.row_number().over(wr).cast("int").alias("rank"),
+        "doc_id",
+        "n_terms_hit",
+        F.round("score", ROUND_DIGITS).alias("score"),
+    ).orderBy("rank")
 
 
 _KN_TOPK = 30
@@ -563,22 +564,25 @@ def ta_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + (F.lit(3.0) * F.col("n_follow") / (4 * F.col("cw1"))) * (
         F.col("n_prec") * F.lit(1.0) / F.col("n_types")
     )
-    wr = W.orderBy(F.desc("c"), "w1", "w2")
-    return (
+    # fixed-k top-k via TakeOrderedAndProject; rank over the k-row sliver
+    key = [F.desc("c"), F.asc("w1"), F.asc("w2")]
+    topk = (
         bc.join(F.broadcast(uc), "w1")
         .join(F.broadcast(cont), "w2")
         .crossJoin(F.broadcast(tot))
-        .select(
-            "w1",
-            "w2",
-            "c",
-            "cw1",
-            F.round(p_kn, 6).alias("p_kn"),
-            F.row_number().over(wr).cast("int").alias("rank"),
-        )
-        .filter(F.col("rank") <= _KN_TOPK)
-        .orderBy(F.desc("c"), "w1", "w2")
+        .select("w1", "w2", "c", "cw1", F.round(p_kn, 6).alias("p_kn"))
+        .orderBy(*key)
+        .limit(_KN_TOPK)
     )
+    wr = bounded_window(*key, anchor="w1")
+    return topk.select(
+        "w1",
+        "w2",
+        "c",
+        "cw1",
+        "p_kn",
+        F.row_number().over(wr).cast("int").alias("rank"),
+    ).orderBy(F.desc("c"), "w1", "w2")
 
 
 _SC_ROUNDS = 5

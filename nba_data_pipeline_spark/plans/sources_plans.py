@@ -153,6 +153,137 @@ def src_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SRC3: landed multi-table pages → htmltable DataSource → table-by-id pick
+# + TABLE_NAME_MAP-style rename → aggregate
+# ---------------------------------------------------------------------------
+
+#: (sf_dir, supplier.parquet mtime) → landed HTML dir (fixture synthesis,
+#: once per process per data generation — same cache posture as _land_csv).
+_HTML_BYID_CACHE: dict[tuple[str, float], str] = {}
+
+#: Table-id → friendly-name map, mirroring the reference's TABLE_NAME_MAP
+#: (get_basketball_stats_all_teams_Version6.py:55-82): extract only ids in
+#: the map, emit them under their friendly names.
+_TABLE_NAME_MAP = {"roster": "Roster", "per_poss": "Per_100_Poss"}
+
+
+def _land_html_by_id(sf_dir: str) -> str:
+    """Write one multi-table HTML page per nation: a visible decoy table, a
+    comment-embedded decoy, and two id-addressed payload tables
+    (id="roster" → supplier names, id="per_poss" → account cents). Driver-
+    side fixture synthesis over the bounded dim table; the measured path is
+    the distributed htmltable DataSource scan."""
+    import html as _html
+
+    cache_key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "supplier.parquet")))
+    if cache_key in _HTML_BYID_CACHE:
+        return _HTML_BYID_CACHE[cache_key]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    by_nation: dict[int, list[tuple[int, str, int]]] = {}
+    for key, name, nk, bal in zip(
+        tbl.column("s_suppkey").to_pylist(),
+        tbl.column("s_name").to_pylist(),
+        tbl.column("s_nationkey").to_pylist(),
+        tbl.column("s_acctbal").to_pylist(),
+    ):
+        cents = round(float(bal) * 100)
+        by_nation.setdefault(int(nk), []).append((int(key), name, int(cents)))
+    out_dir = session_tmpdir("src_html_by_id_")
+    for nk, rows in by_nation.items():
+        rows.sort()
+        roster = "".join(
+            f"<tr><td>{k}</td><td>{_html.escape(n, quote=False)}</td></tr>"
+            for k, n, _ in rows
+        )
+        poss = "".join(f"<tr><td>{k}</td><td>{c}</td></tr>" for k, _, c in rows)
+        page = (
+            "<html><body>"
+            # comment-embedded decoy: parsed (SRC2) but its id is not in
+            # the name map, so the by-id filter must drop it
+            '<!-- <table id="hidden_note"><tr><th>k</th></tr>'
+            "<tr><td>decoy</td></tr></table> -->"
+            # visible decoy without a mapped id
+            '<table id="nav"><tr><td>home</td></tr><tr><td>stats</td></tr></table>'
+            f'<table id="roster"><tr><th>suppkey</th><th>name</th></tr>{roster}</table>'
+            f'<table id="per_poss"><tr><th>suppkey</th><th>cents</th></tr>{poss}</table>'
+            "</body></html>"
+        )
+        with open(
+            os.path.join(out_dir, f"nation_{nk}.html"), "w", encoding="utf-8"
+        ) as f:
+            f.write(page)
+    _HTML_BYID_CACHE[cache_key] = out_dir
+    return out_dir
+
+
+@query(
+    "src_html_by_id",
+    oracle="""
+SELECT 'Roster' AS table_name, CAST(s_nationkey AS INT) AS nationkey,
+       COUNT(*) AS n_rows,
+       CAST(SUM(s_suppkey) AS BIGINT) AS sum_suppkey,
+       MIN(s_name) AS min_cell
+FROM supplier GROUP BY 2
+UNION ALL
+SELECT 'Per_100_Poss' AS table_name, CAST(s_nationkey AS INT) AS nationkey,
+       COUNT(*) AS n_rows,
+       CAST(SUM(s_suppkey) AS BIGINT) AS sum_suppkey,
+       MIN(CAST(CAST(ROUND(CAST(s_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT)
+                AS VARCHAR)) AS min_cell
+FROM supplier GROUP BY 2
+ORDER BY table_name, nationkey
+""",
+)
+def src_html_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC3 round-trip: supplier landed as one multi-table page per nation →
+    ``spark.read.format("htmltable")`` (one input partition per file,
+    parsing executor-side) → find-table-by-id as a relational filter on the
+    scan's table_id column → TABLE_NAME_MAP-style friendly rename → per
+    (table, nation) aggregate. Hash-matching the base-table oracle proves
+    id addressing picked exactly the mapped tables (not the visible or
+    comment-embedded decoys) and that every cell survived.
+
+    Reference parity: find_table_by_id + TABLE_NAME_MAP
+    (get_basketball_stats_all_teams_Version6.py:55-82,193-198).
+
+    Scale posture: the by-id pick is a filter over the DataSource scan
+    (never a driver-side DOM walk), the rename a broadcast-sized map join;
+    a 100k-page corpus fans out one partition per file."""
+    from nba_data_pipeline_spark.sources.html_datasource import register
+
+    land_dir = _land_html_by_id(sf_dir)
+    register(spark)
+    raw = spark.read.format("htmltable").load(land_dir)
+    name_map = F.create_map(
+        *[F.lit(x) for kv in _TABLE_NAME_MAP.items() for x in kv]
+    )
+    cells = F.from_json("cells", "array<string>")
+    return (
+        raw.filter(F.col("table_id").isin(*_TABLE_NAME_MAP))
+        .select(
+            name_map.getItem(F.col("table_id")).alias("table_name"),
+            F.regexp_extract("path", r"nation_(\d+)\.html", 1)
+            .cast("int")
+            .alias("nationkey"),
+            cells.getItem(0).cast("bigint").alias("suppkey"),
+            cells.getItem(1).alias("cell"),
+        )
+        .groupBy("table_name", "nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("suppkey").alias("sum_suppkey"),
+            F.min("cell").alias("min_cell"),
+        )
+        .orderBy("table_name", "nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SRC7: landed header-CSV with BOM + untrimmed cells → clean read → aggregate
 # ---------------------------------------------------------------------------
 

@@ -16,8 +16,13 @@ from nba_data_pipeline_spark.functions.extract import (
     detect_sportsbook,
     extract_first_odds,
     extract_hit_rate_pct,
+    extract_over_under,
     extract_prop_line,
+    extract_spread,
+    format_date_mdY,
     implied_probability,
+    resolve_relative_date,
+    sanitize_filename,
 )
 from nba_data_pipeline_spark.io import read_table
 from nba_data_pipeline_spark.operators.textops import (
@@ -396,6 +401,128 @@ def x21_odds_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         under_p.alias("under_prob"),
         (over_p + under_p - 1.0).alias("vig"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "x_sanitize_dates",
+    oracle="""
+WITH raw AS (
+  SELECT o_orderkey, o_orderstatus, o_orderdate,
+         concat('Game: ', o_orderpriority, '/', o_orderstatus, '?*',
+                CAST(o_orderkey AS VARCHAR)) AS fname_raw,
+         CASE o_orderkey % 3 WHEN 0 THEN 'today' WHEN 1 THEN 'tomorrow'
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS rel_raw,
+         concat(CASE o_orderstatus WHEN 'F' THEN 'BOS' WHEN 'O' THEN 'LAL'
+                     ELSE 'CHI' END,
+                ' by ', CAST(o_orderkey % 12 AS VARCHAR), '.',
+                CAST((o_orderkey % 2) * 5 AS VARCHAR),
+                ' o/u ', CAST(200 + o_orderkey % 30 AS VARCHAR), '.5') AS header
+  FROM orders
+),
+cooked AS (
+  SELECT o_orderstatus,
+         substring(regexp_replace(regexp_replace(regexp_replace(fname_raw,
+                   '[<>:"/\\\\|?*]', '_', 'g'), '_+', '_', 'g'),
+                   '^_|_$', '', 'g'), 1, 80) AS fname,
+         strftime(o_orderdate, '%m/%d/%Y') AS date_mdY,
+         CASE WHEN rel_raw = 'today' THEN 0
+              WHEN rel_raw = 'tomorrow' THEN 1
+              ELSE CAST(CAST(rel_raw AS DATE) - current_date AS INT) END
+             AS rel_offset_days,
+         regexp_extract(header, '([A-Z]{3}) by (\\d+\\.?\\d*)', 1) AS fav,
+         CAST(regexp_extract(header, '([A-Z]{3}) by (\\d+\\.?\\d*)', 2)
+              AS DOUBLE) AS spread,
+         CAST(regexp_extract(header, 'o/u\\s*(\\d+\\.?\\d*)', 1) AS DOUBLE)
+             AS ou
+  FROM raw
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(fname) AS min_fname, MAX(fname) AS max_fname,
+       MIN(date_mdY) AS min_date, MAX(date_mdY) AS max_date,
+       CAST(SUM(CASE WHEN rel_offset_days IN (0, 1)
+                     THEN rel_offset_days ELSE 0 END) AS BIGINT)
+           AS rel_today_tomorrow_sum,
+       MIN(fav) AS fav, SUM(spread) AS sum_spread, SUM(ou) AS sum_ou
+FROM cooked
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def x_sanitize_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 filename sanitization + X16 relative-date resolution + X15 date
+    format + X20 betting-header parse, batched into one oracle-checked pass
+    (VERDICT r5 item 8 — these were pytest-only). Raw strings are built
+    deterministically from orders columns, pushed through the REAL extract
+    functions (functions/extract.py:91,109,114,134,142 — reference parity
+    nba_props_scraper.py:862-872,94-102, lineup_scraper.py:71-78), then
+    re-aggregated so the DuckDB twin hash-checks every transform.
+
+    Determinism: the 'today'/'tomorrow' lanes are compared as OFFSETS from
+    current_date (0/1 — stable regardless of run date); absolute dates are
+    compared as formatted strings with no clock dependence. Spreads/totals
+    are exact multiples of 0.5, so their double sums are exact.
+
+    Scale shape: pure per-row codegen expressions over one scan + one
+    map-side-combined 3-group aggregate — no shuffle wider than the
+    3-value status alphabet."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"
+    )
+    k = F.col("o_orderkey")
+    fname_raw = F.concat(
+        F.lit("Game: "),
+        F.col("o_orderpriority"),
+        F.lit("/"),
+        F.col("o_orderstatus"),
+        F.lit("?*"),
+        k.cast("string"),
+    )
+    rel_raw = (
+        F.when(k % 3 == 0, F.lit("today"))
+        .when(k % 3 == 1, F.lit("tomorrow"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    header = F.concat(
+        F.when(F.col("o_orderstatus") == "F", F.lit("BOS"))
+        .when(F.col("o_orderstatus") == "O", F.lit("LAL"))
+        .otherwise(F.lit("CHI")),
+        F.lit(" by "),
+        (k % 12).cast("string"),
+        F.lit("."),
+        ((k % 2) * 5).cast("string"),
+        F.lit(" o/u "),
+        (200 + k % 30).cast("string"),
+        F.lit(".5"),
+    )
+    resolved = resolve_relative_date(rel_raw)
+    rel_offset = F.datediff(resolved, F.current_date())
+    fav, spread = extract_spread(header)
+    cooked = o.select(
+        "o_orderstatus",
+        sanitize_filename(fname_raw).alias("fname"),
+        format_date_mdY(F.col("o_orderdate")).alias("date_mdY"),
+        F.when(rel_raw.isin("today", "tomorrow"), rel_offset)
+        .otherwise(F.lit(0))
+        .alias("rel_clamped"),
+        fav.alias("fav"),
+        spread.alias("spread"),
+        extract_over_under(header).alias("ou"),
+    )
+    return (
+        cooked.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("fname").alias("min_fname"),
+            F.max("fname").alias("max_fname"),
+            F.min("date_mdY").alias("min_date"),
+            F.max("date_mdY").alias("max_date"),
+            F.sum("rel_clamped").cast("bigint").alias("rel_today_tomorrow_sum"),
+            F.min("fav").alias("fav"),
+            F.sum("spread").alias("sum_spread"),
+            F.sum("ou").alias("sum_ou"),
+        )
+        .orderBy("o_orderstatus")
+    )
 
 
 _SQL_MATCHUP_RAW = (

@@ -16,6 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.totalorder import bounded_window
 from nba_data_pipeline_spark.plans.registry import query
 
 
@@ -851,8 +852,12 @@ def ts10_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     span in days, a few hundred rows at any corpus size). The at-risk
     count is a descending cumulative sum and the survival product is the
     classic EXP(running SUM(LN(1 - d/n))) — both windows run over the
-    duration-grain table, never over raw events. The single-partition
-    window is bounded by the calendar, not the data.
+    duration-grain table, never over raw events, and are declared via
+    ``bounded_window``: the grain is |distinct lifetimes in days| ≤ the
+    observation span (≈3.7k rows even for a decade of data at any corpus
+    size) — bounded by the calendar, not the data. Keeping the survival
+    log-sum sequential (one task) also keeps its float accumulation order
+    identical to the oracle's ordered window.
 
     Determinism: durations and death/censor counts are exact integers;
     only the survival product is floating and it is ROUND()ed after an
@@ -891,9 +896,9 @@ def ts10_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("died").cast("long").alias("n_deaths"),
         F.sum(1 - F.col("died")).cast("long").alias("n_censored"),
     )
-    w_risk = W.orderBy(F.desc("dur_day")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
+    w_risk = bounded_window(
+        F.desc("dur_day"), anchor="dur_day"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
     risk = grp.select(
         "dur_day",
         "n_deaths",
@@ -903,7 +908,9 @@ def ts10_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_at_risk"),
     )
-    w_surv = W.orderBy("dur_day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_surv = bounded_window("dur_day", anchor="dur_day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     return (
         risk.withColumn(
             "survival",

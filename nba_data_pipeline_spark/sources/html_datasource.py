@@ -18,7 +18,10 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-_SCHEMA = "path string, table_idx int, row_idx int, headers string, cells string"
+_SCHEMA = (
+    "path string, table_idx int, row_idx int, headers string, cells string, "
+    "table_id string"
+)
 
 
 class _HtmlFilePartition(InputPartition):
@@ -45,14 +48,22 @@ class HtmlTableReader(DataSourceReader):
     def read(self, partition: _HtmlFilePartition) -> Iterator[tuple]:
         # Import inside read(): this body executes on executors, where the
         # engine package is importable but driver-scope globals are not.
-        from nba_data_pipeline_spark.sources.html_table import parse_html_tables
+        from nba_data_pipeline_spark.sources.html_table import (
+            parse_html_tables_with_attrs,
+        )
 
         with open(partition.path, encoding="utf-8", errors="replace") as fh:
             html = fh.read()
-        for t_idx, (headers, rows) in enumerate(parse_html_tables(html)):
+        for t_idx, (attrs, headers, rows) in enumerate(
+            parse_html_tables_with_attrs(html)
+        ):
             hdr = json.dumps(headers)
+            # table_id carries the tag's id attribute (None when absent) so
+            # SRC3 find-table-by-id (get_basketball_stats_all_teams_
+            # Version6.py:193-198) is a relational filter on the scan.
+            tid = attrs.get("id") or None
             for r_idx, row in enumerate(rows):
-                yield (partition.path, t_idx, r_idx, hdr, json.dumps(row))
+                yield (partition.path, t_idx, r_idx, hdr, json.dumps(row), tid)
 
 
 class HtmlTableDataSource(DataSource):
