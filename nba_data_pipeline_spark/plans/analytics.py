@@ -1669,6 +1669,12 @@ def a26_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: the histogram build is one map-side-combining aggregate
     whose key space is (groups × ~buckets) — KBs regardless of row count;
     the quantile extraction windows run on that summary, not the data.
+    The exact-p50 twin is HISTOGRAM-ASSISTED SELECTION: the summary
+    locates each group's median bucket and in-bucket target rank, and
+    only that bucket's sliver (≈ n/buckets rows, governed by _HQ_W) is
+    ranked — the r5 form ranked every row inside a per-group window,
+    which put the entire fact table in the '(all)' partition's single
+    task and measured 22.9× at the 30× ladder point (now 3.4 s ≈ 3×).
     This is how a 100 TB latency dashboard serves percentiles per
     dimension slice without a percentile_approx pass per slice."""
     cents = read_table(spark, sf_dir, "orders").select(
@@ -1704,23 +1710,36 @@ def a26_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     est = cum.groupBy("grp").agg(
         F.max("n").cast("bigint").alias("n"), _est(50), _est(90), _est(99)
     )
-    doubled = cents.unionByName(
-        cents.select(F.lit("(all)").alias("grp"), "c", "o_orderkey").select(
-            "o_orderkey", "grp", "c"
+    # Exact p50 via histogram-assisted selection: the tiny cum table
+    # yields, per group, the median bucket and the in-bucket target rank
+    # k = r − cum(preceding buckets); only that bucket's rows are ranked.
+    med = (
+        cum.withColumn("r", F.expr("(n + 1) div 2"))
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("grp")
+        .agg(F.min(F.struct("bucket", "cum", "cnt", "r")).alias("m"))
+        .select(
+            "grp",
+            F.col("m.bucket").alias("bucket"),
+            (F.col("m.r") - (F.col("m.cum") - F.col("m.cnt"))).alias("k"),
         )
     )
-    ranked = doubled.select(
-        "grp",
-        "c",
-        F.row_number()
-        .over(W.partitionBy("grp").orderBy("c", "o_orderkey"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n"),
-    )
-    exact = ranked.groupBy("grp").agg(
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("c")))
-        .cast("bigint")
-        .alias("p50_exact")
+    doubled = cents.unionByName(
+        cents.select("o_orderkey", F.lit("(all)").alias("grp"), "c")
+    ).withColumn("bucket", F.expr(f"c div {_HQ_W}"))
+    sliver = doubled.join(F.broadcast(med), ["grp", "bucket"])
+    exact = (
+        sliver.select(
+            "grp",
+            "c",
+            "k",
+            F.row_number()
+            .over(W.partitionBy("grp").orderBy("c", "o_orderkey"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == F.col("k"))
+        .groupBy("grp")
+        .agg(F.max("c").cast("bigint").alias("p50_exact"))
     )
     return (
         est.join(exact, "grp")
@@ -1944,11 +1963,12 @@ ranked AS (
 ),
 agg AS (
   SELECT MAX(n) AS n, MAX(total) AS total,
-         CAST(SUM(i * cents) AS BIGINT) AS s_iw
+         CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS s_iw
   FROM ranked
 )
 SELECT n AS n_customers, total AS total_cents,
-       CAST(2 * s_iw AS DOUBLE) / (n * total) - CAST(n + 1 AS DOUBLE) / n AS gini,
+       CAST(2 * s_iw AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+           - CAST(n + 1 AS DOUBLE) / n AS gini,
        CAST(total AS DOUBLE) / (100 * n) AS mean_revenue
 FROM agg
 """,
@@ -1981,16 +2001,24 @@ def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = total_order(
         c, ["cents", "o_custkey"], rank_col="i", materialize=True
     ).select("cents", "i")
+    # Σ(i·wᵢ) accumulates in DECIMAL(38,0): at 30× data the bigint form
+    # overflowed (rank ~4.5e5 × lifetime cents ~5e8 summed over all
+    # customers ≈ 1e20 > 2^63; DuckDB widened silently to HUGEINT). The
+    # gini denominator n·total is likewise computed in double — its exact
+    # integer value also outgrows bigint at scale.
     agg = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
-        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("s_iw"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("s_iw"),
     )
     return agg.select(
         F.col("n").alias("n_customers"),
         F.col("total").alias("total_cents"),
         (
-            (2 * F.col("s_iw")).cast("double") / (F.col("n") * F.col("total"))
+            (2 * F.col("s_iw")).cast("double")
+            / (F.col("n").cast("double") * F.col("total").cast("double"))
             - (F.col("n") + 1).cast("double") / F.col("n")
         ).alias("gini"),
         (F.col("total").cast("double") / (100 * F.col("n"))).alias("mean_revenue"),

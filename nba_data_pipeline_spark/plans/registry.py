@@ -80,16 +80,30 @@ _FRONT: tuple[str, ...] = (
     "lo4_skew_profiler",
     "ts10_kaplan_meier",
     "a8_status_rollup",
-    "a33_share_of_parent",
+    # --- changed r6: histogram-assisted exact-median selection (the 30×
+    # ladder exposed the whole-fact '(all)' window partition). a33's r6
+    # change was a value-identical bounded_window declaration
+    # (driver-r5-green values, plan-fingerprinted) — it yields its slot. ---
+    "a26_histogram_quantile_rollup",
     "a38_runs_test",
     "a39_chi_square_independence",
-    "dq4_benford_digit_audit",
+    # --- changed r6: decimal(38,0) Σ(i·w) overflow fix (value-affecting:
+    # the gini division operands changed type). dq4's r6 change was a
+    # value-identical bounded_window declaration (driver-r2-green values,
+    # plan-fingerprinted), so it yields its slot to a29. ---
+    "a29_gini_concentration",
     "sky1_pareto_frontier",
     "g1_pagerank_trade",
     "g4_weighted_sssp",
     "g8_hits_hubs_authorities",
     # --- changed r6: g7 wedge-volume cap (VERDICT item 6) ---
     "g7_clustering_coefficient",
+    # --- changed r6: fixed-size pair samples (the 30× ladder exposed the
+    # r5 proportional sample as quadratic). ntile_from_rank's divisor
+    # guard is NOT given a slot: it is value-identical by construction,
+    # property-tested against F.ntile in tests/test_totalorder.py, and
+    # a43 above re-verifies both its callers' semantics on the driver. ---
+    "sim_alignment_uniformity",
     # --- r5-deferred queue, original order (minus the four pulled up) ---
     "dq10_mad_outliers",
     "a35_topn_plus_others",

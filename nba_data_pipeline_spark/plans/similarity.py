@@ -1547,21 +1547,39 @@ def sim_ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed ABSOLUTE sample sizes for the two pair statistics. r5 bounded the
+#: uniformity sample PROPORTIONALLY (vec_id % 4) and left alignment on the
+#: full label join — both keep pair mass quadratic in the corpus, and the
+#: r6 30× ladder run hung on exactly that (30× vectors with a fixed label
+#: alphabet → ~900× pairs). Fixed-size samples make both halves O(1) pair
+#: mass at any corpus size; vec_id order is the deterministic,
+#: engine-identical selection.
+_AU_PER_LABEL = 64   # alignment: vectors per label → ≤ 2016 pairs/label
+_AU_UNIF_N = 256     # uniformity: global sample → 32 640 pairs
+
+
 @query(
     "sim_alignment_uniformity",
     oracle=f"""
 WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vs AS (
+  SELECT vec_id, label, e FROM (
+    SELECT vec_id, label, e,
+           ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM v
+  ) WHERE rn <= {_AU_PER_LABEL}
+),
 pos AS (
   SELECT a.label,
          2 - 2 * ({_SQL_COS}) AS sqdist
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM vs a JOIN vs b ON a.label = b.label AND a.vec_id < b.vec_id
 ),
 align AS (
   SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
          AVG(sqdist) AS alignment
   FROM pos GROUP BY 1
 ),
-s AS (SELECT vec_id, e FROM v WHERE vec_id % 4 = 0),
+s AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {_AU_UNIF_N}),
 u AS (
   SELECT ln(AVG(exp(-2 * (2 - 2 * ({_SQL_COS}))))) AS uniformity
   FROM s a JOIN s b ON a.vec_id < b.vec_id
@@ -1583,22 +1601,34 @@ def sim_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint export before trusting the embeddings for dedup (d5/d6) or
     retrieval (sim_*).
 
-    Scale shape: positive pairs come from a LABEL equi-join — blocked by
-    construction, |label|-bounded skew, never all-pairs over the corpus.
-    The uniformity potential is defined over unordered pairs; computing
-    it exactly is quadratic, so it runs on a deterministic systematic
-    sample (vec_id % 4 — no RNG, same rows on any engine) joined via
-    broadcast-NL below the pair filter, the same exact-eval posture as
-    sim_hard_negatives. Both statistics are mergeable averages of
-    per-pair doubles (the engine-stable cosine fold), rounded on both
-    engines."""
+    Scale shape: both statistics are pairwise, so pair mass — not row
+    count — is the cost, and BOTH run on FIXED-SIZE deterministic samples
+    (smallest vec_ids; no RNG, same rows on any engine): alignment over
+    _AU_PER_LABEL vectors per label (a partitioned WindowGroupLimit — the
+    per-label top-k never leaves its partition) and uniformity over a
+    _AU_UNIF_N-row TakeOrderedAndProject sample joined via broadcast-NL.
+    Pair mass is therefore O(1) in the corpus: the r5 form (full label
+    join + proportional % 4 sample) was measured quadratic at the 30×
+    ladder point — 30× vectors with a fixed label alphabet is ~900×
+    pairs — and hung; this is the estimator the Wang-Isola health check
+    actually prescribes (sampled pairs, not the full Gram matrix). Both
+    statistics are mergeable averages of per-pair doubles (the
+    engine-stable cosine fold), rounded on both engines."""
+    from pyspark.sql import Window as W
+
     v = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    a = v.select(
+    wl = W.partitionBy("label").orderBy("vec_id")
+    vs = (
+        v.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= _AU_PER_LABEL)
+        .drop("rn")
+    )
+    a = vs.select(
         F.col("vec_id").alias("ida"), "label", F.col("embedding").alias("ea")
     )
-    b = v.select(
+    b = vs.select(
         F.col("vec_id").alias("idb"), "label", F.col("embedding").alias("eb")
     )
     sqdist = 2.0 - 2.0 * cosine(F.col("ea"), F.col("eb"))
@@ -1612,7 +1642,7 @@ def sim_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("sqdist").alias("alignment"),
         )
     )
-    s = v.filter(F.col("vec_id") % 4 == 0)
+    s = v.select("vec_id", "embedding").orderBy("vec_id").limit(_AU_UNIF_N)
     sa = s.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
     sb = s.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
     u = (

@@ -925,12 +925,21 @@ def src_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fails the gate.
 
     Scale shape: binaryFile batches small files per task
-    (maxPartitionBytes-sized groups) and prunes on the path glob; the
-    verification is a stateless JVM-codegen map (regexp + md5 + unhex);
-    the only shuffle is the final presentation sort. At 100 TB the same
-    plan reads an object store listing — lineage identical."""
+    (maxPartitionBytes-sized groups) and prunes via pathGlobFilter on a
+    SINGLE directory path — a ``load("dir/*.bin")`` glob expands to one
+    listing path PER FILE and Spark then runs a one-task-per-path
+    distributed listing job (measured 5000 tasks / 6.7 s at sf0.1 vs
+    1.0 s for the directory load; at object-store scale that glob is a
+    request storm). The verification is a stateless JVM-codegen map
+    (regexp + md5 + unhex); the only shuffle is the final presentation
+    sort. At 100 TB the same plan reads an object store listing —
+    lineage identical."""
     path = _land_binary(spark, sf_dir)
-    df = spark.read.format("binaryFile").load(os.path.join(path, "*.bin"))
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
     doc_id = F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long")
     expected = F.unhex(
         F.repeat(F.md5(doc_id.cast("string").cast("binary")), 4)

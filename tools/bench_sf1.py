@@ -108,6 +108,23 @@ HEAVY = [
     "ts9_seasonal_strength",
     "a42_qq_deciles",
     "geo2_density_smooth",
+    # r5/r6: the distributed total-order family (sampled-cut two-pass
+    # rank/ntile/prefix-sum) and the r6-changed plans — the rank rewires
+    # are exactly the queries whose scale posture changed, so they need
+    # an above-sf0.1 point
+    "w8_curriculum_deciles",
+    "ta_weighted_sample",
+    "a29_gini_concentration",
+    "a43_rfm_segmentation",
+    "flagship_hitrate_last10",
+    "a20_cms_heavy_hitters",
+    "a25_kmv_set_ops",
+    "ts10_kaplan_meier",
+    "x_sanitize_dates",
+    "a26_histogram_quantile_rollup",
+    "a28_running_distinct",
+    "a30_markov_transitions",
+    "a31_ab_proportion_ztest",
 ]
 
 
