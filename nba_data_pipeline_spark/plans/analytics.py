@@ -2840,19 +2840,21 @@ stats AS (
   FROM avg_ranked
 ),
 ties AS (
-  SELECT SUM(CAST(t * (t * t - 1) AS DOUBLE)) AS tie_term,
+  SELECT SUM(CAST(t AS DOUBLE) * (CAST(t AS DOUBLE) * t - 1)) AS tie_term,
          CAST(SUM(t) AS BIGINT) AS n
   FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pool GROUP BY x)
 )
 SELECT s.n1, s.n2,
-       ROUND(s.r1 - s.n1 * (s.n1 + 1) / 2.0, 4) AS u1,
-       ROUND((s.r1 - s.n1 * (s.n1 + 1) / 2.0 - s.n1 * s.n2 / 2.0)
+       ROUND(s.r1 - CAST(s.n1 AS DOUBLE) * (s.n1 + 1) / 2.0, 4) AS u1,
+       ROUND((s.r1 - CAST(s.n1 AS DOUBLE) * (s.n1 + 1) / 2.0
+              - CAST(s.n1 AS DOUBLE) * s.n2 / 2.0)
              / sqrt(CAST(s.n1 AS DOUBLE) * s.n2 / 12.0
                     * ((s.n1 + s.n2 + 1)
                        - t.tie_term / (CAST(s.n1 + s.n2 AS DOUBLE)
                                        * (s.n1 + s.n2 - 1)))),
              4) AS z,
-       ABS((s.r1 - s.n1 * (s.n1 + 1) / 2.0 - s.n1 * s.n2 / 2.0)
+       ABS((s.r1 - CAST(s.n1 AS DOUBLE) * (s.n1 + 1) / 2.0
+            - CAST(s.n1 AS DOUBLE) * s.n2 / 2.0)
            / sqrt(CAST(s.n1 AS DOUBLE) * s.n2 / 12.0
                   * ((s.n1 + s.n2 + 1)
                      - t.tie_term / (CAST(s.n1 + s.n2 AS DOUBLE)
@@ -2906,13 +2908,18 @@ def a37_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t1").cast("long").alias("n1"),
         F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
         F.sum(F.col("t1") * ar).alias("r1"),
-        F.sum((F.col("t") * (F.col("t") * F.col("t") - 1)).cast("double")).alias(
-            "tie_term"
-        ),
+        # tie cube in DOUBLE: t·(t²−1) overflows bigint once any single
+        # value repeats ~2e6 times (hot price points at corpus scale);
+        # per-cell values are integers < 2^53 here so the double is exact
+        # and hash-identical, while the wide form never overflows.
+        F.sum(
+            F.col("t").cast("double") * (F.col("t").cast("double") * F.col("t") - 1)
+        ).alias("tie_term"),
         F.sum("t").cast("long").alias("n"),
     )
-    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
-    mu = F.col("n1") * F.col("n2") / 2.0
+    u1 = F.col("r1") - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
+    # double product: n1·n2 in bigint passes 2^63 near 3e9 rows per group
+    mu = F.col("n1").cast("double") * F.col("n2") / 2.0
     sigma = F.sqrt(
         F.col("n1").cast("double")
         * F.col("n2")
@@ -3234,7 +3241,10 @@ n AS (
   FROM cells
 ),
 scored AS (
-  SELECT val, ABS(cum1 * n.n2 - cum2 * n.n1) AS dnum, n.n1, n.n2
+  SELECT val,
+         ABS(CAST(cum1 AS DECIMAL(38,0)) * n.n2
+             - CAST(cum2 AS DECIMAL(38,0)) * n.n1) AS dnum,
+         n.n1, n.n2
   FROM cum CROSS JOIN n
 ),
 best AS (
@@ -3243,10 +3253,13 @@ best AS (
   FROM scored
 )
 SELECT n1, n2,
-       ROUND(CAST(dnum AS DOUBLE) / (n1 * n2), {ROUND_DIGITS}) AS ks_d,
+       ROUND(CAST(dnum AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), {ROUND_DIGITS}) AS ks_d,
        val AS at_value,
-       CAST(dnum AS DOUBLE) / (n1 * n2)
-           > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject_95
+       CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+           > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                          / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+           AS reject_95
 FROM best WHERE rk = 1
 """,
 )
@@ -3292,13 +3305,18 @@ def a41_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals={"n1": "c1", "n2": "c2"},
         materialize=True,
     )
+    # cross-multiplied ECDF gap in DECIMAL(38,0): cum·n products pass 2^63
+    # once each group holds ~5e9 rows (the a29 overflow class); decimal
+    # keeps the argmax exact at any cardinality, identically on both
+    # engines.
     scored = cum.select(
         "val",
         "n1",
         "n2",
-        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
-            "dnum"
-        ),
+        F.abs(
+            F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+            - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+        ).alias("dnum"),
     )
     # global argmax (max dnum, lowest val on ties) as one struct-max
     # aggregate — map-side combinable, no window, one output row
@@ -3318,7 +3336,8 @@ def a41_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.dnum").alias("dnum"),
         F.col("b.val").alias("val"),
     )
-    ks = F.col("dnum").cast("double") / (F.col("n1") * F.col("n2"))
+    n1n2 = F.col("n1").cast("double") * F.col("n2").cast("double")
+    ks = F.col("dnum").cast("double") / n1n2
     return best.select(
         "n1",
         "n2",
@@ -3327,10 +3346,7 @@ def a41_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             ks
             > 1.358
-            * F.sqrt(
-                (F.col("n1") + F.col("n2")).cast("double")
-                / (F.col("n1") * F.col("n2"))
-            )
+            * F.sqrt((F.col("n1") + F.col("n2")).cast("double") / n1n2)
         ).alias("reject_95"),
     )
 
