@@ -57,16 +57,23 @@ def geo1_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most one cell away, recall is exactly 100% — the oracle
     brute-forces all pairs and must agree pair-for-pair.
 
-    Scale shape: replication is a constant 9x on one side only, the join
-    is a plain shuffle equi-join on the cell id, and candidate mass is
-    sum-over-cells |A_cell|·|B_3x3| ≈ 9·n·density — linear in n at fixed
-    density, never n². Each unordered pair is emitted exactly once: the
-    right side sits in its HOME cell only, the left side's neighborhood
-    covers that cell exactly once, and k1 < k2 kills mirrors. Skewed
-    cells (hot spots) split under AQE like any hot join key; at planetary
-    scale swap the uniform grid for a space-filling-curve bucketing
-    (lo1's Z-order) with the same join shape. Squared-integer distance —
-    no sqrt, no floats, bit-exact across engines."""
+    Scale shape: replication is a constant 5x on one side only — the
+    home cell plus the four lexicographically-FORWARD neighbors
+    (1,-1),(1,0),(1,1),(0,1). For two points in the same cell the home
+    replica meets the home row and k1 < k2 kills the mirror; for two
+    points in adjacent cells exactly one of the two offset directions is
+    forward, so the pair is generated exactly once with no key condition
+    (least/greatest normalizes the output columns). That is the standard
+    half-plane halving of the 3x3 plan: candidate mass drops from
+    9·n·density to 5·n·density with recall still exactly 100%. The join
+    is a plain shuffle equi-join on the cell id; candidate mass is linear
+    in n at fixed density, never n² (when density itself grows with the
+    corpus — a fixed world tiled with more points — OUTPUT mass grows as
+    n·density and no algorithm beats output size; see BENCH_sf1.md).
+    Skewed cells (hot spots) split under AQE like any hot join key; at
+    planetary scale swap the uniform grid for a space-filling-curve
+    bucketing (lo1's Z-order) with the same join shape. Squared-integer
+    distance — no sqrt, no floats, bit-exact across engines."""
     h = F.md5(F.col("c_custkey").cast("string").cast("binary"))
     pts = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"),
@@ -77,32 +84,43 @@ def geo1_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cy = (F.col("y") / RADIUS).cast("long")
     # right side: home cell only
     right = pts.select(
-        F.col("k").alias("k2"),
+        F.col("k").alias("kb"),
         F.col("x").alias("x2"),
         F.col("y").alias("y2"),
         (cx * 1000 + cy).alias("cell"),
     )
-    # left side: replicate into the 3x3 neighborhood
+    # left side: replicate into the home cell + the four lexicographically
+    # FORWARD neighbors only (half-plane halving of the 3x3 plan)
     offsets = F.array(
         *[
             (cx + dx) * 1000 + (cy + dy)
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
         ]
     )
     left = pts.select(
-        F.col("k").alias("k1"),
+        F.col("k").alias("ka"),
         F.col("x").alias("x1"),
         F.col("y").alias("y1"),
+        (cx * 1000 + cy).alias("home"),
         F.explode(offsets).alias("cell"),
     )
     d2 = (F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2")) + (
         F.col("y1") - F.col("y2")
     ) * (F.col("y1") - F.col("y2"))
+    # same-cell pairs: the home replica meets the home row, ka < kb kills
+    # the mirror. Cross-cell pairs: exactly one offset direction is
+    # forward, so the pair arrives once with no key condition.
+    emit = (F.col("home") == F.col("cell")) & (F.col("ka") < F.col("kb")) | (
+        F.col("home") != F.col("cell")
+    )
     return (
         left.join(right, "cell")
-        .filter((F.col("k1") < F.col("k2")) & (d2 <= RADIUS2))
-        .select("k1", "k2", d2.cast("bigint").alias("dist2"))
+        .filter(emit & (d2 <= RADIUS2))
+        .select(
+            F.least("ka", "kb").alias("k1"),
+            F.greatest("ka", "kb").alias("k2"),
+            d2.cast("bigint").alias("dist2"),
+        )
         .orderBy("k1", "k2")
     )
 

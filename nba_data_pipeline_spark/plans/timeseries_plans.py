@@ -961,8 +961,10 @@ agg AS (
 bounds AS (SELECT MIN(b) AS bmin, MAX(b) AS bmax FROM agg),
 interior AS (
   SELECT p.b, p.x, p.y, p.ts, p.event_id,
-         ABS((pa.sx * na.n - na.sx * pa.n) * (p.y * pa.n - pa.sy)
-             - (pa.sx - p.x * pa.n) * (pa.sy * na.n - na.sy * pa.n))
+         ABS((CAST(pa.sx AS HUGEINT) * na.n - CAST(na.sx AS HUGEINT) * pa.n)
+             * (CAST(p.y AS HUGEINT) * pa.n - pa.sy)
+             - (CAST(pa.sx AS HUGEINT) - CAST(p.x AS HUGEINT) * pa.n)
+             * (CAST(pa.sy AS HUGEINT) * na.n - CAST(na.sy AS HUGEINT) * pa.n))
              AS area2
   FROM pts p
   JOIN agg pa ON pa.b = p.b - 1
@@ -1015,11 +1017,14 @@ def ts11_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer-exact argmax: with a = centroid(b-1), c = centroid(b+1), the
     triangle area's sign-free double form is scaled by na²·nc (positive
-    constants per bucket) into pure BIGINT products of epoch-second and
+    constants per bucket) into pure integer products of epoch-second and
     value-cent sums — `area2 = |(sx_a·n_a' ... )|` as written — so the
     per-bucket winner cannot flip on a float ulp; ties break on
-    (ts, event_id). Magnitude bound: |x|≤2e9·240, |y|≤5e4, products stay
-    ≤ ~1e15, far inside BIGINT.
+    (ts, event_id). The products scale as n³ per bucket (sums carry a
+    factor n, and factors multiply), which OVERFLOWS BIGINT once buckets
+    pass ~10k rows (caught by the 30x ladder: ANSI ARITHMETIC_OVERFLOW
+    at sf3), so area2 is computed in DECIMAL(38,0) here and HUGEINT in
+    the oracle — exact to n ≈ 1e8 rows per bucket, ordering unchanged.
 
     Scale shape: one partial-agg shuffle to bucket grain, then the point
     table joins the TINY bucket-centroid frame twice (broadcast) and the
@@ -1062,11 +1067,25 @@ def ts11_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(na, "b")
         .withColumn(
             "area2",
+            # DECIMAL(38,0) lane: the factor products scale ~n^3 per
+            # bucket and blow past BIGINT once buckets hold >~10k rows.
             F.abs(
-                (F.col("pa_sx") * F.col("na_n") - F.col("na_sx") * F.col("pa_n"))
-                * (F.col("y") * F.col("pa_n") - F.col("pa_sy"))
-                - (F.col("pa_sx") - F.col("x") * F.col("pa_n"))
-                * (F.col("pa_sy") * F.col("na_n") - F.col("na_sy") * F.col("pa_n"))
+                (
+                    F.col("pa_sx").cast("decimal(38,0)") * F.col("na_n")
+                    - F.col("na_sx").cast("decimal(38,0)") * F.col("pa_n")
+                )
+                * (
+                    F.col("y").cast("decimal(38,0)") * F.col("pa_n")
+                    - F.col("pa_sy")
+                )
+                - (
+                    F.col("pa_sx").cast("decimal(38,0)")
+                    - F.col("x").cast("decimal(38,0)") * F.col("pa_n")
+                )
+                * (
+                    F.col("pa_sy").cast("decimal(38,0)") * F.col("na_n")
+                    - F.col("na_sy").cast("decimal(38,0)") * F.col("pa_n")
+                )
             ),
         )
     )

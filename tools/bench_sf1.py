@@ -125,6 +125,13 @@ HEAVY = [
     "a28_running_distinct",
     "a30_markov_transitions",
     "a31_ab_proportion_ztest",
+    # r6 coverage-closing sweep: the last catalog entries with no
+    # above-sf0.1 measurement
+    "g9_adamic_adar_links",
+    "ts11_lttb_downsample",
+    "sql_q5_local_supplier_volume",
+    "sql_q18_large_volume_customer",
+    "src_html_by_id",
 ]
 
 
