@@ -115,6 +115,10 @@ _FRONT: tuple[str, ...] = (
     "ts7_autocorrelation",
     "ts8_cusum_changepoint",
     "g6_degree_assortativity",
+    # geo1 + ts11 (below) also CHANGED late in r6 — geo1's half-plane
+    # candidate halving and ts11's DECIMAL(38,0) area2 overflow fix (both
+    # caught by the 30x ladder); they were already queue members, so the
+    # prefix re-verifies the new plans without costing extra slots.
     "geo1_grid_distance_join",
     "mb2_sequential_patterns",
     "w15_rolling_median",

@@ -943,6 +943,29 @@ def ts10_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TS11_BUCKET_SEC = 6 * 3600
 
 
+def _ts11_area2():
+    """TS11's scaled triangle-area argmax key over columns
+    (x, y, pa_sx, pa_sy, pa_n, na_sx, na_sy, na_n) — in DECIMAL(38,0):
+    the factor products scale ~n^3 per bucket and blow past BIGINT once
+    buckets hold >~10k rows (the 30x ladder hit ANSI ARITHMETIC_OVERFLOW
+    at sf3); decimal keeps the argmax exact to ~1e8 rows per bucket."""
+    return F.abs(
+        (
+            F.col("pa_sx").cast("decimal(38,0)") * F.col("na_n")
+            - F.col("na_sx").cast("decimal(38,0)") * F.col("pa_n")
+        )
+        * (F.col("y").cast("decimal(38,0)") * F.col("pa_n") - F.col("pa_sy"))
+        - (
+            F.col("pa_sx").cast("decimal(38,0)")
+            - F.col("x").cast("decimal(38,0)") * F.col("pa_n")
+        )
+        * (
+            F.col("pa_sy").cast("decimal(38,0)") * F.col("na_n")
+            - F.col("na_sy").cast("decimal(38,0)") * F.col("pa_n")
+        )
+    )
+
+
 @query(
     "ts11_lttb_downsample",
     oracle=f"""
@@ -1065,29 +1088,7 @@ def ts11_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("b") > F.col("bmin")) & (F.col("b") < F.col("bmax")))
         .join(pa, "b")
         .join(na, "b")
-        .withColumn(
-            "area2",
-            # DECIMAL(38,0) lane: the factor products scale ~n^3 per
-            # bucket and blow past BIGINT once buckets hold >~10k rows.
-            F.abs(
-                (
-                    F.col("pa_sx").cast("decimal(38,0)") * F.col("na_n")
-                    - F.col("na_sx").cast("decimal(38,0)") * F.col("pa_n")
-                )
-                * (
-                    F.col("y").cast("decimal(38,0)") * F.col("pa_n")
-                    - F.col("pa_sy")
-                )
-                - (
-                    F.col("pa_sx").cast("decimal(38,0)")
-                    - F.col("x").cast("decimal(38,0)") * F.col("pa_n")
-                )
-                * (
-                    F.col("pa_sy").cast("decimal(38,0)") * F.col("na_n")
-                    - F.col("na_sy").cast("decimal(38,0)") * F.col("pa_n")
-                )
-            ),
-        )
+        .withColumn("area2", _ts11_area2())
     )
     picked = (
         interior.withColumn(
