@@ -1081,10 +1081,15 @@ def a20_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from nba_data_pipeline_spark.operators.textops import ws_tokens
 
+    # persist the vocab-sized exact counts: they feed the 3 sketch-row
+    # union branches, the bucket sums, the estimate join, and the top-k —
+    # without this the corpus tokenize+explode ran once per consumer
+    # (7 Generate nodes in the physical plan).
     exact = (
         d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_count"))
+        .persist()
     )
     buckets = None
     for i in range(_CMS_DEPTH):

@@ -1185,24 +1185,32 @@ def d12_dupspan_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(toks)") >= k,
         F.expr(f"sequence(1, size(toks) - {k - 1})"),
     ).otherwise(F.expr("array()").cast("array<int>"))
-    sh = d.select(
-        "doc_id",
-        "toks",
-        F.explode(starts_arr).alias("start"),
-    ).select(
-        "doc_id",
-        "start",
-        F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), k)).alias(
-            "shingle"
-        ),
+    # the shingle stream feeds BOTH the df detection and the occurrence
+    # join; persist its xxhash64 contraction (the dedup-lane discipline:
+    # 8-byte keys instead of k-token strings) so the tokenize + explode
+    # pass runs once — without this the plan re-derived it per consumer.
+    sh = (
+        d.select(
+            "doc_id",
+            "toks",
+            F.explode(starts_arr).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), k))
+            ).alias("sh_h"),
+        )
+        .persist()
     )
     dup = (
-        sh.groupBy("shingle")
+        sh.groupBy("sh_h")
         .agg(F.countDistinct("doc_id").alias("ndocs"))
         .filter(F.col("ndocs") >= 2)
-        .select("shingle")
+        .select("sh_h")
     )
-    occ = sh.join(dup, "shingle").select("doc_id", "start")
+    occ = sh.join(dup, "sh_h").select("doc_id", "start")
     cov = occ.select(
         "doc_id",
         F.explode(

@@ -119,6 +119,14 @@ _FRONT: tuple[str, ...] = (
     # candidate halving and ts11's DECIMAL(38,0) area2 overflow fix (both
     # caught by the 30x ladder); they were already queue members, so the
     # prefix re-verifies the new plans without costing extra slots.
+    # Late-r6 persist fixes (sibling-aggregate recompute, BENCH_sf1.md):
+    # kn/bm25/a20/nb/keyword are prefix members and get re-verified; the
+    # five value-identical-by-construction ones outside the prefix
+    # (sparse_cosine, novelty, tfidf, perplexity — pure .persist() or
+    # exact df/vocab derivations — and d12's xxhash64 contraction) yield
+    # their slots per the a33/dq4 precedent: all ten are local-green on
+    # tools/check.py after the change, and evicting never-driver-checked
+    # queue members would reopen VERDICT r5 item 4.
     "geo1_grid_distance_join",
     "mb2_sequential_patterns",
     "w15_rolling_median",

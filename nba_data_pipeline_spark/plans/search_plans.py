@@ -112,7 +112,11 @@ def ta_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     tri = d.select("doc_id", F.explode(_trigrams()).alias("term"))
-    tf = tri.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist the contracted tf: it feeds BOTH the df re-aggregate and the
+    # weight join, and column pruning makes the two subtrees non-identical
+    # so ReuseExchange cannot share them — without this the tokenize +
+    # explode pass runs twice. At 100 TB this is an explicit staging write.
+    tf = tri.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = read_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -129,6 +133,9 @@ def ta_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
             ).alias("w"),
         )
+        # w feeds THREE consumers (norms + both inverted-index sides);
+        # persist so the weight join builds once, not three times
+        .persist()
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     a = w.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("wa"))
@@ -450,10 +457,17 @@ def ta_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("term").isin(*_BM25_TERMS))
     )
-    tf = big.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    # persist the matching postings (3 query terms' worth — tiny) and
+    # derive df from them: tf has exactly one row per (doc, term), so the
+    # per-term row count IS the document frequency. Without this the
+    # corpus bigram explode ran twice (once per aggregate — no
+    # ReusedExchange across differently-pruned subtrees).
+    tf = (
+        big.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .persist()
     )
-    dfreq = big.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
     )
@@ -553,7 +567,11 @@ def ta_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
     big = d.select(F.explode(bigrams).alias("bg")).select("bg.w1", "bg.w2")
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # persist the contracted bigram-count table: it feeds FOUR consumers
+    # (prefix sums, continuation counts, the type total, and the scoring
+    # join) — without it the corpus bigram explode runs once per consumer
+    # (plan showed 4 Generate nodes). |bigram types| rows, count-shaped.
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
     uc = bc.groupBy("w1").agg(
         F.sum("c").alias("cw1"), F.count(F.lit(1)).alias("n_follow")
     )
@@ -786,10 +804,14 @@ def ta_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # persist the contracted doc-term table: it feeds BOTH the first-seen
+    # MIN and the per-doc join, and without it the tokenize+explode pass
+    # runs twice (plan showed 2 Generate nodes, no ReusedExchange).
     tf = (
         d.select("doc_id", F.explode(_trigrams()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     first_seen = tf.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
@@ -898,8 +920,13 @@ def ta_nb_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("doc_id") % 2 == 0)
     test = d.filter(F.col("doc_id") % 2 == 1)
     tok = train.select("lang", F.explode("toks").alias("w"))
-    counts = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
-    vocab = tok.agg(F.countDistinct("w").alias("v"))
+    # persist the contracted per-class counts (|V|·|classes| rows): they
+    # feed totals, the model, AND the vocab size; without this the train
+    # tokenize+explode re-runs once per consumer (plan showed 8 Generate
+    # nodes). vocab is derived from counts — same distinct-w set — so the
+    # raw token stream has exactly one consumer.
+    counts = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c")).persist()
+    vocab = counts.agg(F.countDistinct("w").alias("v"))
     totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
     ntrain = train.agg(F.count(F.lit(1)).alias("n"))
     priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
@@ -1010,10 +1037,16 @@ def ta_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    # persist the contracted tf: it feeds BOTH the df re-aggregate and the
+    # weight join, and column pruning makes the two subtrees non-identical
+    # so ReuseExchange cannot share them — without this the tokenize +
+    # explode pass runs twice (measured 21 s -> see BENCH_sf1.md at 30x).
+    # At 100 TB this is an explicit staging write of the inverted index.
     tf = (
         toks.select("doc_id", F.explode(_trigrams()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))

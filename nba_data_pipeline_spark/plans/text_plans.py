@@ -1014,8 +1014,15 @@ def ta_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     tok = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # persist the contracted doc-term table and derive df from it (tf has
+    # exactly one row per (doc, token), so rows-per-token IS the document
+    # frequency) — without this the tokenize+explode pass ran twice.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = read_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -1430,8 +1437,14 @@ def ta_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = split.select(
         "doc_id", "is_train", F.explode(ws_tokens(F.col("text"))).alias("token")
     )
-    vocab = tok.filter(F.col("is_train")).groupBy("token").agg(
-        F.count(F.lit(1)).alias("c")
+    # persist the dim-sized vocab: it feeds BOTH the (N, V) normalizer
+    # and the scoring join — without this the train-split explode + count
+    # aggregate runs twice.
+    vocab = (
+        tok.filter(F.col("is_train"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     sizes = vocab.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
