@@ -958,10 +958,14 @@ def d10_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sh = docs.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    # persist both pair sets: each feeds its count AND the tp join, and
+    # without the cache the expensive halves (the shingle self-join for
+    # truth, the band join for candidates) run twice.
     truth = (
         _jp(sh)
         .filter(F.col("inter") * 2 >= F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .select("id_a", "id_b")
+        .persist()
     )
     sig = docs.select("doc_id", *minhash_signature(F.col("sh_arr"), 12))
     band_structs = [
@@ -985,6 +989,7 @@ def d10_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))

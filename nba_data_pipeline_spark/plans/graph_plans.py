@@ -262,10 +262,11 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon,
         (F.least("b", "c") == F.col("x")) & (F.greatest("b", "c") == F.col("y")),
     ).select("a", "b", "c")
-    members = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # one explode, not three union branches: each union arm re-ran the
+    # wedge join + closing probe (the expensive stages — e's cache covers
+    # only the edge list, not the joins above it)
+    members = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return (
         members.groupBy("node")
@@ -705,7 +706,11 @@ def g6_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
     )
-    edges = pairs.distinct()
+    # persist the mined edge list (it feeds both symmetrize branches —
+    # uncached, the orderkey self-join ran once per downstream consumer)
+    # and the endpoint-degree pairs (they feed the corr scalar AND the
+    # per-degree rollup).
+    edges = pairs.distinct().persist()
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
@@ -714,6 +719,7 @@ def g6_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("d_src")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("d_dst")), "v")
         .select("d_src", "d_dst")
+        .persist()
     )
     r = ep.agg(F.corr("d_src", "d_dst").alias("assortativity"))
     return (
@@ -1178,7 +1184,10 @@ def g9_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("v").alias("z"), F.col("u").alias("nb"))
     )
     deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    mid = adj.join(deg.filter(F.col("d") <= _G9_DEG_CAP), "z")
+    # persist the capped adjacency: it feeds BOTH sides of the wedge
+    # self-join, and without the cache the degree aggregate + hub-cap
+    # join run twice (edges alone being cached doesn't cover them).
+    mid = adj.join(deg.filter(F.col("d") <= _G9_DEG_CAP), "z").persist()
     wedges = (
         mid.alias("a")
         .join(

@@ -68,14 +68,21 @@ def mb1_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k(k-1)/2 pairs, so pathological mega-baskets are the one skew risk —
     cap k upstream (or salt orderkey) if baskets are unbounded.
     Lift = support·N / (s1·s2) reported rounded."""
+    # persist the distinct basket-item table (it feeds item supports, the
+    # basket count, and the frequent-subset join — uncached, the distinct
+    # shuffle re-ran per consumer) and the frequent subset (it feeds both
+    # sides of the pair self-join).
     items = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
     sup1 = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
     freq = sup1.filter(F.col("s") >= MIN_ITEM_SUPPORT)
-    fitems = items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    fitems = items.join(
+        F.broadcast(freq.select("l_partkey")), "l_partkey"
+    ).persist()
     a = fitems.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1")
     )

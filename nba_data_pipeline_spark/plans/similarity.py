@@ -457,6 +457,10 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vnorm").alias("cnorm"),
     )
     aw = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    # persist the assignment table: it feeds the eval-batch slice, the ANN
+    # candidate join, and (through q) the ground-truth pass — uncached,
+    # the corpus×centroid assignment cross-join re-ran per consumer. At
+    # index scale this IS the materialized IVF assignment table.
     assigned = (
         v.crossJoin(F.broadcast(cent))
         .withColumn(
@@ -466,6 +470,7 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "vnorm", "cid")
+        .persist()
     )
     q = assigned.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),
@@ -1494,10 +1499,14 @@ def sim_ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot(F.col("embedding"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")),
     )
     wa = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    # persist the assignment table: it feeds the anchor slice AND the ANN
+    # candidate join — uncached, the corpus×centroid scoring re-ran per
+    # consumer (the materialized IVF assignment, as in sim_recall_eval).
     assigned = (
         scored.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "embedding", "cid")
+        .persist()
     )
     anchors = assigned.filter(F.col("vec_id") < _HN_QUERIES).select(
         F.col("vec_id").alias("qid"),
