@@ -75,7 +75,12 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window as W, WindowSpec
 from pyspark.sql import functions as F
 
-__all__ = ["bounded_window", "total_order", "ntile_from_rank"]
+__all__ = [
+    "bounded_window",
+    "multi_order_cuts",
+    "ntile_from_rank",
+    "total_order",
+]
 
 _BKT = "__to_bkt"
 _CNT = "__to_cnt"
@@ -217,18 +222,21 @@ def _bucket_expr(cuts, info: Sequence[tuple[str, str]]) -> Column:
     return terms[0]
 
 
-def _collect_cuts(df: DataFrame, info: Sequence[tuple[str, str]], k: int):
-    """Fixed-size uniform sample -> k-1 order-space cut tuples.
+def _sample_rows(df: DataFrame, names: Sequence[str], k: int):
+    """Fixed-size uniform sample of the key columns, collected to the driver.
 
     TakeOrderedAndProject by xxhash64 over the key columns: parallel,
     deterministic, bounded (SAMPLE_PER_BUCKET*k rows to the driver)."""
-    names = [n for n, _ in info]
-    samp = (
+    return (
         df.select(*names)
         .orderBy(F.xxhash64(*[F.col(n) for n in names]))
         .limit(SAMPLE_PER_BUCKET * k)
         .collect()
     )
+
+
+def _cuts_from_rows(samp, info: Sequence[tuple[str, str]], k: int):
+    """Select k-1 order-space cut tuples from sampled rows (driver-side)."""
     if not samp:
         return []
     rows = sorted((tuple(r) for r in samp), key=_py_sort_key(info))
@@ -238,6 +246,43 @@ def _collect_cuts(df: DataFrame, info: Sequence[tuple[str, str]], k: int):
         if not cuts or c != cuts[-1]:
             cuts.append(c)
     return cuts
+
+
+def _collect_cuts(df: DataFrame, info: Sequence[tuple[str, str]], k: int):
+    names = [n for n, _ in info]
+    return _cuts_from_rows(_sample_rows(df, names, k), info, k)
+
+
+def multi_order_cuts(
+    df: DataFrame,
+    orders: Sequence[OrderSpec],
+    *,
+    num_partitions: int | None = None,
+) -> list[list[tuple]]:
+    """Cut tuples for SEVERAL total orders over the same frame from ONE
+    sample job.
+
+    :func:`total_order` pays one bounded sample pass per invocation; a plan
+    that ranks the same frame by three different keys (a43's R/F/M NTILEs)
+    would pay three full input passes for what is one uniform sample. This
+    helper collects a single xxhash64-ordered sample over the UNION of the
+    key columns and selects each ordering's cuts from it driver-side; feed
+    the results to ``total_order(..., cuts=...)``. Sample quality is
+    unchanged — the hash sample is uniform in every ordering's key space."""
+    k = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    infos = [_norm_order(o) for o in orders]
+    names: list[str] = []
+    for inf in infos:
+        for n, _ in inf:
+            if n not in names:
+                names.append(n)
+    samp = _sample_rows(df, names, k)
+    pos = {n: i for i, n in enumerate(names)}
+    out = []
+    for inf in infos:
+        proj = [tuple(row[pos[n]] for n, _ in inf) for row in samp]
+        out.append(_cuts_from_rows(proj, inf, k))
+    return out
 
 
 def total_order(
@@ -251,6 +296,7 @@ def total_order(
     n_col: str | None = None,
     num_partitions: int | None = None,
     materialize: bool = False,
+    cuts: Sequence[tuple] | None = None,
 ) -> DataFrame:
     """Attach exact global-order columns to ``df`` with no single-partition
     stage.
@@ -271,6 +317,11 @@ def total_order(
     materialize : localCheckpoint the input first — set when the input has
         expensive lineage (a join/aggregate) so the sample/stats/data
         passes share one computation.
+    cuts : precomputed cut tuples (from :func:`multi_order_cuts`) — skips
+        this invocation's sample job entirely. Cut QUALITY only affects
+        bucket balance, never rank correctness (bucket membership is decided
+        by the Spark-side comparisons), so any cut list sampled from the
+        same frame is valid.
 
     .. note:: BUILD-TIME JOB — the cut-sample collect (and the lazy
        localCheckpoint when ``materialize=True``) runs a real Spark job at
@@ -291,7 +342,8 @@ def total_order(
     if materialize:
         df = df.localCheckpoint(eager=False)
 
-    cuts = _collect_cuts(df, info, k)
+    if cuts is None:
+        cuts = _collect_cuts(df, info, k)
     tagged = df.withColumn(_BKT, _bucket_expr(cuts, info))
 
     lw = W.partitionBy(_BKT, *part).orderBy(*_order_exprs(info))

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from nba_data_pipeline_spark.io import read_table
 from nba_data_pipeline_spark.operators.totalorder import (
     bounded_window,
+    multi_order_cuts,
     ntile_from_rank,
     total_order,
 )
@@ -3497,10 +3498,13 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive (operators/totalorder.py — sampled cuts, one hash shuffle
     each, broadcast offsets; the customer-grain frame and each chained
     rank output are localCheckpointed so the three passes share work).
-    No single-partition stage at any customer cardinality; at extreme
-    cardinality swap for approx-percentile boundary lookup, trading exact
-    equal-count tiles for a broadcast bucketize. The final contraction is
-    ≤125 groups."""
+    All three cut lists come from ONE sample job (multi_order_cuts over
+    the union of the R/F/M key columns) instead of one bounded sample
+    pass per rank — at fact-scale customer cardinality that is two fewer
+    full passes. No single-partition stage at any customer cardinality;
+    at extreme cardinality swap for approx-percentile boundary lookup,
+    trading exact equal-count tiles for a broadcast bucketize. The final
+    contraction is ≤125 groups."""
     anchor = F.broadcast(
         read_table(spark, sf_dir, "orders").agg(
             F.to_date(F.max("o_orderdate")).alias("anchor_date")
@@ -3525,24 +3529,17 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
+    cust = cust.localCheckpoint(eager=False)
+    ord_r = [("recency_days", "desc"), ("o_custkey", "asc")]
+    ord_f = [("frequency", "asc"), ("o_custkey", "asc")]
+    ord_m = [("monetary_cents", "asc"), ("o_custkey", "asc")]
+    cuts_r, cuts_f, cuts_m = multi_order_cuts(cust, [ord_r, ord_f, ord_m])
+    t = total_order(cust, ord_r, rank_col="__r_rk", n_col="__n", cuts=cuts_r)
     t = total_order(
-        cust,
-        [("recency_days", "desc"), ("o_custkey", "asc")],
-        rank_col="__r_rk",
-        n_col="__n",
-        materialize=True,
+        t, ord_f, rank_col="__f_rk", materialize=True, cuts=cuts_f
     )
     t = total_order(
-        t,
-        [("frequency", "asc"), ("o_custkey", "asc")],
-        rank_col="__f_rk",
-        materialize=True,
-    )
-    t = total_order(
-        t,
-        [("monetary_cents", "asc"), ("o_custkey", "asc")],
-        rank_col="__m_rk",
-        materialize=True,
+        t, ord_m, rank_col="__m_rk", materialize=True, cuts=cuts_m
     )
     scored = t.select(
         "o_custkey",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.operators.totalorder import (
     bounded_window,
+    multi_order_cuts,
     ntile_from_rank,
     total_order,
 )
@@ -69,6 +70,47 @@ def test_rank_desc_and_nulls(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_multi_order_cuts_ranks_match_per_order_sampling(spark):
+    """One shared sample job must give the same exact ranks as per-order
+    sampling — cut choice affects bucket balance only, never ranks — for
+    asc/desc mixes and null-carrying keys."""
+    df, rows = _mkdf(spark, with_nulls=True)
+    orders = [
+        ["x", "key"],
+        [("x", "desc"), "key"],
+        [("w", "asc"), ("key", "asc")],
+    ]
+    cuts = multi_order_cuts(df, orders, num_partitions=7)
+    assert len(cuts) == 3
+    exp_asc = _expected_rank(rows)
+    exp_desc = _expected_rank(rows, desc=True)
+    got_asc = {
+        r["key"]: r["rnk"]
+        for r in total_order(
+            df, orders[0], rank_col="rnk", num_partitions=7, cuts=cuts[0]
+        ).collect()
+    }
+    got_desc = {
+        r["key"]: r["rnk"]
+        for r in total_order(
+            df, orders[1], rank_col="rnk", num_partitions=7, cuts=cuts[1]
+        ).collect()
+    }
+    assert got_asc == exp_asc
+    assert got_desc == exp_desc
+    exp_w = {
+        r[0]: i + 1
+        for i, r in enumerate(sorted(rows, key=lambda r: (r[3], r[0])))
+    }
+    got_w = {
+        r["key"]: r["rnk"]
+        for r in total_order(
+            df, orders[2], rank_col="rnk", num_partitions=7, cuts=cuts[2]
+        ).collect()
+    }
+    assert got_w == exp_w
 
 
 def test_rank_is_permutation_and_n(spark):
