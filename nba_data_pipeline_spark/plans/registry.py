@@ -143,9 +143,11 @@ _FRONT: tuple[str, ...] = (
     "ts11_lttb_downsample",
     "sql_q5_local_supplier_volume",
     "sql_q18_large_volume_customer",
-    # R6 DEFERRED: none — every catalog entry is driver-checked in some
-    # r1–r6 round once CORRECTNESS_r06 lands this prefix; r7's rotation
-    # should lead with whatever r7 changes or adds.
+    # R6 DEFERRED: src_browser_tabwalk only (added late-r6 with the
+    # browser-ingestion adapter seam; local-green on tools/check.py).
+    # Every other catalog entry is driver-checked in some r1–r6 round once
+    # CORRECTNESS_r06 lands this prefix. r7's rotation should lead with
+    # src_browser_tabwalk plus whatever r7 changes or adds.
 )
 
 

@@ -1,0 +1,239 @@
+"""Browser-session ingestion adapter (adapters/browser_ingest.py) — the
+reference's first-touch flows against the deterministic ScriptedSession:
+the JS-table readiness loop (DEFENSEVSPOSTION.PY:251-309), the tab walk
+(Cleaning_Glass_#1.py:498-676), the login bounce and download-completion
+probes (ctg_export_league.py:270-330), and the atomic landing contract
+into the engine's html seam."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nba_data_pipeline_spark.adapters.browser_ingest import (
+    BrowserSession,
+    ScriptedSession,
+    SeleniumSession,
+    TableNotReady,
+    clear_dir,
+    land_pages,
+    login,
+    wait_for_download,
+    wait_for_table_ready,
+    walk_tabs,
+)
+
+
+class _FakeClock:
+    """Deterministic clock: sleep() advances time; no wall-clock waits."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def clock(self):
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
+
+
+def _table(rows, header="<tr><th>Team</th><th>Record</th></tr>", tid="main"):
+    body = "".join(f"<tr><td>t{i}</td><td>{i}-0</td></tr>" for i in range(rows))
+    return f'<table id="{tid}">{header}{body}</table>'
+
+
+def test_scripted_session_satisfies_protocol():
+    assert isinstance(ScriptedSession({}), BrowserSession)
+
+
+def test_wait_returns_only_after_row_count_stabilizes():
+    # page renders progressively: 1 row, then 3, then settles at 5
+    url = "https://example.test/stats"
+    s = ScriptedSession({url: [_table(1), _table(3), _table(5), _table(5)]})
+    s.get(url)
+    fc = _FakeClock()
+    headers, rows = wait_for_table_ready(
+        s, ["TEAM"], clock=fc.clock, sleep=fc.sleep
+    )
+    assert headers == ["Team", "Record"]
+    assert len(rows) == 5
+    # stability cost: at least stable_s of polling after the last growth
+    assert fc.t >= 0.6
+
+
+def test_wait_ignores_comment_embedded_and_wrong_header_tables():
+    url = "https://example.test/stats"
+    page = (
+        f"<!-- {_table(9, header='<tr><th>Team</th><th>Record</th></tr>', tid='c')} -->"
+        + _table(4, header="<tr><th>Player</th><th>Pts</th></tr>", tid="other")
+    )
+    s = ScriptedSession({url: page})
+    s.get(url)
+    fc = _FakeClock()
+    with pytest.raises(TableNotReady) as ei:
+        wait_for_table_ready(
+            s, ["TEAM"], timeout_s=3.0, clock=fc.clock, sleep=fc.sleep
+        )
+    # diagnostic carries what WAS seen (the visible wrong-header table only)
+    assert ei.value.seen_headers == [["Player", "Pts"]]
+
+
+def test_wait_requires_nonempty_rows():
+    url = "https://example.test/empty"
+    s = ScriptedSession({url: _table(0)})
+    s.get(url)
+    fc = _FakeClock()
+    with pytest.raises(TableNotReady):
+        wait_for_table_ready(
+            s, ["TEAM"], timeout_s=2.0, clock=fc.clock, sleep=fc.sleep
+        )
+
+
+def test_walk_tabs_yields_ready_tabs_and_skips_missing():
+    base = "https://example.test/team/42/gamelogs"
+    pages = {
+        f"{base}#tab-off": _table(2, tid="off"),
+        f"{base}#tab-def": "<p>no table rendered</p>",
+        f"{base}#tab-four": [_table(1, tid="four"), _table(3, tid="four")],
+    }
+    s = ScriptedSession(pages)
+    fc = _FakeClock()
+    got = dict(
+        walk_tabs(
+            s,
+            base,
+            ["off", "def", "four"],
+            required_headers=["TEAM"],
+            timeout_s=3.0,
+            clock=fc.clock,
+            sleep=fc.sleep,
+        )
+    )
+    assert set(got) == {"off", "four"}  # "def" warned-and-skipped
+    assert 'id="four"' in got["four"]
+    with pytest.raises(TableNotReady):
+        list(
+            walk_tabs(
+                ScriptedSession(pages),
+                base,
+                ["def"],
+                required_headers=["TEAM"],
+                on_missing="raise",
+                timeout_s=1.0,
+                clock=fc.clock,
+                sleep=fc.sleep,
+            )
+        )
+
+
+def test_walk_tabs_click_fallback_activates_tab():
+    # the fragment URL itself renders nothing; only the click-activated
+    # URL carries the table — the reference's click-after-navigate fallback
+    base = "https://example.test/team/7/lineups"
+    active = f"{base}/activated-duo"
+    s = ScriptedSession(
+        {f"{base}#tab-duo": "<p>stale</p>", active: _table(2, tid="duo")},
+        clicks={"#tab-duo": active},
+    )
+    fc = _FakeClock()
+    got = dict(
+        walk_tabs(
+            s, base, ["duo"],
+            required_headers=["TEAM"], clock=fc.clock, sleep=fc.sleep,
+        )
+    )
+    assert 'id="duo"' in got["duo"]
+
+
+def test_login_success_and_redirect_failure():
+    ok = ScriptedSession({"https://site.test/login": "<form></form>"})
+
+    def submit_good(s: BrowserSession):
+        s.get("https://site.test/dashboard")
+
+    def submit_bad(s: BrowserSession):
+        s.get("https://site.test/login?error=1")
+
+    assert login(ok, "https://site.test/login", submit_good) is True
+    bad = ScriptedSession({"https://site.test/login": "<form></form>"})
+    assert login(bad, "https://site.test/login", submit_bad) is False
+
+
+def test_wait_for_download_completion_and_partials(tmp_path):
+    d = str(tmp_path)
+    fc = _FakeClock()
+    # only a partial present -> timeout -> None
+    (tmp_path / "export.csv.crdownload").write_text("partial")
+    assert (
+        wait_for_download(d, timeout_s=2.0, clock=fc.clock, sleep=fc.sleep)
+        is None
+    )
+    # complete file -> returned; partial still ignored
+    (tmp_path / "export.csv").write_text("a,b\n1,2\n")
+    got = wait_for_download(d, timeout_s=2.0, clock=fc.clock, sleep=fc.sleep)
+    assert got is not None and got.endswith("export.csv")
+    clear_dir(d)
+    assert os.listdir(d) == []
+
+
+def test_land_pages_atomic_and_no_path_traversal(tmp_path):
+    d = str(tmp_path / "landed")
+    paths = land_pages([("page_1", "<html>1</html>"), ("page_2", "<html>2</html>")], d)
+    assert [os.path.basename(p) for p in paths] == ["page_1.html", "page_2.html"]
+    assert not [n for n in os.listdir(d) if n.endswith(".part")]
+    with pytest.raises(ValueError):
+        land_pages([("../escape", "x")], d)
+
+
+def test_selenium_wrapper_is_duck_typed_without_the_library():
+    class _Drv:
+        current_url = "https://x.test/ok"
+        page_source = "<html></html>"
+
+        def get(self, url):
+            self.current_url = url
+
+    s = SeleniumSession(_Drv())
+    s.get("https://x.test/page")
+    assert s.current_url() == "https://x.test/page"
+    assert s.page_source() == "<html></html>"
+
+
+def test_walked_tabs_land_and_parse_into_spark(spark, tmp_path):
+    """The full seam: browser walk -> atomic landing -> the engine's
+    distributed html parser reads the landed corpus back, cell-exact."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.sources.html_table import html_corpus_tables
+
+    base = "https://example.test/team/1/stats"
+    pages = {
+        f"{base}#tab-off": _table(3, tid="off"),
+        f"{base}#tab-def": _table(2, tid="def"),
+    }
+    s = ScriptedSession(pages)
+    fc = _FakeClock()
+    landed = land_pages(
+        (
+            (f"tab_{tab}", html)
+            for tab, html in walk_tabs(
+                s, base, ["off", "def"],
+                required_headers=["TEAM"], clock=fc.clock, sleep=fc.sleep,
+            )
+        ),
+        str(tmp_path / "landed"),
+    )
+    assert len(landed) == 2
+    corpus = spark.createDataFrame(
+        [(p, open(p, encoding="utf-8").read()) for p in landed],
+        "url string, html string",
+    )
+    rows = (
+        html_corpus_tables(corpus)
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {os.path.basename(r["url"]): r["n"] for r in rows}
+    assert got == {"tab_off.html": 3, "tab_def.html": 2}
