@@ -137,8 +137,8 @@ query("flagship_hitrate_last10", oracle=FLAGSHIP_ORACLE)(flagship)
 SELECT l_returnflag, l_linestatus,
        {sql_dsum("l_quantity")} AS sum_qty,
        {sql_dsum("l_extendedprice")} AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2))) * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2))) * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
        {sql_davg("l_quantity")} AS avg_qty,
        {sql_davg("l_extendedprice")} AS avg_price,
        {sql_davg("l_discount", "DECIMAL(8,2)")} AS avg_disc,
@@ -1554,7 +1554,7 @@ WITH m AS (
   SELECT o_orderpriority AS grp,
          CAST(COUNT(*) AS BIGINT) AS n,
          {sql_dsum("o_totalprice")} AS s,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS ss
   FROM orders GROUP BY 1
 ),
 stats AS (
@@ -2453,7 +2453,7 @@ WITH rev AS (
   GROUP BY 1, 2
 )
 SELECT region, nation,
-       CAST(rev AS DOUBLE) AS revenue,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
        ROUND(100.0 * rev / SUM(rev) OVER (PARTITION BY region), 4)
            AS pct_of_region,
        ROUND(100.0 * rev / SUM(rev) OVER (), 4) AS pct_of_total
@@ -2702,7 +2702,7 @@ ranked AS (
 )
 SELECT region,
        CASE WHEN rn <= 3 THEN nation ELSE '(others)' END AS nation,
-       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_nations,
        CAST(MIN(rn) AS BIGINT) AS sort_rank
 FROM ranked
@@ -2771,7 +2771,7 @@ classed AS (
   FROM ranked
 )
 SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
-       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS revenue,
        ROUND(100.0 * SUM(rev) / ANY_VALUE(t.total), 4) AS revenue_pct
 FROM classed CROSS JOIN (SELECT SUM(rev) AS total FROM rev) t
 GROUP BY abc_class

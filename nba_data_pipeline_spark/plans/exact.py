@@ -35,8 +35,22 @@ def davg(col: Column | str, cast: str = MONEY) -> Column:
 
 
 def sql_dsum(expr: str, cast: str = "DECIMAL(18,2)") -> str:
-    return f"CAST(SUM(CAST({expr} AS {cast})) AS DOUBLE)"
+    # The DOUBLE cast is routed through text (STRING — an alias both
+    # engines accept; a22 runs this same string through spark.sql, which
+    # rejects bare VARCHAR): DuckDB's direct
+    # decimal->double cast divides the int128 payload by 10^scale in
+    # floating point and can land 1 ulp off the correctly-rounded double
+    # once the sum needs >~16 significant digits (first seen at sf1:
+    # a12's sum_charge, 27864155010.941590 -> ...941593). Text->double
+    # parsing is correctly rounded in both engines, and Spark/Java's
+    # BigDecimal->double cast is correctly rounded too, so the text
+    # route agrees with the Spark side at EVERY magnitude and is
+    # value-identical to the old form wherever the old form was right.
+    return f"CAST(CAST(SUM(CAST({expr} AS {cast})) AS STRING) AS DOUBLE)"
 
 
 def sql_davg(expr: str, cast: str = "DECIMAL(18,2)") -> str:
-    return f"CAST(SUM(CAST({expr} AS {cast})) AS DOUBLE) / COUNT({expr})"
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS {cast})) AS STRING) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )

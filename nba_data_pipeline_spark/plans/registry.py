@@ -148,6 +148,16 @@ _FRONT: tuple[str, ...] = (
     # Every other catalog entry is driver-checked in some r1–r6 round once
     # CORRECTNESS_r06 lands this prefix. r7's rotation should lead with
     # src_browser_tabwalk plus whatever r7 changes or adds.
+    #
+    # Late-r6 sf1 oracle-sweep fixes, all value-identical at driver scale
+    # (the a33/dq4 precedent, no slots consumed): dq6's checksum now
+    # accumulates DECIMAL(38,0) mod 2^63 (equal to the old BIGINT sum
+    # everywhere below 2^63 — i.e. at every driver-checked sf); sql_dsum/
+    # sql_davg and five inline oracle casts route decimal->double through
+    # VARCHAR (equal wherever DuckDB's direct cast was correctly rounded,
+    # which includes every previously-green cell); ta_greedy_set_cover's
+    # oracle CTEs are MATERIALIZED (plan-only). All re-verified green by a
+    # full local sweep at sf0.01 AND sf1.
 )
 
 

@@ -605,17 +605,24 @@ def ta_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SC_ROUNDS = 5
 
+# cov{r}/pick{r} are MATERIALIZED: each round's CTEs are referenced more
+# than once (the NOT IN probe, the union fold, the coverage count), and
+# without materialization DuckDB re-inlines the whole prior-round chain at
+# every reference — an exponential re-expansion that at sf1 ran 700+ s and
+# spilled the temp dir dry. Materialization makes the oracle evaluate each
+# round exactly once, same as the engine's checkpoint-per-round discipline;
+# results are identical.
 _SC_SQL_ROUND = """
 score{r} AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
   FROM sh WHERE s NOT IN (SELECT s FROM cov{p})
   GROUP BY doc_id
 ),
-pick{r} AS (
+pick{r} AS MATERIALIZED (
   SELECT {r} AS round, doc_id, gain FROM score{r}
   ORDER BY gain DESC, doc_id LIMIT 1
 ),
-cov{r} AS (
+cov{r} AS MATERIALIZED (
   SELECT s FROM cov{p}
   UNION
   SELECT sh.s FROM sh JOIN pick{r} USING (doc_id)
@@ -631,7 +638,7 @@ out{r} AS (
     "ta_greedy_set_cover",
     oracle=f"""
 WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
   FROM (SELECT doc_id, toks,
                unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i

@@ -250,7 +250,8 @@ WITH chk AS (
          CAST(SUM(CAST(concat('0x', substr(md5(concat(
               CAST(o_orderkey AS VARCHAR), ':',
               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                   AS VARCHAR))), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+                   AS VARCHAR))), 1, 12)) AS BIGINT))
+              % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS checksum
   FROM orders GROUP BY 1
 )
 SELECT part, n_rows AS src_rows, n_rows AS dst_rows, checksum AS src_checksum,
@@ -269,9 +270,10 @@ def dq6_migration_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition's flags — the per-partition granularity is what makes the
     repair cheap (re-copy one directory, not the table). The additive
     checksum is commutative, so it needs no sort and partial-aggregates
-    map-side; 48-bit slices keep 15k-row sums far from BIGINT overflow
-    (2^48·n ≪ 2^63 up to ~30k rows per partition; widen the slice split
-    at larger partitions).
+    map-side; the 48-bit md5 slices accumulate in DECIMAL(38,0) and
+    surface mod 2^63, so the checksum is exact and BIGINT-shaped at any
+    partition size (the earlier plain-BIGINT sum overflowed at ~30k rows
+    per partition — caught by the sf1 oracle sweep).
 
     The oracle recomputes the source-side audit and pins every flag TRUE
     — the engine-side comparison must find the landed copy identical."""
@@ -293,9 +295,17 @@ def dq6_migration_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("bigint")
+        # The 48-bit slices accumulate in DECIMAL(38,0) and surface mod
+        # 2^63: below 2^63 the result equals the plain sum (so values are
+        # unchanged at the scales already driver-verified), and past it —
+        # ~30k rows per partition, where the old BIGINT sum overflowed at
+        # sf1 — the modular checksum stays exact at any corpus size. A
+        # modular sum is still an order-independent content checksum; the
+        # oracle applies the identical reduction on HUGEINT.
+        two63 = F.expr("CAST('9223372036854775808' AS DECIMAL(38,0))")
         return df.groupBy(F.col(part_col).alias("part")).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(h).cast("bigint").alias("checksum"),
+            (F.sum(h.cast("decimal(38,0)")) % two63).cast("bigint").alias("checksum"),
         )
 
     src = checksum(read_table(spark, sf_dir, "orders"), "o_orderpriority")
@@ -334,7 +344,7 @@ WITH merged AS (
   FROM orders WHERE o_orderpriority = '1-URGENT'
 )
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(price) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(price) AS VARCHAR) AS DOUBLE) AS total_price
 FROM merged
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
