@@ -105,8 +105,13 @@ def wait_for_table_ready(
     parser's job (SRC2)."""
     want = [h.upper() for h in required_headers]
     end = clock() + timeout_s
-    last_count = -1
-    stable_for = 0.0
+    # Stability is keyed to (header tuple, row count), not row count alone:
+    # two matching tables rendered in sequence with equal row counts must
+    # not be declared stable across the identity swap. Elapsed stability is
+    # clock-measured, not a sum of scheduled poll intervals — a slow
+    # page_source() would otherwise under-count real settle time.
+    last_key: tuple[tuple[str, ...], int] | None = None
+    stable_since = 0.0
     seen: list[list[str]] = []
     while True:
         tables = parse_html_tables(session.page_source(), include_comments=False)
@@ -118,16 +123,16 @@ def wait_for_table_ready(
                 match = (headers, rows)
                 break
         if match is not None and len(match[1]) > 0:
-            if len(match[1]) == last_count:
-                stable_for += poll_s
-                if stable_for >= stable_s:
+            key = (tuple(match[0]), len(match[1]))
+            now = clock()
+            if key == last_key:
+                if now - stable_since >= stable_s:
                     return match
             else:
-                stable_for = 0.0
-            last_count = len(match[1])
+                last_key = key
+                stable_since = now
         else:
-            last_count = -1
-            stable_for = 0.0
+            last_key = None
         if clock() >= end:
             raise TableNotReady(
                 f"no stable table with headers {list(required_headers)} "
@@ -232,12 +237,19 @@ def wait_for_download(
             and not any(n.endswith(s) for s in partial_suffixes)
         ]
         if complete:
-            latest = max(complete, key=os.path.getmtime)
-            size1 = os.path.getsize(latest)
-            sleep(poll_s / 2)
-            size2 = os.path.getsize(latest)
-            if size1 == size2 and size1 > 0:
-                return latest
+            # The browser can rename/delete files between listdir and the
+            # stat probes (.crdownload finalization replaces the partial);
+            # the reference's loop swallows errors and keeps polling, so a
+            # vanished file is a retry, not a crash.
+            try:
+                latest = max(complete, key=os.path.getmtime)
+                size1 = os.path.getsize(latest)
+                sleep(poll_s / 2)
+                size2 = os.path.getsize(latest)
+                if size1 == size2 and size1 > 0:
+                    return latest
+            except OSError:
+                pass
         sleep(poll_s)
     return None
 

@@ -118,6 +118,12 @@ def mb1_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Max rows the sky1 phase-2 single-task sweep will accept. 1M 3-column
+#: rows is comfortably one task; anything larger means the band prefilter
+#: failed to prune and the query should move to a range-partitioned scan.
+_SKY1_CAND_CAP = 1_000_000
+
+
 @query(
     "sky1_pareto_frontier",
     oracle="""
@@ -170,9 +176,29 @@ def sky1_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(prev_best), "b")
         .filter(F.col("prev_best").isNull() | (F.col("p_size") > F.col("prev_best")))
         .select("p_partkey", "p_retailprice", "p_size")
+        .persist()
     )
+    # GUARD: the sliver is O(log² n) only under a spread price distribution;
+    # degenerate data (every row in one $100 band, or size anti-correlated
+    # with price — where the skyline is genuinely O(n)) defeats the
+    # prefilter and would hand phase 2 a fact-sized single-task frame. The
+    # count materializes the persisted sliver, so the sweep below reads the
+    # cache instead of re-scanning `part` — the guard job replaces a scan,
+    # it doesn't add one. Past the cap we raise (the capped-BLAS precedent,
+    # operators/similarity.cosine_pairs_blas) rather than silently run a
+    # worst-case single task.
+    n_cand = cand.count()
+    if n_cand > _SKY1_CAND_CAP:
+        raise RuntimeError(
+            f"sky1 candidate sliver has {n_cand} rows (cap {_SKY1_CAND_CAP}): "
+            "the price-band prefilter did not prune (degenerate price "
+            "distribution or anti-correlated skyline). Route through a "
+            "range-partitioned scan (operators/totalorder.total_order order "
+            "+ per-partition max with broadcast prefix maxima) instead of "
+            "the single-task sweep."
+        )
     # Phase 2: exact sweep over the candidate sliver — bounded by the
-    # phase-1 dominance prefilter (skyline candidates ~ O(log² n)).
+    # phase-1 dominance prefilter (guarded above).
     w = bounded_window(
         F.asc("p_retailprice"), F.desc("p_size"), "p_partkey", anchor="p_partkey"
     ).rowsBetween(W.unboundedPreceding, -1)

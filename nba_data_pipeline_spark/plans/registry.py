@@ -54,7 +54,18 @@ def query(name: str, oracle: str | None = None):
 # Everything else — driver-green in r1/r2 and semantically unchanged — sits
 # after the prefix and stays covered by tools/check.py locally.
 _FRONT: tuple[str, ...] = (
-    # ROUND-6 ROTATION. Head: entries whose implementation CHANGED this
+    # ROUND-7 ROTATION. Head: src_browser_tabwalk — the ONLY catalog entry
+    # never driver-checked (added late-r6; local-green), pinned first per
+    # VERDICT r6 item 1 so CORRECTNESS_r07 takes driver-verification debt
+    # to zero. It is followed by entries whose implementation changes in
+    # r7 (s11 store-listing fix etc.), then the r6 prefix shifted down —
+    # re-confirming the most recently changed plans costs nothing and the
+    # driver signal stays maximally informative.
+    "src_browser_tabwalk",
+    # --- changed r7: s11 store read is now a single-path partition-
+    # discovery load (VERDICT r6 item 2) ---
+    "s11_stream_incremental_minhash",
+    # ROUND-6 ROTATION (shifted). Head: entries whose implementation CHANGED that
     # round (the R4 unpartitioned-window migration onto
     # operators/totalorder.total_order / bounded_window, VERDICT r5 item 1;
     # mi1's 1e-9-BIGINT hash fix, item 2) plus the new SRC3 by-id entry
@@ -191,8 +202,14 @@ def load_all() -> dict[str, QuerySpec]:
     # src_html_by_id ghost), so it is a hard error now.
     ghosts = [n for n in _FRONT if n not in REGISTRY]
     if ghosts:
+        import difflib
+
+        hints = {
+            g: difflib.get_close_matches(g, REGISTRY, n=3) for g in ghosts
+        }
         raise KeyError(
-            f"_FRONT names not in REGISTRY (unimplemented?): {ghosts}"
+            f"_FRONT names not in REGISTRY (unimplemented?): {ghosts}; "
+            f"closest registered names: {hints}"
         )
     rest = [n for n in REGISTRY if n not in _FRONT]
     return {n: REGISTRY[n] for n in (*_FRONT, *rest)}

@@ -795,9 +795,21 @@ def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
             raise RuntimeError(f"s11 expected one arrival file per batch, got {parities}")
         arrival = int(parities[0])
         bands = bands_of(bdf).persist()
-        store_files = glob.glob(_os.path.join(store_dir, "batch=*/*.parquet"))
-        if store_files:
-            store = bdf.sparkSession.read.parquet(*store_files)
+        # Store read is ONE listing path: partition discovery walks the
+        # batch=N subdirectories executor-side. The old form globbed every
+        # part-file on the driver and passed one path per file — with
+        # thousands of accumulated batches that is a per-file request storm
+        # at object-store scale (same defect class as the r6
+        # src_binaryfile_roundtrip fix). The O(#batch-dirs) scandir below
+        # only answers "is the store still empty?" (reading an empty dir
+        # raises schema-inference errors) and touches no leaf files.
+        has_store = any(
+            e.name.startswith("batch=") for e in _os.scandir(store_dir)
+        )
+        if has_store:
+            store = bdf.sparkSession.read.parquet(store_dir).select(
+                "doc_id", "band_idx", "band_key"
+            )
             vs_store = bands.join(
                 store.withColumnRenamed("doc_id", "prior_doc"), ["band_idx", "band_key"]
             ).select("doc_id")
@@ -847,8 +859,10 @@ def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
     )
     q.awaitTermination()
+    # Single-path read here too; partition discovery adds a `batch` column
+    # that the select drops.
     return (
-        spark.read.parquet(*glob.glob(_os.path.join(out_dir, "batch=*")))
+        spark.read.parquet(out_dir)
         .select("doc_id", F.col("arrival_batch").cast("int").alias("arrival_batch"), "is_new")
         .orderBy("doc_id")
     )

@@ -480,9 +480,19 @@ def ts6_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
         .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
     )
+    # spine derives FROM daily, so daily["user_id"] and spine["user_id"]
+    # share lineage — written as spine["user_id"] == daily["user_id"] Spark
+    # constructs a trivially-true equals predicate (WARN, silently dropped,
+    # one refactor away from a cross product). Rename the observation
+    # side's keys so the join condition is between distinct attributes.
+    obs = daily.select(
+        F.col("user_id").alias("obs_user"),
+        F.col("day").alias("obs_day"),
+        "value",
+    )
     joined = spine.join(
-        daily.withColumnRenamed("day", "obs_day"),
-        (spine["user_id"] == daily["user_id"]) & (spine["day"] == F.col("obs_day")),
+        obs,
+        (spine["user_id"] == obs["obs_user"]) & (spine["day"] == obs["obs_day"]),
         "left",
     ).select(spine["user_id"], spine["day"], "value")
     wb = W.partitionBy("user_id").orderBy("day").rowsBetween(

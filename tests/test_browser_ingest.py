@@ -237,3 +237,65 @@ def test_walked_tabs_land_and_parse_into_spark(spark, tmp_path):
     )
     got = {os.path.basename(r["url"]): r["n"] for r in rows}
     assert got == {"tab_off.html": 3, "tab_def.html": 2}
+
+
+def test_stability_keyed_to_table_identity_not_just_row_count():
+    # Two different tables rendered in sequence with EQUAL row counts must
+    # not be declared stable across the identity swap: stability restarts
+    # when the header tuple changes, even though the count (3) never does.
+    url = "https://example.test/swap"
+    h1 = "<tr><th>Team</th><th>Record</th></tr>"
+    h2 = "<tr><th>Team</th><th>Net Rating</th></tr>"
+    s = ScriptedSession(
+        {
+            url: [
+                _table(3, header=h1),
+                _table(3, header=h2),
+                _table(3, header=h2),
+                _table(3, header=h2),
+                _table(3, header=h2),
+            ]
+        }
+    )
+    s.get(url)
+    fc = _FakeClock()
+    headers, rows = wait_for_table_ready(
+        s, ["TEAM"], clock=fc.clock, sleep=fc.sleep, stable_s=0.6, poll_s=0.2
+    )
+    # the table that settles is the SECOND one; had stability carried
+    # across the swap it would have returned the first h2 frame at t=0.6
+    # with only 0.2s of h2 observations.
+    assert headers == ["Team", "Net Rating"]
+    # h2 first seen at t=0.2 (after one poll sleep); must observe >= 0.6s
+    # of h2 before returning, so total elapsed >= 0.8
+    assert fc.t >= 0.8
+
+
+def test_wait_for_download_survives_file_vanishing_mid_probe(tmp_path):
+    # The browser can replace/delete the newest file between the listdir
+    # and the size probes (.crdownload finalization). The poll loop must
+    # retry, not crash — matching the reference's swallow-and-repoll.
+    d = str(tmp_path)
+    fc = _FakeClock()
+    path = os.path.join(d, "export.csv")
+    with open(path, "w") as f:
+        f.write("a,b\n1,2\n")
+
+    calls = {"n": 0}
+    real_getsize = os.path.getsize
+
+    def flaky_getsize(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(p)  # vanished between listdir and stat
+        return real_getsize(p)
+
+    import nba_data_pipeline_spark.adapters.browser_ingest as bi
+
+    orig = bi.os.path.getsize
+    bi.os.path.getsize = flaky_getsize
+    try:
+        got = wait_for_download(d, timeout_s=5.0, clock=fc.clock, sleep=fc.sleep)
+    finally:
+        bi.os.path.getsize = orig
+    assert got == path

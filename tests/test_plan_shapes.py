@@ -178,3 +178,44 @@ def test_phrase_search_is_join_free(spark):
     df = load_all()["ta_phrase_search"].fn(spark, SF_DIR)
     phys = plan_string(df).split("== Physical Plan ==")[-1]
     assert "Join" not in phys
+
+
+# ---------------------------------------------------------------------------
+# R5: trivially-true join predicate gate (tools/planaudit.py StderrTap)
+# ---------------------------------------------------------------------------
+
+
+def test_stderr_tap_captures_child_process_fd2():
+    """The R5 artifact is a JVM (child-process) log4j WARN on fd 2. The
+    subtle property the tap relies on is that a child spawned AFTER the
+    tap inherits the redirected fd — verified here with a python child
+    standing in for the JVM. (A child spawned BEFORE keeps the old fd,
+    which is why planaudit installs the tap before get_spark.)"""
+    import subprocess
+    import sys as _sys
+
+    from tools.planaudit import R5_MARKER, StderrTap
+
+    tap = StderrTap()
+    try:
+        tap.drain()
+        subprocess.run(
+            [_sys.executable, "-c", f"import sys; sys.stderr.write({R5_MARKER!r})"],
+            check=True,
+        )
+        captured = tap.drain()
+    finally:
+        tap.close()
+    assert R5_MARKER in captured
+
+
+def test_ts6_join_condition_uses_distinct_attributes(spark):
+    """ts6's spine⋈daily was the one trivially-true-predicate site (the
+    r6 bench-tail WARN): spine derives from daily, so an equality between
+    the two frames' user_id columns shared lineage. The fixed shape joins
+    on renamed observation-side keys; regression = the join condition in
+    the analyzed plan carries obs_user/obs_day, not a dropped predicate."""
+    spec = load_all()["ts6_linear_interp"]
+    df = spec.fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "obs_user" in plan and "obs_day" in plan

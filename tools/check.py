@@ -91,6 +91,10 @@ def main() -> int:
                 print(f"  (rows-only: {n} rows)")
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        # Same discipline as bench.py: queries that persist() multi-consumer
+        # intermediates must not accumulate cached blocks across a 264-query
+        # session (MEMORY_AND_DISK keeps it correct but taxes later queries).
+        spark.catalog.clearCache()
         dt = time.time() - t0
         status = "OK " if not problems else "FAIL"
         print(f"{status} {name} ({dt:.1f}s)")

@@ -23,6 +23,17 @@ Rules enforced on the optimized physical plan of every catalog query:
       ``operators/totalorder.bounded_window`` (constant-keyed spec, same
       physical execution, visible to this audit). A bare empty spec is
       always a bug.
+  R5  no trivially-true join condition — ``df1["k"] == df2["k"]`` where
+      both columns share lineage (df2 derived from df1) makes Spark log
+      ``WARN Column: Constructing trivially true equals predicate`` and
+      rely on self-join disambiguation to guess the intent; the analyzed
+      plan comes out correct TODAY, but the predicate as written is
+      `k == k` and one refactor away from a silent cross product. The
+      artifact never reaches the plan string (disambiguation rewrites the
+      expr IDs), so this rule taps fd 2 — where log4j's console appender
+      writes — during query construction and fails any query whose build
+      emits that WARN. Fix sites by aliasing one side's key before the
+      join (see plans/timeseries_plans.py ts6).
 
 Streaming queries (s1/s2/s3/s7) execute a stream when built, and their final
 DataFrame is a drained in-memory table — both pointless to lint — so they
@@ -66,6 +77,46 @@ SKIP = {
 }
 
 FULL_WIDTH = {"lineitem": 16, "orders": 9}
+
+#: The log4j message R5 hunts. Emitted by org.apache.spark.sql.Column at
+#: Column construction time (i.e. while the query builder runs), never
+#: visible in any explain output.
+R5_MARKER = "Constructing trivially true equals predicate"
+
+
+class StderrTap:
+    """Capture everything written to fd 2 (including the JVM's log4j
+    console appender) while still forwarding it to the original stderr.
+
+    MUST be installed BEFORE the SparkSession (JVM) launches: the JVM is a
+    child process that inherits fd 2 at spawn time, so a dup2 performed
+    afterwards only redirects the Python side. ``drain()`` returns text
+    appended since the previous drain and echoes it to the real stderr so
+    console behavior is unchanged."""
+
+    def __init__(self) -> None:
+        import tempfile
+
+        self._orig_fd = os.dup(2)
+        self._buf = tempfile.TemporaryFile(mode="w+b")
+        os.dup2(self._buf.fileno(), 2)
+        self._pos = 0
+
+    def drain(self) -> str:
+        self._buf.seek(0, os.SEEK_END)
+        end = self._buf.tell()
+        self._buf.seek(self._pos)
+        chunk = self._buf.read(end - self._pos)
+        self._pos = end
+        if chunk:
+            os.write(self._orig_fd, chunk)
+        return chunk.decode("utf-8", errors="replace")
+
+    def close(self) -> None:
+        self.drain()
+        os.dup2(self._orig_fd, 2)
+        os.close(self._orig_fd)
+        self._buf.close()
 
 
 def unpartitioned_window_specs(plan: str) -> list[str]:
@@ -133,6 +184,7 @@ def audit_one(name: str, df) -> list[str]:
 
 
 def main(argv: list[str]) -> int:
+    tap = StderrTap()  # before get_spark: the JVM inherits fd 2 at spawn
     spark = get_spark("planaudit", cpus=8)
     specs = load_all()
     names = argv or [n for n in specs if n not in SKIP]
@@ -142,8 +194,15 @@ def main(argv: list[str]) -> int:
             print(f"skip {name} (streaming drain)")
             continue
         try:
+            tap.drain()  # discard noise from the previous query's run
             df = specs[name].fn(spark, SF_DIR)
+            build_log = tap.drain()
             problems = audit_one(name, df)
+            if R5_MARKER in build_log:
+                problems.append(
+                    "R5: trivially-true join condition constructed during "
+                    "build (alias one side's key)"
+                )
         except Exception as e:  # noqa: BLE001
             problems = [f"build failed: {e}"]
         if problems:
@@ -153,6 +212,7 @@ def main(argv: list[str]) -> int:
                 print(f"     {p}")
         else:
             print(f"ok   {name}")
+    tap.close()
     total = len([n for n in names if n not in SKIP])
     print(f"\n{total - bad}/{total} plan-clean")
     return 1 if bad else 0
