@@ -65,6 +65,14 @@ _FRONT: tuple[str, ...] = (
     # --- changed r7: s11 store read is now a single-path partition-
     # discovery load (VERDICT r6 item 2) ---
     "s11_stream_incremental_minhash",
+    # --- new r7: reference-literal layout tree round-trip (VERDICT r6
+    # item 6; sinks_ref.py, also the CLI's sink) ---
+    "snk11_reference_layout_tree",
+    # --- changed r7: ts6 join keys renamed (trivially-true predicate fix,
+    # VERDICT r6 item 3) and sky1's guarded candidate sliver (persist+count
+    # before the phase-2 sweep; ADVICE r6 item 2) ---
+    "ts6_linear_interp",
+    # sky1 already sits in the r6 prefix below and re-verifies there.
     # ROUND-6 ROTATION (shifted). Head: entries whose implementation CHANGED that
     # round (the R4 unpartitioned-window migration onto
     # operators/totalorder.total_order / bounded_window, VERDICT r5 item 1;

@@ -396,3 +396,106 @@ def snk10_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# SNK11: reference-LITERAL layout tree round-trip (sinks_ref.py)
+# ---------------------------------------------------------------------------
+
+#: sf_dir → landed tree root (land once per process; the write is under
+#: test, re-landing identical bytes would only re-measure the filesystem).
+_SNK11_CACHE: dict[str, str] = {}
+
+_SNK11_DATE = "2026-01-01"
+
+
+def _snk11_tree(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _SNK11_CACHE:
+        return _SNK11_CACHE[sf_dir]
+    from nba_data_pipeline_spark.sinks_ref import write_team_page_tree
+
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    payload = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("team"),
+            F.element_at(
+                F.array(F.lit("lineups"), F.lit("onoff"), F.lit("players")),
+                (F.col("n_nationkey") % 3).cast("int") + 1,
+            ).alias("page"),
+            F.col("c_custkey").alias("row_idx"),
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    root = session_tmpdir("snk11_")
+    write_team_page_tree(
+        payload, root, date_str=_SNK11_DATE,
+        team_col="team", page_col="page", order_col="row_idx",
+    )
+    _SNK11_CACHE[sf_dir] = root
+    return root
+
+
+@query(
+    "snk11_reference_layout_tree",
+    oracle=f"""
+WITH base AS (
+  SELECT n.n_name AS team,
+         CASE CAST(n.n_nationkey % 3 AS INT)
+              WHEN 0 THEN 'LINEUPS' WHEN 1 THEN 'ONOFF'
+              ELSE 'PLAYERS' END AS page,
+         c.c_custkey,
+         CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT team, page, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       MIN(c_custkey) AS min_key
+FROM base GROUP BY team, page ORDER BY team, page
+""",
+)
+def snk11_reference_layout_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK11: the reference's LITERAL per-team folder tree
+    (``<base>/<TEAM>/CLEANINGdaGLASS/<PAGE>_<date>.json``,
+    Cleaning_Glass_#1.py:461-495) written by sinks_ref.write_team_page_tree
+    and proven by re-reading the pretty-printed documents: the (team, page)
+    keys live ONLY in the tree (directory + filename), so the read-back
+    must reconstitute them from paths, and every row must survive the
+    envelope round-trip — the aggregate hash-matches the base tables.
+
+    Scale shape: the envelope is a grouped aggregate and the staging write
+    a partitioned Spark JSON sink (fact-grain work all distributed); the
+    layout finalize and this multiLine read-back are one small file per
+    (team, page) LEAF — dimension grain, bounded at any corpus size."""
+    root = _snk11_tree(spark, sf_dir)
+    docs = (
+        spark.read.option("multiLine", "true")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
+        .json(root)
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"/([^/]+)/CLEANINGdaGLASS/", 1
+            ).alias("team"),
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"/([A-Z]+)_\d{4}-\d{2}-\d{2}\.json$", 1
+            ).alias("page"),
+            F.explode("rows").alias("r"),
+        )
+    )
+    return (
+        docs.groupBy("team", "page")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("r.cents").alias("total_cents"),
+            F.min("r.row_idx").alias("min_key"),
+        )
+        .orderBy("team", "page")
+    )

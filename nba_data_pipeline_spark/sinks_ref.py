@@ -1,0 +1,184 @@
+"""Reference-LITERAL sink layouts (VERDICT r6 missing item 3).
+
+The engine's gated partitioned writes (plans/sinks.py) are capability-parity
+with the reference's output, but a migrating user's downstream tooling globs
+the reference's exact folder trees:
+
+* per-team Cleaning Glass pages —
+  ``<base>/<ABBR>/CLEANINGdaGLASS/<PAGE>_<date>.json``
+  (Cleaning_Glass_#1.py:461-495: page_type → LINEUPS/ONOFF/PLAYERS/OTHER,
+  one pretty-printed JSON document per page, overwrite-on-rerun);
+* per-matchup props —
+  ``<base>/<date>_<matchup>/<proptype>_<timestamp>.json``
+  (nba_props_scraper.py:824-872: X13-sanitized folder name, metadata
+  envelope inside the document).
+
+Both writers here keep the CONTENT path distributed — the envelope is a
+grouped aggregate and the staging write is a Spark ``partitionBy`` JSON
+sink — and finish with a driver-side layout pass whose cost is bounded by
+the DIMENSION grain (#teams × #pages, #matchups × #prop-types), never the
+fact grain: it renames/pretty-prints one small envelope file per leaf.
+At 100 TB the heavy lifting (grouping, serialization) happened in
+executors; the finalize touches O(leaves) files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sanitize_component(text: str, max_len: int = 80) -> str:
+    """Python twin of the X13 column fn ``functions/extract.sanitize_filename``
+    (nba_props_scraper.py:862-872) for driver-side path assembly. Kept in
+    lockstep by tests/test_cli.py::test_sanitize_component_matches_column_fn."""
+    cleaned = re.sub(r'[<>:"/\\|?*]', "_", text)
+    collapsed = re.sub(r"_+", "_", cleaned)
+    return re.sub(r"^_|_$", "", collapsed)[:max_len]
+
+
+def _envelope(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """One row per key: every non-key column packed into a deterministically
+    ordered ``rows`` array (collect_list alone is partition-order dependent;
+    sort_array over a struct led by ``order_col`` pins it)."""
+    payload = [c for c in df.columns if c not in key_cols]
+    if order_col not in payload:
+        raise ValueError(f"order_col {order_col!r} must be a payload column")
+    ordered_first = [order_col, *[c for c in payload if c != order_col]]
+    return df.groupBy(*key_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct(*[F.col(c) for c in ordered_first]))
+        ).alias("rows")
+    )
+
+
+def _stage_and_finalize(
+    env: DataFrame,
+    key_cols: list[str],
+    staging: str,
+    place: "callable",
+) -> list[str]:
+    """partitionBy staging write (one envelope row per leaf after the
+    repartition → one part file), then the bounded finalize: parse each
+    leaf's single JSON line and hand it to ``place(key_values, doc)``."""
+    env.repartition(*key_cols).write.mode("overwrite").partitionBy(
+        *key_cols
+    ).json(staging)
+    out: list[str] = []
+    for root, _dirs, files in os.walk(staging):
+        parts = [p for p in files if p.startswith("part-") and p.endswith(".json")]
+        if not parts:
+            continue
+        rel = os.path.relpath(root, staging)
+        # partition dir values are Hive-escaped (%XX for '/', ':', '=' …);
+        # unquote restores the logical value before path assembly
+        from urllib.parse import unquote
+
+        kv = {
+            k: unquote(v)
+            for k, v in (
+                p.split("=", 1) for p in rel.split(os.sep) if "=" in p
+            )
+        }
+        keys = [kv[k] for k in key_cols]
+        docs = []
+        for p in sorted(parts):
+            with open(os.path.join(root, p), encoding="utf-8") as f:
+                docs.extend(json.loads(line) for line in f if line.strip())
+        if len(docs) != 1:
+            raise ValueError(
+                f"expected exactly one envelope row per leaf, got {len(docs)} "
+                f"under {rel} — key columns {key_cols} are not the write grain"
+            )
+        out.append(place(keys, docs[0]))
+    shutil.rmtree(staging)
+    return sorted(out)
+
+
+#: page_type → reference filename stem (Cleaning_Glass_#1.py:461-476).
+PAGE_FILENAME = {
+    "lineups": "LINEUPS",
+    "onoff": "ONOFF",
+    "players": "PLAYERS",
+}
+
+
+def write_team_page_tree(
+    df: DataFrame,
+    base_dir: str,
+    *,
+    date_str: str,
+    team_col: str = "team",
+    page_col: str = "page",
+    order_col: str = "row_idx",
+) -> list[str]:
+    """Land ``df`` as the literal Cleaning Glass tree:
+    ``<base_dir>/<TEAM>/CLEANINGdaGLASS/<PAGE>_<date_str>.json`` — one
+    pretty-printed JSON document per (team, page), page stems mapped via
+    :data:`PAGE_FILENAME` with the reference's OTHER fallback. Re-running
+    replaces files in place (the reference's 🔄 Replaced path). Returns the
+    landed file paths."""
+    env = _envelope(df, [team_col, page_col], order_col)
+    staging = os.path.join(base_dir, "_staging_teams")
+
+    def place(keys: list[str], doc: dict) -> str:
+        team, page = keys
+        stem = PAGE_FILENAME.get(page.lower(), "OTHER")
+        d = os.path.join(base_dir, sanitize_component(team), "CLEANINGdaGLASS")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{stem}_{date_str}.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(doc, f, indent=2, ensure_ascii=False)
+        return path
+
+    return _stage_and_finalize(env, [team_col, page_col], staging, place)
+
+
+def write_matchup_tree(
+    df: DataFrame,
+    base_dir: str,
+    *,
+    date_str: str,
+    timestamp: str,
+    matchup_col: str = "matchup",
+    proptype_col: str = "prop_type",
+    order_col: str = "row_idx",
+    source: str = "Hard Rock Bet",
+) -> list[str]:
+    """Land ``df`` as the literal props tree:
+    ``<base_dir>/<date>_<matchup>/<proptype>_<timestamp>.json`` with the
+    reference's metadata envelope (nba_props_scraper.py:824-860: type,
+    match, source/sport/date metadata block). ``timestamp`` is injected
+    (the reference stamps now(); a parameter keeps reruns deterministic).
+    Returns the landed file paths."""
+    env = _envelope(df, [matchup_col, proptype_col], order_col)
+    staging = os.path.join(base_dir, "_staging_matchups")
+
+    def place(keys: list[str], doc: dict) -> str:
+        matchup, prop_type = keys
+        folder = f"{date_str}_{sanitize_component(matchup)}"
+        d = os.path.join(base_dir, folder)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{prop_type}_{timestamp}.json")
+        envelope = {
+            "type": prop_type,
+            "match": matchup,
+            "rows": doc["rows"],
+            "metadata": {
+                "source": source,
+                "sport": "NBA",
+                "match": matchup,
+                "scraped_at": timestamp,
+                "date": date_str,
+            },
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(envelope, f, indent=2, ensure_ascii=False)
+        return path
+
+    return _stage_and_finalize(env, [matchup_col, proptype_col], staging, place)
