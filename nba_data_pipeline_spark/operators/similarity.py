@@ -181,25 +181,45 @@ def cosine_pairs_in_buckets(df: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+#: sub-block row target for ``cosine_pairs_blocked``: blocks are sized so a
+#: task's pandas input stays ~2·BLOCK_TARGET_ROWS rows and the chunked
+#: matmul's widest similarity slab is MATMUL_CHUNK_ROWS × BLOCK_TARGET_ROWS
+#: float64 (~134 MB at the defaults) — bounded at ANY corpus size.
+BLOCK_TARGET_ROWS = 8192
+MATMUL_CHUNK_ROWS = 2048
+
+
 def cosine_pairs_blocked(
-    df: DataFrame, threshold: float, num_blocks: int = 8
+    df: DataFrame, threshold: float, min_blocks: int = 8
 ) -> DataFrame:
     """Distributed exact all-pairs cosine >= ``threshold`` — the scale-safe
     form of ``cosine_pairs_blas`` with NO driver-side materialization.
 
-    Block-pair (triangle) join: vectors hash into ``num_blocks`` blocks; each
-    vector is replicated once per unordered block pair it belongs to (B
-    copies), shuffled by the (i, j) task key, and each of the B(B+1)/2 tasks
-    mines its two sub-blocks with one BLAS matmul. An unordered vector pair
-    with blocks (u, v) meets in exactly one task, (min(u,v), max(u,v)):
+    Block-pair (triangle) join: vectors hash into B blocks; each vector is
+    replicated once per unordered block pair it belongs to (B copies),
+    shuffled by the (i, j) task key, and each of the B(B+1)/2 tasks mines
+    its two sub-blocks with BLAS matmuls. An unordered vector pair with
+    blocks (u, v) meets in exactly one task, (min(u,v), max(u,v)):
     cross-block pairs come from the i-side × j-side product, within-block
     pairs from the id-ordered upper triangle, so no pair is emitted twice.
 
-    Cost model at scale: replication is O(N·B) shuffle bytes and memory per
-    task is O((N/B)·dim) — pick B ≈ sqrt(cluster cores) so tasks saturate
-    the cluster while sub-blocks stay executor-sized. The total O(N²) flops
-    are inherent to the EXACT baseline; the 100 TB near-dup path blocks by
-    LSH/IVF first and runs this miner per bucket, where N is bucket-sized.
+    Cost model at scale: replication is O(N·B) shuffle bytes; per-task
+    memory is O((N/B)·dim) for the sub-blocks PLUS the similarity slab.
+    The slab is what actually blows up — (N/B)² float64 — so two bounds
+    keep it executor-sized at any N:
+
+    * B is ADAPTIVE: ``B = max(min_blocks, ceil(N / BLOCK_TARGET_ROWS))``
+      from one exact count (an O(1)-result aggregate job, the same bounded
+      driver-scalar discipline as the gate counts). A fixed B=8 put a
+      25k×25k×8B = 5 GB slab in every worker at the 200k-vector tiling —
+      measured as a fleet-wide OOM, which is why this is sized by N now.
+    * the matmul is CHUNKED: the left side walks in MATMUL_CHUNK_ROWS
+      slices, so the live slab is chunk × (N/B) floats (~134 MB at the
+      defaults) no matter how the block boundaries land.
+
+    The total O(N²) flops are inherent to the EXACT baseline; the 100 TB
+    near-dup path blocks by LSH/IVF first and runs this miner per bucket,
+    where N is bucket-sized.
 
     Determinism vs the DuckDB oracle: same discipline as
     ``cosine_pairs_blas`` — BLAS decides the bulk, and cosines within 1e-9
@@ -208,6 +228,12 @@ def cosine_pairs_blocked(
     """
     id_col, vec_col = df.columns[0], df.columns[1]
     band = 1e-9
+
+    # One exact count sizes the block grid; the result is a driver scalar
+    # (bounded collect), and the scan it costs is tiny next to the O(N·B)
+    # replicate-shuffle it right-sizes.
+    n = df.count()
+    num_blocks = max(min_blocks, -(-n // BLOCK_TARGET_ROWS))
 
     block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
     keyed = (
@@ -245,23 +271,45 @@ def cosine_pairs_blocked(
             nb += y * y
         return num / (na**0.5 * nb**0.5)
 
-    def _emit(
+    def _emit_chunk(
         ia: np.ndarray,
         ma: np.ndarray,
         ib: np.ndarray,
         mb: np.ndarray,
         s: np.ndarray,
         mask: np.ndarray,
-    ) -> pd.DataFrame:
+        keep_a: list[int],
+        keep_b: list[int],
+    ) -> None:
         rr, cc = np.nonzero(mask)
-        keep_a: list[int] = []
-        keep_b: list[int] = []
         for r, c in zip(rr.tolist(), cc.tolist()):
             if s[r, c] < threshold + band and not (seq_cos(ma[r], mb[c]) >= threshold):
                 continue
             u, v = int(ia[r]), int(ib[c])
             keep_a.append(min(u, v))
             keep_b.append(max(u, v))
+
+    def _mine_sides(
+        ia: np.ndarray,
+        ma: np.ndarray,
+        na: np.ndarray,
+        ib: np.ndarray,
+        mb: np.ndarray,
+        nb: np.ndarray,
+        same: bool,
+    ) -> pd.DataFrame:
+        # Chunked matmul: the live similarity slab is at most
+        # MATMUL_CHUNK_ROWS × |b-side| float64, independent of block size.
+        keep_a: list[int] = []
+        keep_b: list[int] = []
+        mbt = mb.T
+        for lo in range(0, int(ia.size), MATMUL_CHUNK_ROWS):
+            hi = min(lo + MATMUL_CHUNK_ROWS, int(ia.size))
+            s = (ma[lo:hi] @ mbt) / np.outer(na[lo:hi], nb)
+            mask = s >= threshold - band
+            if same:
+                mask &= ia[lo:hi, None] < ib[None, :]
+            _emit_chunk(ia[lo:hi], ma[lo:hi], ib, mb, s, mask, keep_a, keep_b)
         return pd.DataFrame({"id_a": keep_a, "id_b": keep_b})
 
     def mine_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -272,17 +320,13 @@ def cosine_pairs_blocked(
         norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
         ids = pdf[id_col].to_numpy()
         if i == j:
-            s = (mat @ mat.T) / np.outer(norms, norms)
-            mask = (s >= threshold - band) & (ids[:, None] < ids[None, :])
-            return _emit(ids, mat, ids, mat, s, mask)
+            return _mine_sides(ids, mat, norms, ids, mat, norms, True)
         left = pdf["__blk"].to_numpy() == i
         ia, ma, na = ids[left], mat[left], norms[left]
         ib, mb, nb = ids[~left], mat[~left], norms[~left]
         if ia.size == 0 or ib.size == 0:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        s = (ma @ mb.T) / np.outer(na, nb)
-        mask = s >= threshold - band
-        return _emit(ia, ma, ib, mb, s, mask)
+        return _mine_sides(ia, ma, na, ib, mb, nb, False)
 
     return keyed.groupBy("__i", "__j").applyInPandas(
         mine_block, schema="id_a long, id_b long"

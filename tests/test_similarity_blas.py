@@ -87,7 +87,7 @@ def test_blocked_pairs_match_fold_pairs(spark):
     for threshold in (0.2, 0.5):
         got = {
             (r.id_a, r.id_b)
-            for r in cosine_pairs_blocked(df, threshold, num_blocks=4).collect()
+            for r in cosine_pairs_blocked(df, threshold, min_blocks=4).collect()
         }
         want = {(r.id_a, r.id_b) for r in _fold_pairs(df, threshold).collect()}
         assert got == want
@@ -97,10 +97,28 @@ def test_blocked_pairs_no_duplicates_across_tasks(spark):
     from nba_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
 
     df = _mk_vectors(spark, 40, 8, seed=3)
-    rows = cosine_pairs_blocked(df, 0.1, num_blocks=5).collect()
+    rows = cosine_pairs_blocked(df, 0.1, min_blocks=5).collect()
     pairs = [(r.id_a, r.id_b) for r in rows]
     assert len(pairs) == len(set(pairs))
     assert all(a < b for a, b in pairs)
+
+
+def test_blocked_pairs_chunked_and_adaptive(spark, monkeypatch):
+    """The sf10 OOM regression pin: with the sub-block target and matmul
+    chunk forced far below the corpus size, B adapts past min_blocks and
+    every similarity slab is a sliver — results must still equal the exact
+    fold. (The fixed-B form put an (N/8)^2 float64 slab in every worker.)"""
+    from nba_data_pipeline_spark.operators import similarity as simmod
+
+    monkeypatch.setattr(simmod, "BLOCK_TARGET_ROWS", 10)
+    monkeypatch.setattr(simmod, "MATMUL_CHUNK_ROWS", 3)
+    df = _mk_vectors(spark, 64, 8, seed=7)
+    got = {
+        (r.id_a, r.id_b)
+        for r in simmod.cosine_pairs_blocked(df, 0.3, min_blocks=2).collect()
+    }
+    want = {(r.id_a, r.id_b) for r in _fold_pairs(df, 0.3).collect()}
+    assert got == want
 
 
 def test_num_planes_for_targets_bucket_cardinality():
