@@ -148,7 +148,11 @@ def cosine_pairs_in_buckets(df: DataFrame, threshold: float) -> DataFrame:
     ``sim_lsh_neardup_pairs``): the fold now runs only on emitted pairs,
     ~1% of candidates. Buckets are broadcast-sized by construction (the
     LSH plane count targets bucket cardinality), so a group always fits a
-    task; at 100 TB the plane count grows to keep that true."""
+    task; at 100 TB the plane count grows to keep that true. The gram
+    matrix is still CHUNKED (MATMUL_CHUNK_ROWS row slices) so a
+    misconfigured plane count degrades to a linear-memory slab instead of
+    a bucket² one — at the 100× tiling the fixture's 4-plane contract puts
+    12.5k vectors in a bucket, a 1.25 GB slab in the unchunked form."""
     band = 1e-9
 
     def mine(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -160,14 +164,17 @@ def cosine_pairs_in_buckets(df: DataFrame, threshold: float) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         bucket = pdf["bucket"].iloc[0]
         norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-        s = (m @ m.T) / np.outer(norms, norms)
-        cand = (s >= threshold - band) & (ids[:, None] < ids[None, :])
-        rr, cc = np.nonzero(cand)
+        mt = m.T
         out: list[tuple[int, int, str, float]] = []
-        for r, c in zip(rr.tolist(), cc.tolist()):
-            exact = seq_cosine(m[r], m[c])
-            if exact >= threshold:
-                out.append((int(ids[r]), int(ids[c]), bucket, exact))
+        for lo in range(0, int(ids.size), MATMUL_CHUNK_ROWS):
+            hi = min(lo + MATMUL_CHUNK_ROWS, int(ids.size))
+            s = (m[lo:hi] @ mt) / np.outer(norms[lo:hi], norms)
+            cand = (s >= threshold - band) & (ids[lo:hi, None] < ids[None, :])
+            rr, cc = np.nonzero(cand)
+            for r, c in zip(rr.tolist(), cc.tolist()):
+                exact = seq_cosine(m[lo + r], m[c])
+                if exact >= threshold:
+                    out.append((int(ids[lo + r]), int(ids[c]), bucket, exact))
         return pd.DataFrame(
             out, columns=["id_a", "id_b", "bucket", "cosine_sim"]
         )

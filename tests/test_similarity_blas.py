@@ -121,6 +121,39 @@ def test_blocked_pairs_chunked_and_adaptive(spark, monkeypatch):
     assert got == want
 
 
+def test_bucket_miner_chunked_matches_fold(spark, monkeypatch):
+    """Same pin for the in-bucket gram miner: a chunk size far below the
+    bucket size must not change the emitted pairs or their exact cosines."""
+    from nba_data_pipeline_spark.operators import similarity as simmod
+
+    monkeypatch.setattr(simmod, "MATMUL_CHUNK_ROWS", 5)
+    df = _mk_vectors(spark, 48, 8, seed=13).withColumn(
+        "bucket", (F.col("vec_id") % 3).cast("string")
+    )
+    got = {
+        (r.id_a, r.id_b, r.bucket, round(r.cosine_sim, 12))
+        for r in simmod.cosine_pairs_in_buckets(df, 0.2).collect()
+    }
+    fold = {
+        (r.id_a, r.id_b, r.bucket, round(r.cosine_sim, 12))
+        for r in (
+            df.alias("a")
+            .join(df.alias("b"), F.col("a.bucket") == F.col("b.bucket"))
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.col("a.bucket").alias("bucket"),
+                simmod.cosine(
+                    F.col("a.embedding"), F.col("b.embedding")
+                ).alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim") >= 0.2)
+        ).collect()
+    }
+    assert got == fold
+
+
 def test_num_planes_for_targets_bucket_cardinality():
     from nba_data_pipeline_spark.operators.similarity import num_planes_for
 
