@@ -30,8 +30,14 @@ from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
 #: the regime inverted-index joins are built for.
 _SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
 
+# tok and tf are MATERIALIZED: every consumer of this block uses tf at
+# least twice (df + the weight join), and without materialization DuckDB
+# re-inlines the tokenize + three-way positional self-join per consumer —
+# at the 100x tiling that re-expansion spilled >68 GB of temp and died
+# (same oracle-side defect class as the r6 ta_greedy_set_cover fix).
+# Materialization mirrors the engine's own tf persist; values unchanged.
 _SQL_TRI_TF = f"""
-tok AS (
+tok AS MATERIALIZED (
   SELECT doc_id, t.token, t.pos FROM (
     SELECT doc_id, unnest({_SQL_TOKS}) AS token,
            generate_subscripts({_SQL_TOKS}, 1) AS pos
@@ -43,7 +49,7 @@ tri AS (
   JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
   JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
 ),
-tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tri GROUP BY 1, 2)
+tf AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tri GROUP BY 1, 2)
 """
 
 #: Posting lists longer than this fraction of the corpus are dropped from
@@ -71,7 +77,7 @@ def _trigrams(toks: str = "toks") -> F.Column:
 WITH {_SQL_TRI_TF},
 df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
-w AS (
+w AS MATERIALIZED (
   SELECT tf.doc_id, tf.term,
          tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS w
   FROM tf JOIN df USING (term) CROSS JOIN n
