@@ -995,13 +995,22 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MRL_PREFIX = 16  # leading dims retained by the truncated index
+#: Query-set bound: every 50th vector, CAPPED at the first 128 such ids
+#: (vec_id < 50·128). A proportional sample made the eval O(N²/50) — at
+#: the 100× tiling that is 4000 queries × 200k vectors = 800M scored
+#: pairs, measured as a >20-minute single straggler. A fixed-absolute
+#: deterministic sample (the r6 sim_alignment_uniformity precedent) keeps
+#: the eval O(N) at any corpus size; every driver-checked SF holds fewer
+#: than 6400 vectors, so values there are unchanged.
+_MRL_QID_CAP = 50 * 128
 
 
 @query(
     "sim_matryoshka_prefix_eval",
     oracle=f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS qid, e AS qe FROM v
+      WHERE vec_id % 50 = 0 AND vec_id < {_MRL_QID_CAP}),
 scored AS (
   SELECT q.qid, a.vec_id AS nb,
          ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
@@ -1036,21 +1045,35 @@ def sim_matryoshka_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     4× less memory and FLOPs: measure what truncation costs on YOUR
     corpus, in-engine, before committing the index build.
 
-    Shape: one broadcast of the query rows across the vector scan; BOTH
-    rankings ride the same qid-clustered exchange (two window functions,
-    one shuffle); cosines use the sequential-fold ``dot`` that is
-    bit-identical to DuckDB's list_dot_product, so ranks — and therefore
-    the overlap counts — agree exactly."""
+    Shape: one broadcast of the (capped, fixed-size) query rows across the
+    vector scan; BOTH rankings ride the same qid-clustered exchange (two
+    window functions, one shuffle); cosines use the sequential-fold
+    ``dot`` that is bit-identical to DuckDB's list_dot_product, so ranks —
+    and therefore the overlap counts — agree exactly. Norms are hoisted
+    OUT of the pair product (one fold per row instead of two per pair —
+    sqrt(dot(x,x)) is the same double either way, so ranks are
+    unchanged); per-pair work is the two numerator folds only."""
     from pyspark.sql import Window as W
 
-    v = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = v.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    pre = lambda c: F.slice(c, 1, _MRL_PREFIX)  # noqa: E731
+    e = F.col("embedding")
+    v = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("n_full", F.sqrt(dot(e, e)))
+        .withColumn("n_pre", F.sqrt(dot(pre(e), pre(e))))
+    )
+    q = v.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _MRL_QID_CAP)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("n_full").alias("qn_full"),
+        F.col("n_pre").alias("qn_pre"),
     )
     pairs = v.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
-    pre = lambda c: F.slice(c, 1, _MRL_PREFIX)  # noqa: E731
-    full_sim = cosine(F.col("qe"), F.col("embedding"))
-    pre_sim = cosine(pre(F.col("qe")), pre(F.col("embedding")))
+    full_sim = dot(F.col("qe"), e) / (F.col("qn_full") * F.col("n_full"))
+    pre_sim = dot(pre(F.col("qe")), pre(e)) / (F.col("qn_pre") * F.col("n_pre"))
     scored = pairs.select(
         "qid",
         F.col("vec_id").alias("nb"),
