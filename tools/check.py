@@ -5,13 +5,29 @@ twin on DuckDB over the same parquet, then compares row count, sorted column
 names, and order-insensitive values (exact for ints/strings, near-exact for
 floats). Usage:
 
-    python tools/check.py [name ...]      # default: all registered queries
+    python tools/check.py [name ...]              # default: all registered queries
+    python tools/check.py --sf sf1                # full sweep at 10x (sf_scaled/sf1)
+    python tools/check.py --sf sf10 --lanes dedup,ann,text   # scale-lane presets
+    python tools/check.py --list-lanes            # show lane -> entry mapping
+
+Standing cadence (the discipline that caught the r6/r7 scale defects):
+  * full sf1 (10x) sweep at HEAD before any round close;
+  * sf10 (100x) lane sweep for any lane whose operators changed
+    (``--sf sf10 --lanes <lane>``);
+  * default sf0.01 full sweep after any catalog edit.
+
+``--sf`` accepts a directory path or a shorthand: driver SFs
+(sf0.001/sf0.01/sf0.1) resolve to ``/root/testdata/<sf>``; scaled SFs
+(sf1/sf3/sf10) resolve to ``sf_scaled/<sf>`` (built on demand by
+``tools/make_sf_scaled.py``).
 """
 
 from __future__ import annotations
 
+import argparse
 import math
 import os
+import re
 import sys
 import time
 
@@ -24,6 +40,57 @@ from nba_data_pipeline_spark.io import TABLES
 from nba_data_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Lane presets: prefix regex -> catalog subset. ``misc`` is computed as the
+# complement so the union of all lanes is always the full registry (asserted
+# in tests/test_check_lanes.py) — a new entry can never silently fall outside
+# the scale-ladder cadence.
+LANES: dict[str, str] = {
+    "dedup": r"^(d\d|corpus_|skew_)",
+    "ann": r"^sim_",
+    "text": r"^ta_",
+    "stats": r"^(a\d|a_|udaf_|mi\d|mb\d|sky\d|flagship|sql_)",
+    "windows": r"^w\d",
+    "ts": r"^ts\d",
+    "joins": r"^(j\d|u\d)",
+    "graph": r"^g\d",
+    "streaming": r"^s\d",
+    "multimodal": r"^mm_",
+    "sources": r"^(src_|snk\d|n_|nba_|f\d|x\d|x_|ud\d|lo\d|dq\d|geo\d|cdc_)",
+}
+
+
+def lane_members(names: list[str]) -> dict[str, list[str]]:
+    """Partition catalog names into lanes; unmatched names land in ``misc``."""
+    out: dict[str, list[str]] = {lane: [] for lane in LANES}
+    out["misc"] = []
+    for n in names:
+        for lane, pat in LANES.items():
+            if re.match(pat, n):
+                out[lane].append(n)
+                break
+        else:
+            out["misc"].append(n)
+    return out
+
+
+def resolve_sf(sf: str) -> str:
+    """Shorthand SF name or directory path -> parquet directory."""
+    if os.path.isdir(sf):
+        return sf
+    if sf in ("sf0.001", "sf0.01", "sf0.1"):
+        return f"/root/testdata/{sf}"
+    if re.fullmatch(r"sf\d+", sf):
+        path = os.path.join(REPO, "sf_scaled", sf)
+        if not os.path.isdir(path):
+            raise SystemExit(
+                f"{path} missing — build it first: "
+                f"python tools/make_sf_scaled.py {int(sf[2:]) * 10} sf_scaled/{sf}"
+            )
+        return path
+    raise SystemExit(f"unknown --sf {sf!r}: not a directory or known shorthand")
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -72,17 +139,38 @@ def compare(name: str, spark_df, duck_rel) -> list[str]:
 
 
 def main() -> int:
-    want = sys.argv[1:]
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("names", nargs="*", help="explicit query names (default: all)")
+    ap.add_argument("--sf", default=None, help="SF shorthand (sf0.01/sf1/sf10) or dir")
+    ap.add_argument("--lanes", default=None, help="comma-separated lane presets")
+    ap.add_argument("--list-lanes", action="store_true", help="print lane membership")
+    args = ap.parse_args()
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = want or list(qs)
+    lanes = lane_members(list(qs))
+    if args.list_lanes:
+        for lane, members in lanes.items():
+            print(f"{lane} ({len(members)}): {' '.join(members)}")
+        return 0
+    names = list(args.names)
+    if args.lanes:
+        for lane in args.lanes.split(","):
+            if lane not in lanes:
+                raise SystemExit(f"unknown lane {lane!r}; have {sorted(lanes)}")
+            names.extend(lanes[lane])
+    if not names:
+        names = list(qs)
+    sf_dir = resolve_sf(args.sf) if args.sf else SF_DIR
+    print(f"# sf_dir={sf_dir}  entries={len(names)}", flush=True)
+
     spark = get_spark("check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
-    con = duck_connect(SF_DIR)
+    con = duck_connect(sf_dir)
     failed = []
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, SF_DIR)
+            sdf = qs[name](spark, sf_dir)
             if name in oracles:
                 problems = compare(name, sdf, con.sql(oracles[name]))
             else:
@@ -97,7 +185,7 @@ def main() -> int:
         spark.catalog.clearCache()
         dt = time.time() - t0
         status = "OK " if not problems else "FAIL"
-        print(f"{status} {name} ({dt:.1f}s)")
+        print(f"{status} {name} ({dt:.1f}s)", flush=True)
         for p in problems:
             print(f"     {p}")
         if problems:
