@@ -195,9 +195,19 @@ def cosine_pairs_in_buckets(df: DataFrame, threshold: float) -> DataFrame:
 BLOCK_TARGET_ROWS = 8192
 MATMUL_CHUNK_ROWS = 2048
 
+#: replication guard for ``cosine_pairs_blocked``: shuffle bytes are O(N·B),
+#: so past this block count (~33.5M vectors at the default block target) the
+#: replicate-explode alone is ~10^11 shuffled rows — the EXACT miner is the
+#: wrong tool and the call raises, mirroring MAX_BLAS_BROADCAST_ROWS.
+MAX_COSINE_BLOCKS = 4096
+
 
 def cosine_pairs_blocked(
-    df: DataFrame, threshold: float, min_blocks: int = 8
+    df: DataFrame,
+    threshold: float,
+    min_blocks: int = 8,
+    *,
+    known_count: int | None = None,
 ) -> DataFrame:
     """Distributed exact all-pairs cosine >= ``threshold`` — the scale-safe
     form of ``cosine_pairs_blas`` with NO driver-side materialization.
@@ -238,9 +248,19 @@ def cosine_pairs_blocked(
 
     # One exact count sizes the block grid; the result is a driver scalar
     # (bounded collect), and the scan it costs is tiny next to the O(N·B)
-    # replicate-shuffle it right-sizes.
-    n = df.count()
+    # replicate-shuffle it right-sizes. Callers with expensive (or cached)
+    # upstreams pass ``known_count`` to skip the sizing scan — and to keep
+    # the grid consistent with THEIR snapshot if the upstream is
+    # non-deterministic (the sizing only affects balance, never pairs).
+    n = df.count() if known_count is None else int(known_count)
     num_blocks = max(min_blocks, -(-n // BLOCK_TARGET_ROWS))
+    if num_blocks > MAX_COSINE_BLOCKS:
+        raise ValueError(
+            f"cosine_pairs_blocked: {n} vectors need {num_blocks} blocks "
+            f"(> MAX_COSINE_BLOCKS={MAX_COSINE_BLOCKS}); the O(N*B) replicate "
+            "shuffle of the exact miner is the wrong tool at this size — "
+            "bucket candidates first (LSH/IVF) and run the miner per bucket."
+        )
 
     block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
     keyed = (

@@ -386,7 +386,9 @@ def d5_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (triangle) join — vectors hash into B blocks, each unordered block pair
     becomes one task mining its two sub-blocks with a BLAS matmul,
     borderline cosines re-scored with the oracle's exact sequential fold.
-    Fully distributed: no driver-side collect anywhere on the plan
+    Fully distributed except one bounded sizing job: building the plan runs
+    a single exact COUNT over the pruned input (a driver scalar) to pick
+    the adaptive block count; all pair data stays executor-side
     (``cosine_pairs_blas``, the broadcast variant, remains the per-bucket
     verifier for bucket-sized inputs).
     """

@@ -121,6 +121,38 @@ def test_blocked_pairs_chunked_and_adaptive(spark, monkeypatch):
     assert got == want
 
 
+def test_blocked_pairs_known_count_skips_sizing_scan(spark):
+    """known_count sizes the grid without the count() job — and a wrong-ish
+    count only changes balance, never pairs (bucket membership is decided
+    by the hash, the grid by B)."""
+    from nba_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
+
+    df = _mk_vectors(spark, 50, 8, seed=11)
+    want = {(r.id_a, r.id_b) for r in _fold_pairs(df, 0.3).collect()}
+    for kc in (50, 200):  # exact and stale-high snapshots
+        got = {
+            (r.id_a, r.id_b)
+            for r in cosine_pairs_blocked(
+                df, 0.3, min_blocks=3, known_count=kc
+            ).collect()
+        }
+        assert got == want
+
+
+def test_blocked_pairs_guard_rejects_corpus_sized_frames(spark):
+    """Past MAX_COSINE_BLOCKS the O(N*B) replicate shuffle is the wrong
+    tool; the miner must raise with bucket-first guidance instead of
+    launching it (mirrors MAX_BLAS_BROADCAST_ROWS)."""
+    import pytest
+
+    from nba_data_pipeline_spark.operators import similarity as simmod
+
+    df = _mk_vectors(spark, 10, 4, seed=1)
+    n_too_big = (simmod.MAX_COSINE_BLOCKS + 1) * simmod.BLOCK_TARGET_ROWS
+    with pytest.raises(ValueError, match="bucket candidates first"):
+        simmod.cosine_pairs_blocked(df, 0.5, known_count=n_too_big)
+
+
 def test_bucket_miner_chunked_matches_fold(spark, monkeypatch):
     """Same pin for the in-bucket gram miner: a chunk size far below the
     bucket size must not change the emitted pairs or their exact cosines."""
