@@ -23,7 +23,7 @@ from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
 _SCALE = 1_000_000_000_000
 
 _SQL_ITER = """
-{out} AS (
+{out} AS MATERIALIZED (
   SELECT n.n, base.b + COALESCE(s.contrib, 0) AS pr
   FROM nodes n
   CROSS JOIN (SELECT (15 * {scale}) // (100 * COUNT(*)) AS b FROM nodes) base
@@ -44,7 +44,7 @@ WITH eo AS (
 ), ls AS (
   SELECT l.l_orderkey, s.s_nationkey AS v
   FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT DISTINCT eo.u, ls.v FROM eo JOIN ls ON ls.l_orderkey = eo.o_orderkey
   WHERE eo.u <> ls.v
 ), nodes AS (
@@ -158,7 +158,7 @@ pairs AS (
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-edges AS (SELECT DISTINCT u, v FROM pairs),
+edges AS MATERIALIZED (SELECT DISTINCT u, v FROM pairs),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM edges e1
@@ -301,7 +301,7 @@ WITH RECURSIVE eo AS (
 ), edir AS (
   SELECT DISTINCT eo.u, ls.v FROM eo JOIN ls ON ls.l_orderkey = eo.o_orderkey
   WHERE eo.u <> ls.v
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT u, v FROM edir UNION SELECT v, u FROM edir
 ), bfs AS (
   SELECT CAST(0 AS BIGINT) AS n, 0 AS lvl
@@ -390,7 +390,7 @@ _G4_INF = 10**9
 _G4_ROUNDS = 4
 
 _G4_SQL_ITER = """
-{out} AS (
+{out} AS MATERIALIZED (
   SELECT d.n, LEAST(d.dist, COALESCE(m.best, {inf})) AS dist
   FROM {inp} d
   LEFT JOIN (
@@ -412,12 +412,12 @@ WITH eo AS (
   SELECT l.l_orderkey, s.s_nationkey AS v,
          CAST(l.l_quantity AS INT) % 9 + 1 AS w
   FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-), dedges AS (
+), dedges AS MATERIALIZED (
   SELECT eo.u, ls.v, CAST(MIN(ls.w) AS BIGINT) AS w
   FROM eo JOIN ls ON ls.l_orderkey = eo.o_orderkey
   WHERE eo.u <> ls.v
   GROUP BY eo.u, ls.v
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT u, v, MIN(w) AS w FROM (
     SELECT u, v, w FROM dedges UNION ALL SELECT v AS u, u AS v, w FROM dedges
   ) GROUP BY u, v
@@ -541,13 +541,13 @@ _G5_K = 3
 _G5_ROUNDS = 3
 
 _G5_SQL_ROUND = """
-deg{r} AS (
+deg{r} AS MATERIALIZED (
   SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
     SELECT e.u AS n FROM sym e
     JOIN s{p} a ON a.n = e.u JOIN s{p} b ON b.n = e.v
   ) GROUP BY n
 ),
-s{r} AS (SELECT n FROM deg{r} WHERE d >= {k}),
+s{r} AS MATERIALIZED (SELECT n FROM deg{r} WHERE d >= {k}),
 out{r} AS (
   SELECT {r} AS round,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r}) AS n_survivors,
@@ -569,8 +569,8 @@ pairs AS (
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-edges AS (SELECT DISTINCT u, v FROM pairs),
-sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+edges AS MATERIALIZED (SELECT DISTINCT u, v FROM pairs),
+sym AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
 s0 AS (SELECT DISTINCT u AS n FROM sym),
 {",".join(_G5_SQL_ROUND.format(r=r, p=r - 1, k=_G5_K) for r in range(1, _G5_ROUNDS + 1))}
 SELECT * FROM ({" UNION ALL ".join(f"SELECT * FROM out{r}" for r in range(1, _G5_ROUNDS + 1))})
@@ -657,8 +657,8 @@ pairs AS (
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-edges AS (SELECT DISTINCT u, v FROM pairs),
-sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+edges AS MATERIALIZED (SELECT DISTINCT u, v FROM pairs),
+sym AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
 deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
 ep AS (
   SELECT du.d AS d_src, dv.d AS d_dst
@@ -762,14 +762,14 @@ pairs AS (
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-edges0 AS (SELECT DISTINCT u, v FROM pairs),
+edges0 AS MATERIALIZED (SELECT DISTINCT u, v FROM pairs),
 deg0 AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d
   FROM (SELECT u AS node, v FROM edges0 UNION ALL SELECT v, u FROM edges0)
   GROUP BY 1
 ),
 keep AS (SELECT node FROM deg0 WHERE d <= {_G7_DEGREE_CAP}),
-edges AS (
+edges AS MATERIALIZED (
   SELECT u, v FROM edges0
   JOIN keep ku ON ku.node = edges0.u
   JOIN keep kv ON kv.node = edges0.v
@@ -970,7 +970,7 @@ WITH eo AS (
 ), ls AS (
   SELECT l.l_orderkey, s.s_nationkey AS v
   FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT DISTINCT eo.u, ls.v FROM eo JOIN ls ON ls.l_orderkey = eo.o_orderkey
   WHERE eo.u <> ls.v
 ), nodes AS (
@@ -1117,8 +1117,8 @@ cpairs AS (
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-edges AS (SELECT DISTINCT u, v FROM cpairs),
-adj AS (SELECT u AS z, v AS nb FROM edges UNION ALL SELECT v, u FROM edges),
+edges AS MATERIALIZED (SELECT DISTINCT u, v FROM cpairs),
+adj AS MATERIALIZED (SELECT u AS z, v AS nb FROM edges UNION ALL SELECT v, u FROM edges),
 deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
 mid AS (
   SELECT adj.z, adj.nb, deg.d FROM adj JOIN deg USING (z)

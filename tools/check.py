@@ -29,6 +29,7 @@ import math
 import os
 import re
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -144,6 +145,14 @@ def main() -> int:
     ap.add_argument("--sf", default=None, help="SF shorthand (sf0.01/sf1/sf10) or dir")
     ap.add_argument("--lanes", default=None, help="comma-separated lane presets")
     ap.add_argument("--list-lanes", action="store_true", help="print lane membership")
+    ap.add_argument(
+        "--entry-timeout",
+        type=float,
+        default=None,
+        help="seconds per entry before the in-flight DuckDB query and Spark "
+        "jobs are interrupted (the entry FAILs, the sweep continues) — the "
+        "backstop that keeps one runaway oracle from eating a lane's budget",
+    )
     args = ap.parse_args()
 
     qs = entrymod.queries()
@@ -169,6 +178,22 @@ def main() -> int:
     failed = []
     for name in names:
         t0 = time.time()
+        timer = None
+        if args.entry_timeout:
+
+            def _interrupt():
+                try:
+                    con.interrupt()
+                except Exception:  # noqa: BLE001
+                    pass
+                try:
+                    spark.sparkContext.cancelAllJobs()
+                except Exception:  # noqa: BLE001
+                    pass
+
+            timer = threading.Timer(args.entry_timeout, _interrupt)
+            timer.daemon = True
+            timer.start()
         try:
             sdf = qs[name](spark, sf_dir)
             if name in oracles:
@@ -179,6 +204,9 @@ def main() -> int:
                 print(f"  (rows-only: {n} rows)")
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        finally:
+            if timer is not None:
+                timer.cancel()
         # Same discipline as bench.py: queries that persist() multi-consumer
         # intermediates must not accumulate cached blocks across a 264-query
         # session (MEMORY_AND_DISK keeps it correct but taxes later queries).

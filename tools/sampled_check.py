@@ -1,0 +1,267 @@
+"""Sampled-pair oracle for the two sf10 value gaps.
+
+``d5_embedding_cosine_neardup`` and ``sim_lsh_neardup_pairs`` are the only
+catalog entries whose full DuckDB oracle is inherently quadratic in the
+corpus (per-pair ``list_dot_product`` folds): at the 100x tiling (200k
+vectors) the exact replay needs ~10^9-10^10 list folds and cannot finish,
+while the engine's BLAS path takes seconds. This tool closes the value gap
+the way BENCH_sf1.md's round-7 section promised: verify a DETERMINISTIC
+md5-selected sample of the result EXACTLY, in both directions:
+
+* d5_embedding_cosine_neardup —
+  - row-count parity: |engine output| == |documents semi-join embeddings|;
+  - for K sampled doc_ids, DuckDB recomputes the doc's true canonical_id
+    by scanning ALL lower-id vectors (the one-hop min-pointer definition),
+    so a sampled row is verified against the complete neighbor set, not
+    just the edge the engine claimed. Covers both failure directions:
+    a false edge moves canonical_id down, a missed edge moves it up (or
+    flips is_survivor).
+* sim_lsh_neardup_pairs —
+  - precision: K_P engine-emitted pairs (lowest md5(id_a||'_'||id_b))
+    re-verified — same bucket under the 4-plane contract, exact cosine
+    equal to the emitted value and >= threshold;
+  - recall: for K_A sampled anchor vectors, DuckDB recomputes the anchor's
+    FULL expected pair set (bucket the whole corpus, cosine vs every
+    same-bucket partner) and the engine's pairs touching those anchors
+    must match it EXACTLY as a set — a dropped or phantom pair fails.
+
+Selection is md5 over the id rendered as a string — identical bytes in
+Spark and DuckDB — so both engines agree on the sample with no RNG and no
+wall clock. Sample sizes keep the DuckDB side linear: K (anchors) x N
+folds instead of N^2.
+
+Usage:
+    python tools/sampled_check.py --sf sf10 [--docs 96] [--pairs 512] [--anchors 48]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from check import canon, duck_connect, resolve_sf  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from nba_data_pipeline_spark.session import get_spark  # noqa: E402
+
+_COS = (
+    "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+    "sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+def _rows_to_set(rows, cols):
+    return {tuple(canon(r[c]) for c in cols) for r in rows}
+
+
+def _duck_to_set(rel, cols):
+    names = rel.columns
+    idx = [names.index(c) for c in cols]
+    return {tuple(canon(row[i]) for i in idx) for row in rel.fetchall()}
+
+
+def check_d5_embedding(spark, con, sf_dir: str, k_docs: int) -> list[str]:
+    problems: list[str] = []
+    qs = entrymod.queries()
+    eng = qs["d5_embedding_cosine_neardup"](spark, sf_dir)
+
+    # Row-count parity: one cheap COUNT on each side.
+    n_eng = eng.count()
+    n_exp = con.sql(
+        "SELECT COUNT(*) FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id"
+    ).fetchone()[0]
+    if n_eng != n_exp:
+        problems.append(f"row count: engine={n_eng} expected={n_exp}")
+
+    # Deterministic doc sample (DuckDB picks; Spark filters by the id list).
+    ids = [
+        r[0]
+        for r in con.sql(
+            f"""
+            SELECT d.doc_id FROM documents d
+            JOIN embeddings e ON e.vec_id = d.doc_id
+            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id LIMIT {k_docs}
+            """
+        ).fetchall()
+    ]
+    id_list = ",".join(str(i) for i in ids)
+    cols = ["doc_id", "lang", "canonical_id", "is_survivor"]
+    got = _rows_to_set(
+        eng.filter(eng["doc_id"].isin(ids)).collect(), cols
+    )
+    want = _duck_to_set(
+        con.sql(
+            f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            anchors AS (SELECT vec_id AS d, e AS de FROM v
+                        WHERE vec_id IN ({id_list})),
+            nbr AS (
+              SELECT a.d, MIN(b.vec_id) AS canon
+              FROM anchors a JOIN v b ON b.vec_id < a.d
+              WHERE list_dot_product(a.de, b.e) /
+                    (sqrt(list_dot_product(a.de, a.de)) *
+                     sqrt(list_dot_product(b.e, b.e))) >= 0.4
+              GROUP BY a.d
+            )
+            SELECT a.d AS doc_id, doc.lang,
+                   COALESCE(n.canon, a.d) AS canonical_id,
+                   (a.d = COALESCE(n.canon, a.d)) AS is_survivor
+            FROM anchors a
+            JOIN documents doc ON doc.doc_id = a.d
+            LEFT JOIN nbr n ON n.d = a.d
+            """
+        ),
+        cols,
+    )
+    if got != want:
+        problems.append(
+            f"sampled rows differ; engine-only={sorted(got - want)[:3]} "
+            f"oracle-only={sorted(want - got)[:3]}"
+        )
+    return problems
+
+
+def check_sim_lsh(
+    spark, con, sf_dir: str, k_pairs: int, k_anchors: int
+) -> list[str]:
+    problems: list[str] = []
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.plans.similarity import (
+        _SQL_BUCKET_BITS,
+    )
+
+    qs = entrymod.queries()
+    eng = qs["sim_lsh_neardup_pairs"](spark, sf_dir)
+    cols = ["id_a", "id_b", "bucket", "cosine_sim"]
+
+    # _SQL_BUCKET_BITS references both ``e`` and ``embedding`` (the plane
+    # weights derive their dim from the vector itself), same as the full
+    # oracle's v CTE.
+    duck_base = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+bkt AS (SELECT vec_id, e, {_SQL_BUCKET_BITS} AS bucket FROM v)
+"""
+
+    # --- precision: engine's lowest-md5 pairs, re-verified from raw data ---
+    samp = (
+        eng.orderBy(
+            F.md5(
+                F.concat_ws("_", F.col("id_a"), F.col("id_b")).cast("binary")
+            ),
+            "id_a",
+            "id_b",
+        )
+        .limit(k_pairs)
+        .collect()
+    )
+    if not samp:
+        problems.append("precision sample empty — engine emitted no pairs?")
+        return problems
+    got_pairs = _rows_to_set(samp, cols)
+    pair_list = ",".join(f"({r['id_a']},{r['id_b']})" for r in samp)
+    want_pairs = _duck_to_set(
+        con.sql(
+            duck_base
+            + f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+                   {_COS} AS cosine_sim
+            FROM bkt a JOIN bkt b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE (a.vec_id, b.vec_id) IN ({pair_list})
+              AND {_COS} >= 0.25
+            """
+        ),
+        cols,
+    )
+    if got_pairs != want_pairs:
+        problems.append(
+            f"precision: {len(got_pairs - want_pairs)} emitted pairs fail "
+            f"re-verification, e.g. {sorted(got_pairs - want_pairs)[:2]}"
+        )
+
+    # --- recall: full expected pair set for sampled anchors, exact match ---
+    anchors = [
+        r[0]
+        for r in con.sql(
+            f"""SELECT vec_id FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {k_anchors}"""
+        ).fetchall()
+    ]
+    a_list = ",".join(str(a) for a in anchors)
+    got_anchor = _rows_to_set(
+        eng.filter(
+            F.col("id_a").isin(anchors) | F.col("id_b").isin(anchors)
+        ).collect(),
+        cols,
+    )
+    want_anchor = _duck_to_set(
+        con.sql(
+            duck_base
+            + f"""
+            SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS id_a,
+                   GREATEST(a.vec_id, b.vec_id) AS id_b, a.bucket,
+                   {_COS} AS cosine_sim
+            FROM bkt a JOIN bkt b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            WHERE a.vec_id IN ({a_list}) AND {_COS} >= 0.25
+            """
+        ),
+        cols,
+    )
+    if got_anchor != want_anchor:
+        problems.append(
+            f"recall: anchor pair sets differ; engine-only="
+            f"{sorted(got_anchor - want_anchor)[:2]} oracle-only="
+            f"{sorted(want_anchor - got_anchor)[:2]}"
+        )
+    elif not want_anchor:
+        problems.append("recall sample vacuous — no expected pairs for anchors")
+    else:
+        print(f"  (recall: {len(want_anchor)} anchor pairs matched exactly)")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf", default="sf10")
+    ap.add_argument("--docs", type=int, default=96)
+    ap.add_argument("--pairs", type=int, default=512)
+    ap.add_argument("--anchors", type=int, default=48)
+    args = ap.parse_args()
+    sf_dir = resolve_sf(args.sf)
+    print(f"# sampled oracle at {sf_dir}", flush=True)
+
+    spark = get_spark("sampled_check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    con = duck_connect(sf_dir)
+    failed = []
+    for name, fn in (
+        ("d5_embedding_cosine_neardup", lambda: check_d5_embedding(spark, con, sf_dir, args.docs)),
+        ("sim_lsh_neardup_pairs", lambda: check_sim_lsh(spark, con, sf_dir, args.pairs, args.anchors)),
+    ):
+        t0 = time.time()
+        try:
+            problems = fn()
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        spark.catalog.clearCache()
+        status = "OK " if not problems else "FAIL"
+        print(f"{status} {name} (sampled, {time.time() - t0:.1f}s)", flush=True)
+        for p in problems:
+            print(f"     {p}")
+        if problems:
+            failed.append(name)
+    print(f"\n{2 - len(failed)}/2 passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
