@@ -374,6 +374,409 @@ def cmd_props(args: argparse.Namespace) -> int:
 
 
 # ---------------------------------------------------------------------------
+# export (ctg_export_league.py:608-660)
+# ---------------------------------------------------------------------------
+
+#: Page registry mirroring the reference's ALL_PAGES (ctg_export_league.py:
+#: 56-93): key → (site path, output folder stem, tables on the page).
+#: Multi-table pages have no single CSV download — they take the reference's
+#: scrape-table fallback; single-table pages ride the download → SRC7 CSV →
+#: SNK5 JSON lane.
+EXPORT_PAGES: dict[str, dict] = {
+    "players": {"path": "stats/players", "folder": "players", "tables": ["main"]},
+    "summary": {"path": "stats/league/summary", "folder": "summary",
+                "tables": ["main"]},
+    "fourfactors": {"path": "stats/league/fourfactors", "folder": "fourfactors",
+                    "tables": ["main"]},
+    "shots": {"path": "stats/league/shots", "folder": "shots",
+              "tables": ["frequency", "accuracy"]},
+    "context": {"path": "stats/league/context", "folder": "context",
+                "tables": ["halfcourt", "transition"]},
+    "lineups": {"path": "stats/lineups", "folder": "lineups",
+                "tables": ["main"]},
+}
+
+_EXPORT_BASE = "https://stats.example"
+
+
+def resolve_credentials(
+    email: str | None,
+    password: str | None,
+    config_path: str | None,
+    env: dict | None = None,
+) -> tuple[str, str]:
+    """SRC9 credential chain, exactly the reference's precedence
+    (ctg_export_league.py:633-651): CLI args > CTG_EMAIL/CTG_PASSWORD env >
+    config.json ``credentials`` block; placeholder values ('YOUR_...') are
+    rejected like missing ones, and the error names all three sources."""
+    env = os.environ if env is None else env
+    email = email or env.get("CTG_EMAIL")
+    password = password or env.get("CTG_PASSWORD")
+    if (not email or not password) and config_path and os.path.exists(config_path):
+        import json as _json
+
+        with open(config_path, encoding="utf-8") as fh:
+            creds = _json.load(fh).get("credentials", {})
+        email = email or creds.get("email")
+        password = password or creds.get("password")
+    if (
+        not email
+        or not password
+        or "YOUR_" in str(email)
+        or "YOUR_" in str(password)
+    ):
+        raise SystemExit(
+            "ERROR: Credentials required! Provide them via one of:\n"
+            "  1. Command line: --email EMAIL --password PASSWORD\n"
+            "  2. Environment: CTG_EMAIL and CTG_PASSWORD\n"
+            "  3. A config file with a credentials block (--config)"
+        )
+    return email, password
+
+
+def _export_table_rows(page_key: str, table: str) -> list[list[str]]:
+    """Deterministic replay data for one (page, table): header + rows that
+    are a fixed function of the names, so reruns and the golden test see
+    identical documents."""
+    pi = sorted(EXPORT_PAGES).index(page_key)
+    header = ["Team", f"{table.upper()}_A", f"{table.upper()}_B"]
+    abbrs = sorted(TEAMS)
+    rows = [
+        [abbrs[(pi * 7 + i) % 30], str((pi * 11 + i * 3 + len(table)) % 100),
+         str((pi * 5 + i * 2) % 50)]
+        for i in range(1, 7)
+    ]
+    return [header, *rows]
+
+
+def _export_page_html(page_key: str) -> str:
+    """Replay page: one <table id=...> per table in the page config, plus
+    the download button single-table pages expose."""
+    tables = []
+    for t in EXPORT_PAGES[page_key]["tables"]:
+        hdr, *rows = _export_table_rows(page_key, t)
+        head = "".join(f"<th>{c}</th>" for c in hdr)
+        body = "".join(
+            "<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>" for r in rows
+        )
+        tables.append(f"<table id='{t}'><tr>{head}</tr>{body}</table>")
+    return f"<html><body><h1>{page_key}</h1>{''.join(tables)}</body></html>"
+
+
+def _export_page_csv(page_key: str) -> str:
+    """The CSV the download button yields for a single-table page — BOM'd
+    and whitespace-padded like the real exports, so the SRC7 cleaner
+    (read_csv_clean) is exercised end to end."""
+    hdr, *rows = _export_table_rows(page_key, EXPORT_PAGES[page_key]["tables"][0])
+    lines = [", ".join(hdr), *(",".join(r) for r in rows)]
+    return "﻿" + "\n".join(lines) + "\n"
+
+
+class DownloadingScriptedSession:
+    """ScriptedSession + the one real-browser behavior it lacks: a download
+    click lands a file in the download directory (atomically, like the
+    browser's .crdownload → rename). Real drivers do this natively; the
+    double does it so ``wait_for_download`` and the CSV lane run unchanged."""
+
+    def __init__(self, inner, downloads: dict[str, tuple[str, str]], download_dir: str):
+        self._inner = inner
+        self._downloads = downloads  # url → (filename, content)
+        self._dir = download_dir
+
+    def get(self, url: str) -> None:
+        self._inner.get(url)
+
+    def current_url(self) -> str:
+        return self._inner.current_url()
+
+    def page_source(self) -> str:
+        return self._inner.page_source()
+
+    def click(self, selector: str) -> bool:
+        if selector == "#export-csv":
+            hit = self._downloads.get(self.current_url())
+            if hit is None:
+                return False
+            name, content = hit
+            os.makedirs(self._dir, exist_ok=True)
+            tmp = os.path.join(self._dir, name + ".crdownload")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(content)
+            os.replace(tmp, os.path.join(self._dir, name))
+            return True
+        return self._inner.click(selector)
+
+
+def _make_export_session(download_dir: str):
+    from nba_data_pipeline_spark.adapters.browser_ingest import ScriptedSession
+
+    pages = {
+        f"{_EXPORT_BASE}/{cfg['path']}": _export_page_html(key)
+        for key, cfg in EXPORT_PAGES.items()
+    }
+    pages[f"{_EXPORT_BASE}/login"] = "<html><body>login</body></html>"
+    pages[f"{_EXPORT_BASE}/home"] = "<html><body>home</body></html>"
+    inner = ScriptedSession(
+        pages,
+        clicks={"#submit": f"{_EXPORT_BASE}/home"},
+    )
+    downloads = {
+        f"{_EXPORT_BASE}/{cfg['path']}": (f"{cfg['folder']}.csv", _export_page_csv(key))
+        for key, cfg in EXPORT_PAGES.items()
+        if len(cfg["tables"]) == 1
+    }
+    return DownloadingScriptedSession(inner, downloads, download_dir)
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    import json as _json
+    import shutil
+
+    from nba_data_pipeline_spark.adapters.browser_ingest import (
+        clear_dir,
+        land_pages,
+        login,
+        wait_for_download,
+        wait_for_table_ready,
+    )
+    from nba_data_pipeline_spark.io import session_tmpdir
+    from nba_data_pipeline_spark.session import get_spark
+    from nba_data_pipeline_spark.sources.csv_source import read_csv_clean
+    from nba_data_pipeline_spark.sources.html_datasource import register
+
+    email, _password = resolve_credentials(
+        args.email, args.password, args.config
+    )
+    spark = get_spark("cli-export", cpus=int(args.cpus))
+    date_str = resolve_date_str(spark, args.date)
+    stamp = date_str.replace("-", "")
+    run_ts = args.run_ts or time.strftime("%Y-%m-%dT%H:%M:%S")
+    page_keys = args.pages or list(EXPORT_PAGES)
+
+    download_dir = session_tmpdir("cli_export_dl_")
+    session = _make_export_session(download_dir)
+    if not login(
+        session, f"{_EXPORT_BASE}/login", lambda s: s.click("#submit")
+    ):
+        print("[FATAL] Login failed. Please check your credentials.",
+              file=sys.stderr)
+        return 1
+    print(f"Logged in as {email}")
+
+    os.makedirs(args.output, exist_ok=True)
+    register(spark)
+    results: list[dict] = []
+    for key in page_keys:
+        cfg = EXPORT_PAGES[key]
+        url = f"{_EXPORT_BASE}/{cfg['path']}"
+        result = {"page": key, "url": url, "success": False,
+                  "files": [], "error": None}
+        try:
+            session.get(url)
+            wait_for_table_ready(session, ["TEAM"], timeout_s=5.0)
+            clear_dir(download_dir)
+            if session.click("#export-csv"):
+                downloaded = wait_for_download(download_dir, timeout_s=10.0)
+                if downloaded is None:
+                    result["error"] = "Download did not complete"
+                else:
+                    # raw CSV copy, FOLDER_YYYYMMDD.csv
+                    csv_path = os.path.join(
+                        args.output, f"{cfg['folder'].upper()}_{stamp}.csv"
+                    )
+                    shutil.copy2(downloaded, csv_path)
+                    result["files"].append(csv_path)
+                    # SNK5: SRC7 clean scan → JSON document
+                    df = read_csv_clean(spark, downloaded)
+                    rows = [r.asDict() for r in df.collect()]
+                    json_path = os.path.join(
+                        args.output, f"{cfg['folder'].upper()}_{stamp}.json"
+                    )
+                    with open(json_path, "w", encoding="utf-8") as f:
+                        _json.dump(
+                            {"metadata": {"source": _EXPORT_BASE,
+                                          "exported": run_ts,
+                                          "records": len(rows)},
+                             "data": rows},
+                            f, indent=2, ensure_ascii=False)
+                    result["files"].append(json_path)
+                    result["success"] = True
+                    os.unlink(downloaded)
+            else:
+                # fallback: scrape the page's tables directly (htmltable scan)
+                land_dir = session_tmpdir("cli_export_scrape_")
+                land_pages([(f"page_{key}", session.page_source())], land_dir)
+                raw = spark.read.format("htmltable").load(land_dir)
+                cells = F.from_json("cells", "array<string>")
+                recs = [
+                    {"table": r["table_id"], "cells": r["c"]}
+                    for r in raw.filter(
+                        F.col("table_id").isin(cfg["tables"])
+                    )
+                    .select("table_id", "row_idx", cells.alias("c"))
+                    .orderBy("table_id", "row_idx")
+                    .collect()
+                ]
+                json_path = os.path.join(
+                    args.output, f"{cfg['folder'].upper()}_{stamp}.json"
+                )
+                with open(json_path, "w", encoding="utf-8") as f:
+                    _json.dump(
+                        {"metadata": {"source": url, "exported": run_ts,
+                                      "method": "table_scrape",
+                                      "records": len(recs)},
+                         "data": recs},
+                        f, indent=2, ensure_ascii=False)
+                result["files"].append(json_path)
+                result["success"] = True
+        except Exception as e:  # noqa: BLE001 — per-page isolation, like the reference
+            result["error"] = str(e)
+        results.append(result)
+        status = "+" if result["success"] else "-"
+        detail = result["error"] or f"{len(result['files'])} file(s)"
+        print(f"  {status} {key}: {detail}")
+
+    # SNK6: run-summary manifest
+    success = sum(1 for r in results if r["success"])
+    summary_path = os.path.join(args.output, "export_summary.json")
+    with open(summary_path, "w", encoding="utf-8") as f:
+        _json.dump(
+            {"export_date": run_ts, "success_count": success,
+             "failed_count": len(results) - success, "results": results},
+            f, indent=2)
+    print(f"Total: {len(results)} | Success: {success} | "
+          f"Failed: {len(results) - success}")
+    print(f"Summary saved to: {summary_path}")
+    return 0 if success == len(results) else 1
+
+
+# ---------------------------------------------------------------------------
+# insights (nba_insights_scraper.py:625-760)
+# ---------------------------------------------------------------------------
+
+INSIGHT_TYPES = ("All Insights", "Team", "Player")
+PROP_TYPES = (
+    "Points", "Rebounds", "Three Pointers", "Assists", "Steals", "Blocks",
+    "Points+Rebounds", "Points+Assists", "Rebounds+Assists",
+    "Points+Rebounds+Assists", "Double Double", "Triple Double",
+    "Turnovers", "Fantasy Score",
+)
+
+
+def _insights_frame(spark: SparkSession, sf_dir: str, date_str: str) -> DataFrame:
+    """Insight rows over ``orders`` through the engine's X5/X6 lane (the
+    same parse the oracle-checked ``x56_insight_parse`` entry uses), with
+    team/opponent/insight-type dimensions assigned deterministically from
+    the order key — the selectable surface the reference's extract_insights
+    builds (nba_insights_scraper.py:420-505)."""
+    from nba_data_pipeline_spark.functions.extract import (
+        extract_context_window,
+        md5_key,
+        parse_prop_outcome,
+    )
+    from nba_data_pipeline_spark.io import read_table
+
+    abbrevs = sorted(TEAMS)
+    arr = F.array([F.lit(a) for a in abbrevs])
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = F.col("o_orderkey")
+    stats = F.array([F.lit(p) for p in PROP_TYPES])
+    stat = F.element_at(stats, (k % len(PROP_TYPES) + 1).cast("int"))
+    line_txt = F.concat((k % 40).cast("string"), F.lit(".5"))
+    headline = (
+        F.when(k % 3 == 0, F.concat(F.lit("Over "), line_txt, F.lit(" "), stat))
+        .when(k % 3 == 1, F.concat(stat, F.lit(" Under "), line_txt))
+        .otherwise(F.lit("no prop in this text"))
+    )
+    bio = F.concat(
+        F.lit("Insight: the player scored "),
+        (k % 50).cast("string"),
+        F.lit(" points against a bottom-five defense last night"),
+    )
+    base = o.select(
+        k.alias("row_idx"),
+        F.element_at(arr, (k % 30).cast("int") + 1).alias("player_team"),
+        F.element_at(arr, ((k + 11) % 30).cast("int") + 1).alias("opponent_team"),
+        F.when(k % 2 == 0, "Team").otherwise("Player").alias("insight_type"),
+        headline.alias("headline"),
+        bio.alias("bio"),
+    )
+    outcome, prop_line, prop_type = parse_prop_outcome(F.col("headline"))
+    return base.select(
+        "row_idx", "player_team", "opponent_team", "insight_type",
+        outcome.alias("outcome"),
+        prop_line.alias("prop_line"),
+        prop_type.alias("prop_type"),
+        extract_context_window(F.col("bio"), r"scored \d+ points", 20, 50)
+        .alias("context_snippet"),
+        md5_key(F.col("headline"), F.lit(date_str)).alias("insight_id"),
+    )
+
+
+def cmd_insights(args: argparse.Namespace) -> int:
+    from nba_data_pipeline_spark.session import get_spark
+    from nba_data_pipeline_spark.sinks_ref import write_insights_tree
+
+    # team selection: F6 warn-and-skip, ALL default (the reference's menu
+    # "All teams" choice)
+    valid, invalid = parse_teams(args.teams)
+    if invalid:
+        print(f"Unknown teams (skipping): {', '.join(invalid)}")
+    if not valid:
+        raise SystemExit("no valid teams in --teams")
+    sel_teams = valid
+
+    sel_itypes = [t.strip() for t in args.insight_types.split(",") if t.strip()]
+    bad = [t for t in sel_itypes if t not in INSIGHT_TYPES]
+    if bad:
+        raise SystemExit(
+            f"unknown insight type(s) {bad}; choose from {list(INSIGHT_TYPES)}"
+        )
+    if args.prop_types.strip().upper() == "ALL":
+        sel_ptypes = list(PROP_TYPES)
+    else:
+        sel_ptypes = [t.strip() for t in args.prop_types.split(",") if t.strip()]
+
+    spark = get_spark("cli-insights", cpus=int(args.cpus))
+    date_str = resolve_date_str(spark, args.date)
+    df = _insights_frame(spark, args.sf_dir, date_str)
+
+    # F4 multi-dim selection (nba_insights_scraper.py:728-747): (team OR
+    # opponent in selection) AND insight-type AND prop-substring — each
+    # clause collapsing to true when the selection is "everything", exactly
+    # like the reference.
+    if len(sel_teams) < len(TEAMS):
+        df = df.filter(
+            F.col("player_team").isin(sel_teams)
+            | F.col("opponent_team").isin(sel_teams)
+        )
+    if "All Insights" not in sel_itypes:
+        df = df.filter(F.col("insight_type").isin(sel_itypes))
+    if sel_ptypes != list(PROP_TYPES):
+        pred = F.lit(False)
+        for p in sel_ptypes:
+            pred = pred | F.lower(F.coalesce("prop_type", F.lit(""))).contains(
+                p.lower()
+            )
+        df = df.filter(F.col("prop_type").isNull() | pred)
+
+    metadata = {
+        "scrape_date": date_str,
+        "teams_collected": sel_teams if len(sel_teams) < len(TEAMS) else ["All"],
+        "insight_types": sel_itypes,
+        "prop_types": sel_ptypes if sel_ptypes != list(PROP_TYPES) else ["All"],
+    }
+    paths = write_insights_tree(
+        df, args.output, save_mode=args.save_mode, metadata=metadata,
+        team_col="player_team", order_col="row_idx",
+    )
+    for p in paths:
+        print(f"Saved to: {p}")
+    print(f"{len(paths)} file(s) under {args.output} ({args.save_mode})")
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # argparse wiring
 # ---------------------------------------------------------------------------
 
@@ -414,6 +817,45 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--run-ts", type=str, default=None,
                     help="fixed file timestamp (YYYYmmdd_HHMMSS); default now")
     pr.set_defaults(fn=cmd_props)
+
+    ex = sub.add_parser(
+        "export",
+        help="export league stat pages: download→CSV→JSON or table-scrape "
+        "fallback, plus the run-summary manifest",
+    )
+    ex.add_argument("-e", "--email", type=str, help="account email")
+    ex.add_argument("-p", "--password", type=str, help="account password")
+    ex.add_argument("--config", type=str, default=None,
+                    help="JSON config with a credentials block")
+    ex.add_argument("--headless", action="store_true",
+                    help="run the real driver headless (no-op for the replay)")
+    ex.add_argument("--pages", nargs="+", choices=list(EXPORT_PAGES),
+                    help="specific pages to export (default: all)")
+    ex.add_argument("--date", type=str, default="today",
+                    help="today / tomorrow / YYYY-MM-DD (file-name date)")
+    ex.add_argument("--output", type=str, required=True)
+    ex.add_argument("--cpus", type=int, default=8)
+    ex.add_argument("--run-ts", type=str, default=None,
+                    help="fixed 'exported' timestamp; default now")
+    ex.set_defaults(fn=cmd_export)
+
+    ins = sub.add_parser(
+        "insights",
+        help="extract + filter insights, save combined or per-team trees",
+    )
+    ins.add_argument("--teams", type=str, default="ALL",
+                     help="ALL or comma list (F6 warn-and-skip validation)")
+    ins.add_argument("--insight-types", type=str, default="All Insights",
+                     help="comma list from: " + ", ".join(INSIGHT_TYPES))
+    ins.add_argument("--prop-types", type=str, default="ALL",
+                     help="ALL or comma list from: " + ", ".join(PROP_TYPES))
+    ins.add_argument("--save-mode", choices=["combined", "by_team"],
+                     default="combined")
+    ins.add_argument("--date", type=str, default="today")
+    ins.add_argument("--output", type=str, required=True)
+    ins.add_argument("--sf-dir", type=str, default=DEFAULT_SF_DIR)
+    ins.add_argument("--cpus", type=int, default=8)
+    ins.set_defaults(fn=cmd_insights)
     return p
 
 

@@ -182,3 +182,63 @@ def write_matchup_tree(
         return path
 
     return _stage_and_finalize(env, [matchup_col, proptype_col], staging, place)
+
+
+def write_insights_tree(
+    df: DataFrame,
+    base_dir: str,
+    *,
+    save_mode: str,
+    metadata: dict,
+    team_col: str = "player_team",
+    order_col: str = "row_idx",
+) -> list[str]:
+    """Land insight rows in the reference's two save modes (SNK3;
+    nba_insights_scraper.py:518-575):
+
+    * ``combined`` — ONE ``<base_dir>/all_insights.json`` holding every
+      insight under a shared metadata block;
+    * ``by_team`` — ``<base_dir>/<TEAM>/insights.json`` per team, each
+      document's metadata narrowed to that team (``teams_collected`` →
+      the one team, ``total_insights`` → its count), exactly the
+      reference's per-team override.
+
+    Content path stays distributed (grouped envelope + partitionBy
+    staging); the finalize is bounded by the team dimension. ``metadata``
+    carries the run-level block (scrape date, selections) — the caller
+    stamps it so reruns are deterministic."""
+    if save_mode not in ("combined", "by_team"):
+        raise ValueError(f"save_mode must be combined|by_team, got {save_mode!r}")
+    # Group on a COPY of the team column so each insight row keeps its
+    # player_team field, like the reference's per-team documents.
+    key = "__team" if save_mode == "by_team" else "__all"
+    work = df.withColumn(
+        key, F.col(team_col) if save_mode == "by_team" else F.lit("all")
+    )
+    env = _envelope(work, [key], order_col)
+    staging = os.path.join(base_dir, "_staging_insights")
+
+    def place(keys: list[str], doc: dict) -> str:
+        rows = doc["rows"]
+        if save_mode == "combined":
+            path = os.path.join(base_dir, "all_insights.json")
+            meta = {**metadata, "total_insights": len(rows)}
+        else:
+            team = keys[0]
+            d = os.path.join(base_dir, sanitize_component(team))
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, "insights.json")
+            meta = {
+                **metadata,
+                "teams_collected": [team],
+                "total_insights": len(rows),
+            }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(
+                {"metadata": meta, "insights": rows},
+                f, indent=2, ensure_ascii=False,
+            )
+        return path
+
+    os.makedirs(base_dir, exist_ok=True)
+    return _stage_and_finalize(env, [key], staging, place)

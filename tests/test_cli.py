@@ -173,3 +173,131 @@ def test_pages_constant_matches_reference_page_map():
     from nba_data_pipeline_spark.sinks_ref import PAGE_FILENAME
 
     assert set(TEAM_PAGES) == set(PAGE_FILENAME)
+
+
+# ---------------------------------------------------------------------------
+# export (ctg_export_league.py:608-660): credential chain + golden run
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_credentials_chain(tmp_path):
+    from nba_data_pipeline_spark.cli import resolve_credentials
+
+    # args win over env
+    assert resolve_credentials("a@x", "pw", None, env={"CTG_EMAIL": "e@x"}) == (
+        "a@x", "pw",
+    )
+    # env fills gaps
+    assert resolve_credentials(
+        None, None, None, env={"CTG_EMAIL": "e@x", "CTG_PASSWORD": "p"}
+    ) == ("e@x", "p")
+    # config file is the last resort
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({"credentials": {"email": "c@x", "password": "cp"}}))
+    assert resolve_credentials(None, None, str(cfg), env={}) == ("c@x", "cp")
+    # placeholders and missing values are rejected with the 3-source message
+    for bad in ({"CTG_EMAIL": "YOUR_EMAIL", "CTG_PASSWORD": "x"}, {}):
+        with pytest.raises(SystemExit):
+            resolve_credentials(None, None, None, env=bad)
+
+
+def test_export_golden_run(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("CTG_EMAIL", "u@example.com")
+    monkeypatch.setenv("CTG_PASSWORD", "pw")
+    out = str(tmp_path / "export")
+    rc = main(
+        [
+            "export", "--output", out, "--date", "2026-02-01",
+            "--run-ts", "2026-02-01T00:00:00",
+        ]
+    )
+    assert rc == 0
+    rels = _relpaths(out)
+    # single-table pages: CSV + JSON; multi-table pages: scrape JSON only
+    assert rels == {
+        "PLAYERS_20260201.csv", "PLAYERS_20260201.json",
+        "SUMMARY_20260201.csv", "SUMMARY_20260201.json",
+        "FOURFACTORS_20260201.csv", "FOURFACTORS_20260201.json",
+        "LINEUPS_20260201.csv", "LINEUPS_20260201.json",
+        "SHOTS_20260201.json", "CONTEXT_20260201.json",
+        "export_summary.json",
+    }
+    # SRC7 semantics survived the download lane: BOM/padding stripped
+    doc = json.load(open(os.path.join(out, "PLAYERS_20260201.json")))
+    assert doc["metadata"]["records"] == 6
+    assert set(doc["data"][0]) == {"Team", "MAIN_A", "MAIN_B"}
+    assert doc["data"][0]["Team"] in main.__globals__["TEAMS"]
+    # fallback path carries the reference's table_scrape marker
+    shots = json.load(open(os.path.join(out, "SHOTS_20260201.json")))
+    assert shots["metadata"]["method"] == "table_scrape"
+    assert {r["table"] for r in shots["data"]} == {"frequency", "accuracy"}
+    # SNK6 manifest totals agree
+    summary = json.load(open(os.path.join(out, "export_summary.json")))
+    assert summary["success_count"] == 6 and summary["failed_count"] == 0
+    assert [r["page"] for r in summary["results"]] == [
+        "players", "summary", "fourfactors", "shots", "context", "lineups",
+    ]
+
+
+def test_export_requires_credentials(tmp_path, monkeypatch):
+    monkeypatch.delenv("CTG_EMAIL", raising=False)
+    monkeypatch.delenv("CTG_PASSWORD", raising=False)
+    with pytest.raises(SystemExit):
+        main(["export", "--output", str(tmp_path / "x")])
+
+
+# ---------------------------------------------------------------------------
+# insights (nba_insights_scraper.py:625-760): F4 selection + SNK3 modes
+# ---------------------------------------------------------------------------
+
+
+def test_insights_combined_golden(spark, tmp_path):
+    out = str(tmp_path / "ins_c")
+    rc = main(
+        ["insights", "--output", out, "--date", "2026-02-01",
+         "--save-mode", "combined"]
+    )
+    assert rc == 0
+    assert _relpaths(out) == {"all_insights.json"}
+    doc = json.load(open(os.path.join(out, "all_insights.json")))
+    assert doc["metadata"]["teams_collected"] == ["All"]
+    assert doc["metadata"]["prop_types"] == ["All"]
+    assert doc["metadata"]["total_insights"] == len(doc["insights"])
+    r0 = doc["insights"][0]
+    assert set(r0) >= {
+        "row_idx", "player_team", "opponent_team", "insight_type",
+        "outcome", "prop_line", "prop_type", "insight_id",
+    }
+
+
+def test_insights_by_team_selection(spark, tmp_path):
+    out = str(tmp_path / "ins_t")
+    rc = main(
+        ["insights", "--teams", "DET,BKN,zzz", "--insight-types", "Player",
+         "--prop-types", "Points,Assists", "--save-mode", "by_team",
+         "--output", out, "--date", "2026-02-01"]
+    )
+    assert rc == 0
+    for rel in _relpaths(out):
+        assert os.path.basename(rel) == "insights.json"
+        doc = json.load(open(os.path.join(out, rel)))
+        team = os.path.dirname(rel)
+        assert doc["metadata"]["teams_collected"] == [team]
+        assert doc["metadata"]["total_insights"] == len(doc["insights"])
+        for i in doc["insights"]:
+            # F4: (team OR opponent) AND insight-type AND prop substring
+            assert i["player_team"] == team
+            assert i["player_team"] in ("DET", "BKN") or i[
+                "opponent_team"
+            ] in ("DET", "BKN")
+            assert i["insight_type"] == "Player"
+            pt = i.get("prop_type")
+            assert pt is None or any(
+                s in pt.lower() for s in ("point", "assist")
+            )
+
+
+def test_insights_rejects_unknown_insight_type(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["insights", "--insight-types", "Bogus",
+              "--output", str(tmp_path / "x")])
