@@ -299,3 +299,176 @@ def test_wait_for_download_survives_file_vanishing_mid_probe(tmp_path):
     finally:
         bi.os.path.getsize = orig
     assert got == path
+
+
+# ---------------------------------------------------------------------------
+# Real-driver wrapper exercise (VERDICT r7 item 4). selenium/playwright
+# cannot be installed in this environment (package installs are prohibited
+# in the build sandbox), so the wrappers are driven against API-SHAPE
+# doubles that implement exactly the third-party surface each wrapper
+# touches: Selenium's get/current_url/page_source/find_element(By, sel)
+# .click() and Playwright's goto/url/content()/click(sel, timeout=). This
+# covers every line of OUR wrapper code — including SeleniumSession's
+# By-import gating, via a sys.modules shim — leaving only the vendor
+# binaries' own behavior untested (documented in README).
+# ---------------------------------------------------------------------------
+
+
+class _FakeWebElement:
+    def __init__(self, on_click):
+        self._on_click = on_click
+
+    def click(self):
+        self._on_click()
+
+
+class _FakeWebDriver:
+    """Selenium WebDriver API shape over ScriptedSession semantics."""
+
+    def __init__(self, pages, clicks):
+        self._pages = {u: [v] if isinstance(v, str) else list(v) for u, v in pages.items()}
+        self._served = {}
+        self._clicks = clicks
+        self.current_url = ""
+
+    def get(self, url):
+        self.current_url = url
+
+    @property
+    def page_source(self):
+        states = self._pages.get(self.current_url, [""])
+        i = self._served.get(self.current_url, 0)
+        self._served[self.current_url] = i + 1
+        return states[min(i, len(states) - 1)]
+
+    def find_element(self, by, selector):
+        assert by == "css selector"  # selenium's By.CSS_SELECTOR value
+        if selector in self._clicks:
+            target = self._clicks[selector]
+            return _FakeWebElement(lambda: self.get(target))
+        raise RuntimeError(f"NoSuchElement: {selector}")
+
+
+def _install_selenium_by_shim(monkeypatch):
+    import sys
+    import types
+
+    by_mod = types.ModuleType("selenium.webdriver.common.by")
+
+    class By:  # the one attribute SeleniumSession.click reads
+        CSS_SELECTOR = "css selector"
+
+    by_mod.By = By
+    for name in (
+        "selenium",
+        "selenium.webdriver",
+        "selenium.webdriver.common",
+    ):
+        monkeypatch.setitem(sys.modules, name, types.ModuleType(name))
+    monkeypatch.setitem(sys.modules, "selenium.webdriver.common.by", by_mod)
+
+
+def test_selenium_session_full_tab_walk(monkeypatch):
+    from nba_data_pipeline_spark.adapters.browser_ingest import (
+        SeleniumSession,
+        walk_tabs,
+    )
+
+    _install_selenium_by_shim(monkeypatch)
+    base = "https://stats.example/team"
+    table = (
+        "<html><table><tr><th>Player</th><th>PTS</th></tr>"
+        "<tr><td>A</td><td>10</td></tr></table></html>"
+    )
+    driver = _FakeWebDriver(
+        pages={
+            f"{base}#tab-lineups": ["<html>loading</html>", table, table],
+            f"{base}#tab-onoff": table,
+        },
+        clicks={"#tab-lineups": f"{base}#tab-lineups"},
+    )
+    s = SeleniumSession(driver)
+    # protocol methods one by one
+    s.get(f"{base}#tab-onoff")
+    assert s.current_url() == f"{base}#tab-onoff"
+    assert "Player" in s.page_source()
+    assert s.click("#tab-lineups") is True   # element found, navigates
+    assert s.click("#nonexistent") is False  # NoSuchElement → False
+    # and the real walk over the wrapper, progressive render included
+    got = dict(
+        walk_tabs(
+            s, base, ["lineups", "onoff"],
+            required_headers=["PLAYER"], on_missing="raise",
+            timeout_s=2.0, sleep=lambda _s: None,
+        )
+    )
+    assert set(got) == {"lineups", "onoff"}
+    assert all("<table>" in html for html in got.values())
+
+
+class _FakePlaywrightPage:
+    """Playwright sync-API Page shape over the same semantics."""
+
+    def __init__(self, pages, clicks):
+        self._pages = pages
+        self._clicks = clicks
+        self.url = ""
+
+    def goto(self, url):
+        self.url = url
+
+    def content(self):
+        return self._pages.get(self.url, "")
+
+    def click(self, selector, timeout=None):
+        assert timeout is not None  # wrapper must pass its click timeout
+        if selector not in self._clicks:
+            raise TimeoutError(f"Timeout {timeout}ms waiting for {selector}")
+        self.goto(self._clicks[selector])
+
+
+def test_playwright_session_full_tab_walk():
+    from nba_data_pipeline_spark.adapters.browser_ingest import (
+        PlaywrightSession,
+        walk_tabs,
+    )
+
+    base = "https://stats.example/team"
+    table = (
+        "<html><table><tr><th>Player</th><th>PTS</th></tr>"
+        "<tr><td>B</td><td>7</td></tr></table></html>"
+    )
+    page = _FakePlaywrightPage(
+        pages={f"{base}#tab-players": table},
+        clicks={"#tab-players": f"{base}#tab-players"},
+    )
+    s = PlaywrightSession(page, click_timeout_ms=123)
+    s.get(f"{base}#tab-players")
+    assert s.current_url() == f"{base}#tab-players"
+    assert "Player" in s.page_source()
+    assert s.click("#tab-players") is True
+    assert s.click("#missing") is False  # timeout → False, never raises
+    got = dict(
+        walk_tabs(
+            s, base, ["players"],
+            required_headers=["PLAYER"], on_missing="raise",
+            timeout_s=2.0, sleep=lambda _s: None,
+        )
+    )
+    assert set(got) == {"players"}
+
+
+def test_selenium_click_without_library_raises_clear_importerror():
+    """Without the shim (library truly absent) the wrapper's click must
+    raise the documented ImportError, not an AttributeError deep inside."""
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("selenium") is not None:
+        pytest.skip("selenium actually installed here")
+    from nba_data_pipeline_spark.adapters.browser_ingest import SeleniumSession
+
+    s = SeleniumSession(_FakeWebDriver({}, {}))
+    with pytest.raises(ImportError, match="selenium package"):
+        s.click("#x")
