@@ -400,3 +400,60 @@ def total_order(
     if n_col:
         out_cols.append(F.col(n_col))
     return joined.select(*out_cols)
+
+
+def running_extreme(
+    df: DataFrame,
+    order: OrderSpec,
+    value_col: str,
+    out_col: str,
+    *,
+    agg: str = "max",
+    num_partitions: int | None = None,
+    cuts: Sequence[tuple] | None = None,
+) -> DataFrame:
+    """Attach the EXCLUSIVE running max/min of ``value_col`` over a total
+    order — ``MAX(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)`` — with no single-partition stage, for any distribution.
+
+    Same two-pass structure as :func:`total_order` (sampled cuts → bucket
+    projection → per-bucket window + broadcast per-bucket offsets), but the
+    offset is the PREFIX EXTREME of the strictly-earlier buckets instead of
+    a prefix count: a row's exclusive running extreme is
+    ``extreme(prefix_extreme(previous buckets), local exclusive extreme)``.
+    The first row of the whole order gets NULL, mirroring the SQL frame.
+
+    This is the distribution-independent primitive for sweep-style
+    dominance scans (2-D skylines, high-watermarks): unlike a value-banded
+    prefilter, bucket boundaries come from the order-space sample, so a
+    degenerate value distribution (all rows in one band) just yields evenly
+    filled buckets instead of defeating the pruning. One bounded sample
+    job + one hash shuffle of the payload + a k-row stats aggregate."""
+    if agg not in ("max", "min"):
+        raise ValueError(f"agg must be max/min, got {agg!r}")
+    fagg = F.max if agg == "max" else F.min
+    info = _norm_order(order)
+    k = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if cuts is None:
+        cuts = _collect_cuts(df, info, k)
+    tagged = df.withColumn(_BKT, _bucket_expr(cuts, info))
+
+    lw = (
+        W.partitionBy(_BKT)
+        .orderBy(*_order_exprs(info))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = tagged.withColumn("__re_local", fagg(F.col(value_col)).over(lw))
+
+    stats = tagged.groupBy(_BKT).agg(fagg(F.col(value_col)).alias("__re_bext"))
+    excl = bounded_window(_BKT, anchor=_BKT).rowsBetween(W.unboundedPreceding, -1)
+    offs = stats.select(_BKT, fagg("__re_bext").over(excl).alias("__re_prev"))
+
+    joined = local.join(F.broadcast(offs), _BKT)
+    # greatest/least skip NULLs (return the extreme of the non-null args),
+    # which is exactly the frame semantics: NULL only when no earlier row.
+    combine = F.greatest if agg == "max" else F.least
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        combine(F.col("__re_local"), F.col("__re_prev")).alias(out_col),
+    )

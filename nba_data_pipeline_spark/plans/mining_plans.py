@@ -18,7 +18,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
-from nba_data_pipeline_spark.operators.totalorder import bounded_window
+from nba_data_pipeline_spark.operators.totalorder import (
+    bounded_window,
+    running_extreme,
+)
 from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
 
 #: Apriori thresholds for mb1 — pruning singles below MIN_ITEM_SUPPORT
@@ -118,12 +121,6 @@ def mb1_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Max rows the sky1 phase-2 single-task sweep will accept. 1M 3-column
-#: rows is comfortably one task; anything larger means the band prefilter
-#: failed to prune and the query should move to a range-partitioned scan.
-_SKY1_CAND_CAP = 1_000_000
-
-
 @query(
     "sky1_pareto_frontier",
     oracle="""
@@ -141,68 +138,29 @@ ORDER BY p_retailprice, p_partkey
 )
 def sky1_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKY1: 2-D Pareto skyline (minimize price, maximize size) via the
-    sort + running-max sweep (Börzsönyi et al. 2001's block-nested-loop
+    sort + running-max sweep (Borzsonyi et al. 2001's block-nested-loop
     collapses to O(n log n) in 2-D): after sorting by (price asc, size
     desc), a row survives iff its size strictly exceeds the running max of
     every strictly-better-sorted row — equal-(price,size) duplicates keep
     exactly the min-partkey representative.
 
-    Scale shape: the exact sweep needs a single global order, so it is fed
-    only CANDIDATES — rows that beat the running best of every strictly
-    cheaper price bucket. The bucket summary (one max per price band) is a
-    map-side-combined aggregate, its running max is a dimension-bounded
-    window, and the prefilter is a broadcast join; the full table is never
-    pulled into one partition. The final unpartitioned window runs over
-    the surviving sliver only (here 4 of 2 000 rows; skyline sizes grow
-    ~O(logᵈ n), not O(n)). For d>2 switch to grid cells with per-cell
-    local skylines before the same merge."""
+    Scale shape: the exclusive running max rides
+    ``operators/totalorder.running_extreme`` — order-space sampled cuts,
+    one hash shuffle, per-bucket window, broadcast prefix maxima — so no
+    stage ever holds more than one bucket, AT ANY price distribution.
+    The r8 sf10 sweep retired the previous $100-price-band prefilter: the
+    fixture's whole price range fits in ONE band ([900, 999.9]), so the
+    "candidate sliver" was silently the entire table at every SF and the
+    guarded single-task sweep hit its cap at 2M rows. Sampled cuts have no
+    such degenerate case — a one-band distribution just fills buckets
+    evenly — so both the cap and the prefilter are gone."""
     p = read_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    # Phase 1: per-price-band best size, running max over strictly lower
-    # bands, broadcast back as a dominance prefilter. A row dominated by
-    # anything in a cheaper band can never be on the frontier.
-    bucket = F.floor(F.col("p_retailprice") / F.lit(100.0)).alias("b")
-    bands = (
-        p.select(bucket, "p_size")
-        .groupBy("b")
-        .agg(F.max("p_size").alias("bmax"))
-    )
-    # price-band grain (≤ |price range|/100 rows) — declared bounded
-    wb = bounded_window("b", anchor="b").rowsBetween(W.unboundedPreceding, -1)
-    prev_best = bands.select("b", F.max("bmax").over(wb).alias("prev_best"))
-    cand = (
-        p.withColumn("b", bucket)
-        .join(F.broadcast(prev_best), "b")
-        .filter(F.col("prev_best").isNull() | (F.col("p_size") > F.col("prev_best")))
-        .select("p_partkey", "p_retailprice", "p_size")
-        .persist()
-    )
-    # GUARD: the sliver is O(log² n) only under a spread price distribution;
-    # degenerate data (every row in one $100 band, or size anti-correlated
-    # with price — where the skyline is genuinely O(n)) defeats the
-    # prefilter and would hand phase 2 a fact-sized single-task frame. The
-    # count materializes the persisted sliver, so the sweep below reads the
-    # cache instead of re-scanning `part` — the guard job replaces a scan,
-    # it doesn't add one. Past the cap we raise (the capped-BLAS precedent,
-    # operators/similarity.cosine_pairs_blas) rather than silently run a
-    # worst-case single task.
-    n_cand = cand.count()
-    if n_cand > _SKY1_CAND_CAP:
-        raise RuntimeError(
-            f"sky1 candidate sliver has {n_cand} rows (cap {_SKY1_CAND_CAP}): "
-            "the price-band prefilter did not prune (degenerate price "
-            "distribution or anti-correlated skyline). Route through a "
-            "range-partitioned scan (operators/totalorder.total_order order "
-            "+ per-partition max with broadcast prefix maxima) instead of "
-            "the single-task sweep."
-        )
-    # Phase 2: exact sweep over the candidate sliver — bounded by the
-    # phase-1 dominance prefilter (guarded above).
-    w = bounded_window(
-        F.asc("p_retailprice"), F.desc("p_size"), "p_partkey", anchor="p_partkey"
-    ).rowsBetween(W.unboundedPreceding, -1)
-    s = cand.withColumn("cm", F.max("p_size").over(w))
+    order = [
+        ("p_retailprice", "asc"), ("p_size", "desc"), ("p_partkey", "asc"),
+    ]
+    s = running_extreme(p, order, "p_size", "cm", agg="max")
     return (
         s.filter(F.col("cm").isNull() | (F.col("p_size") > F.col("cm")))
         .select("p_partkey", "p_retailprice", "p_size")

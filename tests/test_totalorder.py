@@ -230,3 +230,102 @@ def test_bounded_window_partitioned_and_wgl(spark):
         .collect()
     )
     assert got == [(r["key"], r["rn"]) for r in ref]
+
+
+# ---------------------------------------------------------------------------
+# running_extreme (r8): the distribution-independent sweep primitive that
+# replaced sky1's value-banded prefilter (which the sf10 sweep showed never
+# pruned — the fixture's whole price range fits one $100 band).
+# ---------------------------------------------------------------------------
+
+
+def _re_reference(spark, df, order_exprs, value_col, agg):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    fagg = F.max if agg == "max" else F.min
+    w = (
+        W.orderBy(*order_exprs)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return df.withColumn("cm_ref", fagg(F.col(value_col)).over(w))
+
+
+def test_running_extreme_matches_global_window(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.totalorder import running_extreme
+
+    rng = random.Random(13)
+    rows = [
+        (i, round(rng.uniform(900.0, 999.9), 2), rng.randint(1, 50))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "pk long, price double, size int")
+    order = [("price", "asc"), ("size", "desc"), ("pk", "asc")]
+    order_exprs = [F.asc("price"), F.desc("size"), F.asc("pk")]
+    for agg in ("max", "min"):
+        got = running_extreme(
+            df, order, "size", "cm", agg=agg, num_partitions=7
+        )
+        ref = _re_reference(spark, df, order_exprs, "size", agg)
+        merged = got.join(ref.select("pk", "cm_ref"), "pk")
+        bad = merged.filter(
+            ~(
+                (F.col("cm").isNull() & F.col("cm_ref").isNull())
+                | (F.col("cm") == F.col("cm_ref"))
+            )
+        ).count()
+        assert bad == 0, f"agg={agg}: {bad} rows diverge from the SQL frame"
+
+
+def test_running_extreme_degenerate_single_value_order(spark):
+    """The sky1 failure mode: EVERY row shares the leading order value.
+    Sampled cuts must still spread rows over buckets and the exclusive
+    running max must match the single-task frame exactly."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.totalorder import running_extreme
+
+    rows = [(i, 950.0, (i * 37) % 50 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "pk long, price double, size int")
+    order = [("price", "asc"), ("size", "desc"), ("pk", "asc")]
+    got = running_extreme(df, order, "size", "cm", num_partitions=8)
+    ref = _re_reference(
+        spark, df, [F.asc("price"), F.desc("size"), F.asc("pk")], "size", "max"
+    )
+    merged = got.join(ref.select("pk", "cm_ref"), "pk")
+    bad = merged.filter(
+        ~(
+            (F.col("cm").isNull() & F.col("cm_ref").isNull())
+            | (F.col("cm") == F.col("cm_ref"))
+        )
+    ).count()
+    assert bad == 0
+    # exactly one row (the global first in the order) sees NULL
+    assert got.filter(F.col("cm").isNull()).count() == 1
+
+
+def test_running_extreme_no_unpartitioned_window(spark):
+    """The plan must never move all rows to one task: planaudit's R4
+    detector finds no empty-partition-spec window in the physical plan."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from planaudit import unpartitioned_window_specs
+
+    from nba_data_pipeline_spark.operators.totalorder import running_extreme
+
+    df = spark.range(100).selectExpr("id AS pk", "id % 7 AS v")
+    got = running_extreme(df, [("v", "asc"), ("pk", "asc")], "v", "cm")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" in plan  # the windows are really there
+    assert unpartitioned_window_specs(plan) == []
