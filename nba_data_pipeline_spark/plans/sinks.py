@@ -499,3 +499,102 @@ def snk11_reference_layout_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("team", "page")
     )
+
+
+# ---------------------------------------------------------------------------
+# SNK12: per-team insights tree round-trip (sinks_ref.write_insights_tree)
+# ---------------------------------------------------------------------------
+
+_SNK12_CACHE: dict[str, str] = {}
+
+
+def _snk12_tree(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _SNK12_CACHE:
+        return _SNK12_CACHE[sf_dir]
+    from nba_data_pipeline_spark.sinks_ref import write_insights_tree
+
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    payload = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("player_team"),
+            F.col("c_custkey").alias("row_idx"),
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    root = session_tmpdir("snk12_")
+    write_insights_tree(
+        payload, root, save_mode="by_team",
+        metadata={"scrape_date": "2026-01-01"},
+        team_col="player_team", order_col="row_idx",
+    )
+    _SNK12_CACHE[sf_dir] = root
+    return root
+
+
+@query(
+    "snk12_insights_tree",
+    oracle="""
+WITH base AS (
+  SELECT n.n_name AS team, c.c_custkey,
+         CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT team, COUNT(*) AS n_rows, COUNT(*) AS meta_total,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       MIN(c_custkey) AS min_key
+FROM base GROUP BY team ORDER BY team
+""",
+)
+def snk12_insights_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK12: the insights scraper's by-team tree
+    (``<base>/<TEAM>/insights.json``, nba_insights_scraper.py:548-573)
+    written by sinks_ref.write_insights_tree and proven by re-reading the
+    documents: the team key lives ONLY in the folder name, every insight
+    row must survive the envelope round-trip (including keeping its own
+    player_team field), and each document's narrowed
+    ``metadata.total_insights`` must equal its actual row count — the
+    aggregate hash-matches the base tables.
+
+    Scale shape: same contract as SNK11 — grouped envelope + partitioned
+    staging write are fact-grain distributed; finalize and this multiLine
+    read-back touch one small file per TEAM (dimension grain)."""
+    root = _snk12_tree(spark, sf_dir)
+    docs = (
+        spark.read.option("multiLine", "true")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "insights.json")
+        .json(root)
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"/([^/]+)/insights\.json$", 1
+            ).alias("team_from_path"),
+            F.col("metadata.total_insights").alias("meta_total"),
+            F.explode("insights").alias("r"),
+        )
+    )
+    return (
+        docs.groupBy("team_from_path")
+        # the in-row player_team must agree with the folder the row landed
+        # in; a mismatch would split the group and break the count hash
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("meta_total").alias("meta_total"),
+            F.sum("r.cents").alias("total_cents"),
+            F.min("r.row_idx").alias("min_key"),
+            F.min(
+                (F.col("r.player_team") == F.col("team_from_path")).cast("int")
+            ).alias("__team_ok"),
+        )
+        .filter(F.col("__team_ok") == 1)
+        .select(
+            F.col("team_from_path").alias("team"),
+            "n_rows", "meta_total", "total_cents", "min_key",
+        )
+        .orderBy("team")
+    )
