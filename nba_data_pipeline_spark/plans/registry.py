@@ -54,13 +54,34 @@ def query(name: str, oracle: str | None = None):
 # Everything else — driver-green in r1/r2 and semantically unchanged — sits
 # after the prefix and stays covered by tools/check.py locally.
 _FRONT: tuple[str, ...] = (
-    # ROUND-7 ROTATION. Head: src_browser_tabwalk — the ONLY catalog entry
-    # never driver-checked (added late-r6; local-green), pinned first per
-    # VERDICT r6 item 1 so CORRECTNESS_r07 takes driver-verification debt
-    # to zero. It is followed by entries whose implementation changes in
-    # r7 (s11 store-listing fix etc.), then the r6 prefix shifted down —
-    # re-confirming the most recently changed plans costs nothing and the
-    # driver signal stays maximally informative.
+    # ROUND-8 ROTATION. Head: entries whose implementation changed this
+    # round, per the standing policy (any changed entry re-verifies on the
+    # driver signal next round).
+    # --- changed r8: sky1 rewired onto totalorder.running_extreme after
+    # the sf10 sweep showed the $100-band prefilter never pruned (the
+    # fixture's whole price range is one band) ---
+    "sky1_pareto_frontier",
+    # --- new r8: by-team insights-tree round-trip (the insights CLI's
+    # sink, sinks_ref.write_insights_tree) ---
+    "snk12_insights_tree",
+    # --- changed r8: G-family oracles now MATERIALIZE their fact-derived
+    # contraction CTEs (DuckDB re-inlined them per consumer; at sf10 g1's
+    # unrolled iterations re-ran the 60M-row edge mining to a 66 GB hang).
+    # Engine plans untouched; the driver compare runs the oracle, so the
+    # whole family re-verifies. ---
+    "g1_pagerank_trade",
+    "g4_weighted_sssp",
+    "g5_kcore_peel",
+    "g2_triangle_count",
+    "g3_bfs_levels",
+    "g6_degree_assortativity",
+    "g7_clustering_coefficient",
+    "g8_hits_hubs_authorities",
+    "g9_adamic_adar_links",
+    # ROUND-7 ROTATION (shifted). Head: src_browser_tabwalk — the ONLY
+    # catalog entry never driver-checked at the time (added late-r6;
+    # local-green), pinned first per VERDICT r6 item 1 so CORRECTNESS_r07
+    # took driver-verification debt to zero.
     "src_browser_tabwalk",
     # --- changed r7: s11 store read is now a single-path partition-
     # discovery load (VERDICT r6 item 2) ---
