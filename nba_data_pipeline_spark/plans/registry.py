@@ -61,6 +61,11 @@ _FRONT: tuple[str, ...] = (
     # the sf10 sweep showed the $100-band prefilter never pruned (the
     # fixture's whole price range is one band) ---
     "sky1_pareto_frontier",
+    # --- changed r8: w14's pair expansion moved from user_id-equi +
+    # x-range filter (Sum n^2 intermediate on both engines; the oracle
+    # spilled >70 GB at sf10) to an offset equi-join bounded at 21 rows
+    # per anchor by the join key ---
+    "w14_theil_sen_slope",
     # --- new r8: by-team insights-tree round-trip (the insights CLI's
     # sink, sinks_ref.write_insights_tree) ---
     "snk12_insights_tree",

@@ -766,20 +766,23 @@ WITH daily AS (
                ORDER BY ts DESC, event_id DESC) AS rn
     FROM events WHERE user_id % 25 = 0) t
   WHERE rn = 1
-), seq AS (
+), seq AS MATERIALIZED (
   SELECT user_id, day, value,
          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT)
              AS x
   FROM daily
+), offs AS (SELECT UNNEST(range(0, 7)) AS d
+), w1 AS (
+  SELECT a.user_id, a.day, a.x AS ax, p1.x AS x1, p1.value AS v1
+  FROM seq a CROSS JOIN offs o
+  JOIN seq p1 ON p1.user_id = a.user_id AND p1.x = a.x - o.d
 ), pairs AS (
-  SELECT a.user_id, a.day, a.x AS ax,
-         (p2.value - p1.value) / (p2.x - p1.x) AS slope,
-         p1.x AS x1, p2.x AS x2
-  FROM seq a
-  JOIN seq p1 ON p1.user_id = a.user_id
-             AND p1.x BETWEEN a.x - 6 AND a.x
-  JOIN seq p2 ON p2.user_id = a.user_id
-             AND p2.x BETWEEN a.x - 6 AND a.x AND p1.x < p2.x
+  SELECT w1.user_id, w1.day, w1.ax,
+         (p2.value - w1.v1) / (p2.x - w1.x1) AS slope,
+         w1.x1, p2.x AS x2
+  FROM w1 CROSS JOIN offs o2
+  JOIN seq p2 ON p2.user_id = w1.user_id AND p2.x = w1.ax - o2.d
+  WHERE w1.x1 < p2.x
 ), ranked AS (
   SELECT user_id, day, slope,
          ROW_NUMBER() OVER (PARTITION BY user_id, ax
@@ -805,11 +808,16 @@ def w14_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     window slopes, average the middle one/two — identical integer rank
     arithmetic on both engines, so odd/even windows agree exactly.
 
-    Scale shape: the pair expansion is an equi-join on the series key
-    with an x-range predicate — per-anchor candidate mass is w(w−1)/2
-    (≤21 at w=7), so total work is rows × O(w²), the accepted Theil-Sen
-    cost; the ranking windows run over those bounded groups. One shuffle
-    on the series key serves the joins and both windows."""
+    Scale shape: the pair expansion is an OFFSET EQUI-JOIN — each anchor
+    explodes the window offsets d∈[0,6] and joins on the exact key
+    (user_id, x = ax − d), so the join intermediate is exactly 7·rows and
+    the pair set exactly ≤21·rows, bounded BY THE JOIN KEY at any series
+    length. (The r8 sf10 sweep retired the previous user_id-equi +
+    x-range-filter form: both engines hash-join on user_id alone there,
+    so the pre-filter intermediate is Σ n²(user) — the oracle spilled
+    >70 GB of temp at 100×, and on Spark one long series is a skew bomb.)
+    The ranking windows then run over the bounded groups; one shuffle on
+    the series key serves the joins and both windows."""
     daily_rn = F.row_number().over(
         W.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
             F.desc("ts"), F.desc("event_id")
@@ -825,17 +833,19 @@ def w14_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "day", "value")
         .withColumn("x", seq_x.cast("long"))
     )
-    a = seq.select("user_id", "day", F.col("x").alias("ax"))
+    seq = seq.localCheckpoint(eager=False)  # window scan feeds 3 consumers
+    offs = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("d")
+    a = seq.select(
+        "user_id", "day", F.col("x").alias("ax"), offs
+    ).withColumn("x1", F.col("ax") - F.col("d"))
     p1 = seq.select("user_id", F.col("x").alias("x1"), F.col("value").alias("v1"))
+    w1 = a.join(p1, ["user_id", "x1"]).select(
+        "user_id", "day", "ax", "x1", "v1", offs
+    ).withColumn("x2", F.col("ax") - F.col("d"))
     p2 = seq.select("user_id", F.col("x").alias("x2"), F.col("value").alias("v2"))
     pairs = (
-        a.join(p1, "user_id")
-        .filter(F.col("x1").between(F.col("ax") - 6, F.col("ax")))
-        .join(p2, "user_id")
-        .filter(
-            F.col("x2").between(F.col("ax") - 6, F.col("ax"))
-            & (F.col("x1") < F.col("x2"))
-        )
+        w1.join(p2, ["user_id", "x2"])
+        .filter(F.col("x1") < F.col("x2"))
         .select(
             "user_id",
             "day",
