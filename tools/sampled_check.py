@@ -230,12 +230,116 @@ bkt AS (SELECT vec_id, e, {_SQL_BUCKET_BITS} AS bucket FROM v)
     return problems
 
 
+def check_geo1(spark, con, sf_dir: str, k_pairs: int, k_anchors: int) -> list[str]:
+    """geo1_grid_distance_join: at 100x the fixed-world density makes the
+    OUTPUT itself ~n·density ≈ 8×10^8 pairs and the brute-force oracle
+    ~10^12 comparisons — the third oracle-cost-bound entry. Point coords
+    are a pure function of the key (md5), so both directions verify
+    without any join on the oracle side beyond one linear scan."""
+    problems: list[str] = []
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.plans.geo_plans import GRID, RADIUS2
+
+    qs = entrymod.queries()
+    eng = qs["geo1_grid_distance_join"](spark, sf_dir)
+    cols = ["k1", "k2", "dist2"]
+
+    pts_cte = f"""
+WITH pts AS (
+  SELECT c_custkey AS k,
+         CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % {GRID} AS x,
+         CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % {GRID} AS y
+  FROM customer
+)
+"""
+
+    # --- recall: complete expected neighbor set for sampled anchors ---
+    anchors = [
+        r[0]
+        for r in con.sql(
+            f"""SELECT c_custkey FROM customer
+                ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+                LIMIT {k_anchors}"""
+        ).fetchall()
+    ]
+    a_list = ",".join(str(a) for a in anchors)
+    got = _rows_to_set(
+        eng.filter(
+            F.col("k1").isin(anchors) | F.col("k2").isin(anchors)
+        ).collect(),
+        cols,
+    )
+    want = _duck_to_set(
+        con.sql(
+            pts_cte
+            + f"""
+            SELECT DISTINCT LEAST(a.k, b.k) AS k1, GREATEST(a.k, b.k) AS k2,
+                   CAST((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+            FROM pts a JOIN pts b ON a.k <> b.k
+            WHERE a.k IN ({a_list})
+              AND (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= {RADIUS2}
+            """
+        ),
+        cols,
+    )
+    if got != want:
+        problems.append(
+            f"recall: anchor neighbor sets differ; engine-only="
+            f"{sorted(got - want)[:2]} oracle-only={sorted(want - got)[:2]}"
+        )
+    elif not want:
+        problems.append("recall sample vacuous — no neighbors for anchors")
+    else:
+        print(f"  (recall: {len(want)} anchor pairs matched exactly)")
+
+    # --- precision: engine's lowest-md5 pairs, distances recomputed ---
+    samp = (
+        eng.orderBy(
+            F.md5(F.concat_ws("_", "k1", "k2").cast("binary")), "k1", "k2"
+        )
+        .limit(k_pairs)
+        .collect()
+    )
+    if not samp:
+        problems.append("precision sample empty")
+        return problems
+    got_pairs = _rows_to_set(samp, cols)
+    pair_list = ",".join(f"({r['k1']},{r['k2']})" for r in samp)
+    want_pairs = _duck_to_set(
+        con.sql(
+            pts_cte
+            + f"""
+            SELECT a.k AS k1, b.k AS k2,
+                   CAST((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+            FROM pts a JOIN pts b ON a.k < b.k
+            WHERE (a.k, b.k) IN ({pair_list})
+              AND (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= {RADIUS2}
+            """
+        ),
+        cols,
+    )
+    if got_pairs != want_pairs:
+        problems.append(
+            f"precision: {len(got_pairs - want_pairs)} emitted pairs fail "
+            f"re-verification, e.g. {sorted(got_pairs - want_pairs)[:2]}"
+        )
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf", default="sf10")
     ap.add_argument("--docs", type=int, default=96)
     ap.add_argument("--pairs", type=int, default=512)
     ap.add_argument("--anchors", type=int, default=48)
+    ap.add_argument("--only", default=None, help="run just this entry")
     args = ap.parse_args()
     sf_dir = resolve_sf(args.sf)
     print(f"# sampled oracle at {sf_dir}", flush=True)
@@ -243,10 +347,16 @@ def main() -> int:
     spark = get_spark("sampled_check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     con = duck_connect(sf_dir)
     failed = []
-    for name, fn in (
+    entries = [
         ("d5_embedding_cosine_neardup", lambda: check_d5_embedding(spark, con, sf_dir, args.docs)),
         ("sim_lsh_neardup_pairs", lambda: check_sim_lsh(spark, con, sf_dir, args.pairs, args.anchors)),
-    ):
+        ("geo1_grid_distance_join", lambda: check_geo1(spark, con, sf_dir, args.pairs, args.anchors)),
+    ]
+    if args.only:
+        entries = [e for e in entries if e[0] == args.only]
+        if not entries:
+            raise SystemExit(f"unknown --only {args.only!r}")
+    for name, fn in entries:
         t0 = time.time()
         try:
             problems = fn()
@@ -259,7 +369,7 @@ def main() -> int:
             print(f"     {p}")
         if problems:
             failed.append(name)
-    print(f"\n{2 - len(failed)}/2 passed")
+    print(f"\n{len(entries) - len(failed)}/{len(entries)} passed")
     return 1 if failed else 0
 
 
