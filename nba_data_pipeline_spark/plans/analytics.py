@@ -2586,23 +2586,31 @@ def a34_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the grid collapses the fact table first (one
     map-side-combined distinct — |days|×|users| upper bound, tiny vs
-    events); the range join fans each grid row out to ≤7 anchor days
-    (bounded replication, the standard sliding-exact trick); the final
-    distinct aggregates |grid|×7 rows, never the fact table. For wide
-    windows where ×w replication hurts, swap in the a16/a25 mergeable
-    sketch rollup — this is the exact twin those sketches are graded
-    against."""
+    events); each grid row then EXPLODES its ≤7 anchor days (a pure
+    projection — bounded replication, the standard sliding-exact trick)
+    and a broadcast semi-join on the day spine drops anchors with no
+    events of their own; the final distinct aggregates |grid|×7 rows,
+    never the fact table. (r8: this replaced a day⋈grid theta join —
+    Spark executes a pure range predicate as BroadcastNestedLoopJoin,
+    |days|×|grid| comparisons, which is 10^12 at a few years × a large
+    grid; the explode form has no join on the fact-derived side at all.)
+    For wide windows where ×w replication hurts, swap in the a16/a25
+    mergeable sketch rollup — this is the exact twin those sketches are
+    graded against."""
     ud = (
         read_table(spark, sf_dir, "events")
         .select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
     )
     days = ud.select("day").distinct().select(F.col("day").alias("anchor"))
+    fanned = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("anchor"),
+    )
     return (
-        days.join(
-            ud,
-            F.col("day").between(F.date_sub(F.col("anchor"), 6), F.col("anchor")),
-        )
+        fanned.join(F.broadcast(days), "anchor", "left_semi")
         .groupBy(F.col("anchor").alias("day"))
         .agg(
             F.countDistinct("user_id").alias("active_7d"),

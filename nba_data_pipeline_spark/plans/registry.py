@@ -66,6 +66,10 @@ _FRONT: tuple[str, ...] = (
     # spilled >70 GB at sf10) to an offset equi-join bounded at 21 rows
     # per anchor by the join key ---
     "w14_theil_sen_slope",
+    # --- changed r8: a34's sliding window moved from a day-spine theta
+    # join (BroadcastNestedLoopJoin, |days|x|grid| comparisons) to the
+    # offset-explode + broadcast semi-join form ---
+    "a34_sliding_distinct",
     # --- new r8: by-team insights-tree round-trip (the insights CLI's
     # sink, sinks_ref.write_insights_tree) ---
     "snk12_insights_tree",
