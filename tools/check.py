@@ -114,28 +114,75 @@ def canon(v):
     return (type(v).__name__[:1], str(v))
 
 
+#: past this many rows per side, the compare stops RETAINING canonical
+#: tuples and keeps only the streaming multiset hash — same verdict (an
+#: md5-sum multiset equality; collision odds are negligible), bounded
+#: memory. Below it, behavior is the original exact diff with examples.
+#: Why: the sf10 sweep's fact-grain outputs (15M rows x 2 engines) put
+#: >80 GB of Python tuples in the harness — the compare, not either
+#: engine, became the sweep's memory hazard.
+HASH_COMPARE_THRESHOLD = 2_000_000
+
+
+def _row_sig(canon_tuple) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(repr(canon_tuple).encode()).digest(), "big"
+    )
+
+
 def compare(name: str, spark_df, duck_rel) -> list[str]:
     problems: list[str] = []
     scols = sorted(spark_df.columns)
-    srows = [tuple(r[c] for c in scols) for r in spark_df.collect()]
-
     dcols_raw = duck_rel.columns
     order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
     dcols = [dcols_raw[i] for i in order]
-    drows = [tuple(row[i] for i in order) for row in duck_rel.fetchall()]
-
     if scols != dcols:
         problems.append(f"columns differ: spark={scols} duck={dcols}")
         return problems
-    if len(srows) != len(drows):
-        problems.append(f"row count differs: spark={len(srows)} duck={len(drows)}")
-    sset = sorted(tuple(canon(v) for v in row) for row in srows)
-    dset = sorted(tuple(canon(v) for v in row) for row in drows)
-    if sset != dset:
-        dseen, sseen = set(dset), set(sset)
-        diff_s = [r for r in sset if r not in dseen][:3]
-        diff_d = [r for r in dset if r not in sseen][:3]
-        problems.append(f"values differ; spark-only={diff_s} duck-only={diff_d}")
+
+    def accumulate(row_iter):
+        n, acc, kept = 0, 0, []
+        for t in row_iter:
+            acc = (acc + _row_sig(t)) & ((1 << 127) - 1)
+            n += 1
+            if kept is not None:
+                kept.append(t)
+                if n > HASH_COMPARE_THRESHOLD:
+                    kept = None  # hash-only from here; memory stays bounded
+        return n, acc, kept
+
+    s_n, s_acc, s_rows = accumulate(
+        tuple(canon(r[c]) for c in scols) for r in spark_df.toLocalIterator()
+    )
+
+    def duck_iter():
+        while True:
+            chunk = duck_rel.fetchmany(65536)
+            if not chunk:
+                return
+            for row in chunk:
+                yield tuple(canon(row[i]) for i in order)
+
+    d_n, d_acc, d_rows = accumulate(duck_iter())
+
+    if s_n != d_n:
+        problems.append(f"row count differs: spark={s_n} duck={d_n}")
+    if s_acc != d_acc:
+        if s_rows is not None and d_rows is not None:
+            sset, dset = sorted(s_rows), sorted(d_rows)
+            dseen, sseen = set(dset), set(sset)
+            diff_s = [r for r in sset if r not in dseen][:3]
+            diff_d = [r for r in dset if r not in sseen][:3]
+            problems.append(
+                f"values differ; spark-only={diff_s} duck-only={diff_d}"
+            )
+        else:
+            problems.append(
+                f"values differ (multiset hash mismatch over {s_n} rows; "
+                "past HASH_COMPARE_THRESHOLD, no example diff retained)"
+            )
     return problems
 
 
