@@ -132,6 +132,54 @@ def _row_sig(canon_tuple) -> int:
     )
 
 
+#: dtypes the vectorized fast-accept path trusts: exact canon-equivalent
+#: multiset equality is expressible column-wise (floats rounded to the same
+#: 9 digits on both sides; ints/bools/strings compared directly). Anything
+#: else (dates arrive as datetime64 on one side and date objects on the
+#: other, lists/structs as objects) defers to the exact streaming compare.
+_FAST_DTYPES = ("int64", "int32", "int16", "float64", "bool", "object")
+
+
+def _fast_multiset_equal(spdf, ddf) -> bool | None:
+    """Vectorized canon-equivalent multiset compare of two pandas frames
+    (same sorted column order). Returns True only when equality is PROVEN
+    under the canon semantics; None when this path cannot decide (dtype
+    mismatch / non-scalar cells / sort failure) — never False-accepts.
+
+    Why it exists: the streaming compare is exact but pure-Python per-row;
+    at the 100x tiling a fact-grain result (15-60M rows x 2 engines) costs
+    tens of minutes PER ENTRY in canon loops while both engines are long
+    done. Green results dominate a sweep, so proving equality cheaply via
+    Arrow->pandas (round floats to canon's 9 digits, sort rows, frame
+    equality with NaN==NaN) removes nearly all harness cost; any non-equal
+    or undecidable case falls through to the exact path for the verdict."""
+    import numpy as np
+
+    if list(spdf.columns) != list(ddf.columns) or len(spdf) != len(ddf):
+        return None
+    for c in spdf.columns:
+        st, dt = str(spdf[c].dtype), str(ddf[c].dtype)
+        if st != dt or st not in _FAST_DTYPES:
+            return None
+        if st == "object":
+            for frame in (spdf, ddf):
+                head = frame[c].dropna().head(20)
+                if not all(isinstance(v, str) for v in head):
+                    return None
+    try:
+        a, b = spdf.copy(), ddf.copy()
+        for c in a.columns:
+            if str(a[c].dtype) == "float64":
+                a[c] = np.round(a[c], 9)
+                b[c] = np.round(b[c], 9)
+        cols = list(a.columns)
+        a = a.sort_values(cols, na_position="last").reset_index(drop=True)
+        b = b.sort_values(cols, na_position="last").reset_index(drop=True)
+        return True if a.equals(b) else None
+    except Exception:  # noqa: BLE001 — mixed-type sort etc.: undecidable
+        return None
+
+
 def compare(name: str, spark_df, duck_rel) -> list[str]:
     problems: list[str] = []
     scols = sorted(spark_df.columns)
@@ -141,6 +189,18 @@ def compare(name: str, spark_df, duck_rel) -> list[str]:
     if scols != dcols:
         problems.append(f"columns differ: spark={scols} duck={dcols}")
         return problems
+
+    # Fast accept (see _fast_multiset_equal) — falls through to the exact
+    # streaming compare on anything but proven equality.
+    try:
+        spdf = spark_df.toPandas()[scols]
+        ddf = duck_rel.df()
+        ddf = ddf[sorted(ddf.columns)]
+        if _fast_multiset_equal(spdf, ddf) is True:
+            return []
+        del spdf, ddf
+    except Exception:  # noqa: BLE001 — arrow conversion failures etc.
+        pass
 
     def accumulate(row_iter):
         n, acc, kept = 0, 0, []
