@@ -113,6 +113,18 @@ def geo1_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit = (F.col("home") == F.col("cell")) & (F.col("ka") < F.col("kb")) | (
         F.col("home") != F.col("cell")
     )
+    # PIN the join's partition count (r8 sf10 finding): the shuffle INPUT
+    # is small (5n rows), so AQE coalesces the join to a handful of
+    # partitions — but the join OUTPUT explodes to n·density candidate
+    # pairs inside those few tasks (2.5e9 at the 100x tiling → one-task
+    # stragglers measured in hours). An explicit numPartitions repartition
+    # is exempt from AQE coalescing, so per-task candidate mass stays
+    # bounded regardless of how small the pre-join bytes look.
+    shuffle_n = max(
+        left.sparkSession.sparkContext.defaultParallelism * 4, 64
+    )
+    left = left.repartition(shuffle_n, "cell")
+    right = right.repartition(shuffle_n, "cell")
     return (
         left.join(right, "cell")
         .filter(emit & (d2 <= RADIUS2))

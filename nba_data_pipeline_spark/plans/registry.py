@@ -70,6 +70,11 @@ _FRONT: tuple[str, ...] = (
     # join (BroadcastNestedLoopJoin, |days|x|grid| comparisons) to the
     # offset-explode + broadcast semi-join form ---
     "a34_sliding_distinct",
+    # --- changed r8: geo1's grid join pins its shuffle partition count
+    # (AQE coalesced the small pre-join shuffle to ~4 partitions whose
+    # JOIN OUTPUT was 2.5e9 candidate pairs — hour-long stragglers at
+    # sf10; now 17s for 7.8e8 output pairs) ---
+    "geo1_grid_distance_join",
     # --- new r8: by-team insights-tree round-trip (the insights CLI's
     # sink, sinks_ref.write_insights_tree) ---
     "snk12_insights_tree",
