@@ -760,6 +760,13 @@ def d5_simhash_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PF_T_NUM, _PF_T_DEN = 1, 2  # Jaccard threshold t = 1/2, kept rational
 
+#: d9's verify-join strategy crossover: docset tables up to this many docs
+#: broadcast (~1 KB/doc of sorted hash arrays → hundreds of MB, the
+#: measured-fast path through sf10's 500k docs); past it the driver-side
+#: broadcast build OOMs (measured at the sf30 probe's 1.5M docs) and both
+#: sides hash-partition on the doc id instead.
+_D9_BROADCAST_DOCS = 600_000
+
 
 @query(
     "d9_prefix_filter_join",
@@ -846,31 +853,30 @@ def d9_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Verify with per-doc sorted hash arrays: two BROADCAST joins bring
-    # both sets to the pair (the docset table is doc-count-sized — tiny
-    # next to the pair stream), array_intersect counts exactly — per-pair
-    # O(|doc|) map-side work with NO fan-out join (the pair × shingle
-    # expansion this replaced measured ~10× slower at sf0.1). The explicit
-    # repartition keeps the verify stage at session parallelism — AQE
-    # coalesces the small post-distinct exchange to 2-3 partitions and
-    # would run the array intersections nearly serially. At 100 TB the
-    # docset side outgrows a broadcast: partition BOTH sides on doc id
-    # instead (two shuffle joins), everything else unchanged.
+    # Verify with per-doc sorted hash arrays: two joins bring both sets to
+    # the pair; array_intersect counts exactly — per-pair O(|doc|)
+    # map-side work with NO fan-out join (the pair × shingle expansion
+    # this replaced measured ~10× slower at sf0.1). The join STRATEGY is
+    # ADAPTIVE on one bounded count (the cosine_pairs_blocked sizing
+    # discipline): below _D9_BROADCAST_DOCS the docset table broadcasts
+    # (the measured-fast path; the explicit repartition keeps the verify
+    # stage at session parallelism — AQE coalesces the small post-distinct
+    # exchange to 2-3 partitions and would run the intersections nearly
+    # serially); above it, both sides hash-partition on the doc id (two
+    # shuffle joins) — the r8 sf30 (300×) probe measured the broadcast
+    # variant OOMing the driver at 1.5M docsets (~GBs per broadcast),
+    # exactly the crossover this docstring used to only predict.
     docsets = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    paired = cand.repartition(
+        spark.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
+    side_a = docsets.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    side_b = docsets.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    if docsets.count() <= _D9_BROADCAST_DOCS:
+        side_a, side_b = F.broadcast(side_a), F.broadcast(side_b)
     inter = (
-        cand.repartition(spark.sparkContext.defaultParallelism, "id_a", "id_b")
-        .join(
-            F.broadcast(
-                docsets.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
-            ),
-            "id_a",
-        )
-        .join(
-            F.broadcast(
-                docsets.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
-            ),
-            "id_b",
-        )
+        paired.join(side_a, "id_a")
+        .join(side_b, "id_b")
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
     )
     union_sz = F.col("size_a") + F.col("size_b") - F.col("inter")

@@ -75,6 +75,11 @@ _FRONT: tuple[str, ...] = (
     # JOIN OUTPUT was 2.5e9 candidate pairs — hour-long stragglers at
     # sf10; now 17s for 7.8e8 output pairs) ---
     "geo1_grid_distance_join",
+    # --- changed r8: d9's verify join adapts broadcast->shuffle past
+    # 600k docsets (the sf30 probe measured the driver OOMing while
+    # building the 1.5M-doc broadcast the docstring used to only
+    # predict) ---
+    "d9_prefix_filter_join",
     # --- new r8: by-team insights-tree round-trip (the insights CLI's
     # sink, sinks_ref.write_insights_tree) ---
     "snk12_insights_tree",
