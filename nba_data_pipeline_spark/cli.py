@@ -1,7 +1,7 @@
 """CLI entry points mirroring the reference's user surface (VERDICT r6
 missing item 2): ``python -m nba_data_pipeline_spark <command> ...``.
 
-Two commands cover the reference's argparse/interactive front doors and run
+Five commands cover the reference's argparse/interactive front doors and run
 the matching engine pipeline END TO END (land → scan → normalize → gate →
 reference-layout sink):
 
@@ -23,7 +23,25 @@ reference-layout sink):
   landed as the literal ``<out>/<date>_<away>_at_<home>/<type>_<ts>.json``
   tree (SNK2) with the reference's metadata envelope.
 
-Neither command invents engine surface: every stage is an existing
+* ``export`` — the league-export tool's credential/page surface
+  (ctg_export_league.py:608-660): args > env > config credential chain
+  (SRC9), download → SRC7 CSV → SNK5 JSON lane with the scrape-table
+  fallback, and the SNK6 run-summary manifest.
+
+* ``insights`` — the insights scraper's selection surface
+  (nba_insights_scraper.py:700-760): F6 team lists, F4 multi-dimension
+  selection, X5/X6 insight parsing, SNK3 combined/by-team save modes.
+
+* ``bref`` — the Basketball-Reference family's positional surface
+  (Basketball_Refrence_single_team.py:25-31 TEAM [SEASON],
+  Basketball_Refrence_alltables.py:39-60 [SEASON] [HEADER_SEP],
+  get_basketball_stats_all_teams_Version6.py:294-335 overwrite flag):
+  all tables on each team page including comment-embedded ones
+  (SRC1/SRC2/SRC3), F1 header-repeat drops, X14/X15 roster fixups, X17
+  numeric coercion, N2/N3 canonical renames, F8 skip-if-exists, one
+  nested per-team stats JSON document.
+
+No command invents engine surface: every stage is an existing
 operator; the CLI only resolves arguments and composes. Interactive
 prompts (the reference's input() fallbacks) are behind ``--interactive``
 so scripted use never blocks.
@@ -777,6 +795,218 @@ def cmd_insights(args: argparse.Namespace) -> int:
 
 
 # ---------------------------------------------------------------------------
+# bref (Basketball_Refrence_single_team.py:25-31,
+#       Basketball_Refrence_alltables.py:39-60,
+#       get_basketball_stats_all_teams_Version6.py:294-335)
+# ---------------------------------------------------------------------------
+
+#: Basketball-Reference's own team codes (Basketball_Refrence_alltables.py:
+#: 25-29) — three differ from the league abbreviations the other commands
+#: use; the alias map accepts either spelling.
+BREF_TEAMS: tuple[str, ...] = (
+    "ATL", "BRK", "BOS", "CHO", "CHI", "CLE", "DAL", "DEN", "DET", "GSW",
+    "HOU", "IND", "LAC", "LAL", "MEM", "MIA", "MIL", "MIN", "NOP", "NYK",
+    "OKC", "ORL", "PHI", "PHO", "POR", "SAC", "SAS", "TOR", "UTA", "WAS",
+)
+BREF_ALIAS = {"BKN": "BRK", "CHA": "CHO", "PHX": "PHO"}
+
+#: table id → friendly document key, the reference's walk order
+#: (Basketball_Refrence_alltables.py:240-259). The replay pages carry the
+#: first three; unknown ids fall through like the reference's ``continue``.
+BREF_TABLE_NAMES: dict[str, str] = {
+    "roster": "Roster",
+    "per_game": "per_game_stats",
+    "totals": "totals_stats",
+    "advanced": "Advanced",
+}
+
+
+def parse_bref_teams(team_input: str) -> tuple[list[str], list[str]]:
+    """F6 on Basketball-Reference codes: upper/trim/split, 'ALL' → all 30,
+    league-code aliases (BKN/CHA/PHX) folded to BR codes, dedupe preserving
+    order, unknown tokens separated for the warn-and-skip message."""
+    s = team_input.upper().strip()
+    if s in ("ALL", "ALL_TEAMS", "ALLTEAMS"):
+        return list(BREF_TEAMS), []
+    valid: list[str] = []
+    invalid: list[str] = []
+    for tok in (t.strip() for t in s.split(",")):
+        if not tok:
+            continue
+        tok = BREF_ALIAS.get(tok, tok)
+        if tok in BREF_TEAMS:
+            if tok not in valid:
+                valid.append(tok)
+        elif tok not in invalid:
+            invalid.append(tok)
+    return valid, invalid
+
+
+def _bref_team_page_html(team: str, season: str) -> str:
+    """Deterministic replay of a team page: a decoy nav table (no id), a
+    visible roster table with the reference's dirty-data shapes (an in-band
+    repeated header row for F1, 'us US' birth countries for X14, ISO birth
+    dates for the m/d/Y reformat), a visible per_game table whose stat
+    columns are numeric strings (X17) with '%' headers (N2), and an
+    advanced table hidden inside an HTML comment (SRC2 — exactly where
+    Basketball-Reference hides it)."""
+    ti = BREF_TEAMS.index(team)
+
+    def roster_row(i: int) -> str:
+        return (
+            f"<tr><td>{team} Player {i}</td>"
+            f"<td>199{i % 10}-0{i % 9 + 1}-1{i % 9}</td>"
+            f"<td>{'us US' if i % 3 == 0 else 'US'}</td>"
+            f"<td>6-{i % 12}</td></tr>"
+        )
+
+    roster_hdr = "<tr><th>Player</th><th>Birth Date</th><th>Birth</th><th>Ht</th></tr>"
+    roster_body = "".join(roster_row(i) for i in range(1, 5))
+    # the reference's in-band repeated header row (alltables.py:157-161)
+    roster_repeat = (
+        "<tr><td>Player</td><td>Birth Date</td><td>Birth</td><td>Ht</td></tr>"
+    )
+    roster_body += roster_repeat + "".join(roster_row(i) for i in range(5, 9))
+
+    pg_hdr = "<tr><th>Player</th><th>G</th><th>FG%</th><th>eFG%</th><th>PTS</th></tr>"
+    pg_body = "".join(
+        f"<tr><td>{team} Player {i}</td><td>{40 + (ti + i) % 42}</td>"
+        f"<td>0.{40 + (ti * 3 + i) % 30}</td>"
+        f"<td>0.{50 + (ti + i * 2) % 20}</td>"
+        f"<td>{(ti * 7 + i * 5) % 35}.{i % 10}</td></tr>"
+        for i in range(1, 9)
+    )
+
+    adv_hdr = "<tr><th>Player</th><th>PER</th><th>USG%</th><th>WS</th></tr>"
+    adv_body = "".join(
+        f"<tr><td>{team} Player {i}</td><td>{10 + (ti + i) % 20}.{i % 10}</td>"
+        f"<td>{15 + (ti * 2 + i) % 25}.{(i * 3) % 10}</td>"
+        f"<td>{(ti + i * 2) % 12}.{i % 10}</td></tr>"
+        for i in range(1, 9)
+    )
+
+    decoy = "<table><tr><th>Menu</th></tr><tr><td>Home</td></tr></table>"
+    return (
+        f"<html><head><title>{team} {season}</title></head><body>"
+        f"<h1>{team} {season}</h1>{decoy}"
+        f"<table id='roster'>{roster_hdr}{roster_body}</table>"
+        f"<table id='per_game'>{pg_hdr}{pg_body}</table>"
+        f"<!-- <table id='advanced'>{adv_hdr}{adv_body}</table> -->"
+        f"</body></html>"
+    )
+
+
+def cmd_bref(args: argparse.Namespace) -> int:
+    from nba_data_pipeline_spark.adapters.browser_ingest import land_pages
+    from nba_data_pipeline_spark.functions.extract import (
+        fix_country,
+        format_date_mdY,
+    )
+    from nba_data_pipeline_spark.io import session_tmpdir
+    from nba_data_pipeline_spark.operators.normalize import (
+        coerce_numeric,
+        drop_header_repeats,
+        normalize_columns,
+    )
+    from nba_data_pipeline_spark.session import get_spark
+    from nba_data_pipeline_spark.sinks_ref import write_team_stats_tree
+    from nba_data_pipeline_spark.sources.html_datasource import register
+
+    valid, invalid = parse_bref_teams(args.teams)
+    if invalid:
+        print(f"Unknown teams (skipping): {', '.join(invalid)}")
+    if not valid:
+        raise SystemExit("no valid teams")
+    sep = args.header_sep
+
+    # F8 skip-if-exists (get_basketball_stats_all_teams_Version6.py:219-222):
+    # without --overwrite, a team whose stats document already landed is
+    # skipped — the incremental-rerun path.
+    def target(team: str) -> str:
+        return os.path.join(
+            args.output, team, f"{team}_{args.season}_NBA_Stats.json"
+        )
+
+    if not args.overwrite:
+        skipped = [t for t in valid if os.path.exists(target(t))]
+        for t in skipped:
+            print(f"Skipping {t} (exists: {target(t)})")
+        valid = [t for t in valid if t not in skipped]
+    if not valid:
+        print("Nothing to do — every selected team already has output.")
+        return 0
+    print(f"Processing {len(valid)} team(s) for season {args.season}: "
+          f"{', '.join(valid)}")
+
+    spark = get_spark("cli-bref", cpus=int(args.cpus))
+
+    # 1. LAND: one page per team (real driver when installed; deterministic
+    # replay otherwise), atomic landing.
+    land_dir = session_tmpdir("cli_bref_")
+    land_pages(
+        ((f"bref_{t}", _bref_team_page_html(t, args.season)) for t in valid),
+        land_dir,
+    )
+
+    # 2. SCAN: htmltable DataSource — visible AND comment-embedded tables
+    # (SRC1/SRC2), table ids carried for the by-id walk (SRC3).
+    register(spark)
+    raw = spark.read.format("htmltable").load(land_dir)
+    raw = raw.filter(F.col("table_id").isin(list(BREF_TABLE_NAMES))).select(
+        F.regexp_extract("path", r"bref_(\w+)\.html", 1).alias("team"),
+        "table_id",
+        "row_idx",
+        F.from_json("headers", "array<string>").alias("hdr"),
+        F.from_json("cells", "array<string>").alias("cells"),
+    )
+    raw = raw.persist()
+
+    # header list per table id: one tiny distinct over the dimension grain
+    import json as _json
+
+    hdr_rows = (
+        raw.select("table_id", F.to_json("hdr").alias("h")).distinct().collect()
+    )
+    headers_by_id = {r["table_id"]: _json.loads(r["h"]) for r in hdr_rows}
+
+    # 3. PER TABLE: project → F1 header-repeat drop → X14/X15 roster fixups
+    # → X17 coercion → N2/N3 canonical rename with the chosen separator,
+    # the reference's clean_dataframe + normalize_dataframe_columns order
+    # (Basketball_Refrence_alltables.py:150-184).
+    frames = []
+    for tid, friendly in BREF_TABLE_NAMES.items():
+        hdr = headers_by_id.get(tid)
+        if hdr is None:
+            continue
+        t = raw.filter(F.col("table_id") == tid).select(
+            "team",
+            "row_idx",
+            *[F.col("cells").getItem(i).alias(h) for i, h in enumerate(hdr)],
+        )
+        if "Player" in hdr:
+            t = drop_header_repeats(t, "Player")
+        if friendly == "Roster":
+            if "Birth Date" in hdr:
+                t = t.withColumn("Birth Date", format_date_mdY(F.col("Birth Date")))
+            if "Birth" in hdr:
+                t = t.withColumn("Birth", fix_country(F.col("Birth")))
+        t = coerce_numeric(t, [h for h in hdr if h not in ("Player", "Birth")])
+        t = normalize_columns(t, sep)
+        frames.append((friendly, t))
+
+    # 4. SINK: one nested stats document per team, the literal tree.
+    paths = write_team_stats_tree(
+        frames, args.output, season=args.season,
+        team_col="team", order_col="row_idx",
+    )
+    raw.unpersist()
+    for p in paths:
+        print(f"Saved JSON: {p}")
+    print(f"{len(paths)} team document(s) under {args.output}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # argparse wiring
 # ---------------------------------------------------------------------------
 
@@ -856,6 +1086,27 @@ def build_parser() -> argparse.ArgumentParser:
     ins.add_argument("--sf-dir", type=str, default=DEFAULT_SF_DIR)
     ins.add_argument("--cpus", type=int, default=8)
     ins.set_defaults(fn=cmd_insights)
+
+    br = sub.add_parser(
+        "bref",
+        help="scrape Basketball-Reference team pages (all tables, incl. "
+        "comment-embedded), clean + canonicalize, write per-team stats JSON",
+    )
+    br.add_argument("teams", nargs="?", default="ALL",
+                    help="BR team code, comma list, or ALL (default); "
+                    "league aliases BKN/CHA/PHX accepted")
+    br.add_argument("season", nargs="?", default=DEFAULT_SEASON,
+                    help="season ending year, e.g. 2026 (positional, like "
+                    "the reference scripts)")
+    br.add_argument("--header-sep", type=str, default="_",
+                    help="flattened/canonical header separator (the "
+                    "reference's HEADER_SEP positional)")
+    br.add_argument("--overwrite", action="store_true",
+                    help="replace existing team documents (default: F8 "
+                    "skip-if-exists incremental rerun)")
+    br.add_argument("--output", type=str, required=True)
+    br.add_argument("--cpus", type=int, default=8)
+    br.set_defaults(fn=cmd_bref)
     return p
 
 

@@ -83,6 +83,9 @@ _FRONT: tuple[str, ...] = (
     # --- new r8: by-team insights-tree round-trip (the insights CLI's
     # sink, sinks_ref.write_insights_tree) ---
     "snk12_insights_tree",
+    # --- new r8 (late): Basketball-Reference per-team stats document
+    # round-trip (the bref CLI's sink, sinks_ref.write_team_stats_tree) ---
+    "snk13_bref_stats_tree",
     # --- changed r8: G-family oracles now MATERIALIZE their fact-derived
     # contraction CTEs (DuckDB re-inlined them per consumer; at sf10 g1's
     # unrolled iterations re-ran the 60M-row edge mining to a 66 GB hang).

@@ -598,3 +598,117 @@ def snk12_insights_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("team")
     )
+
+
+# ---------------------------------------------------------------------------
+# SNK13: Basketball-Reference per-team stats document round-trip
+# (sinks_ref.write_team_stats_tree — the bref CLI's sink)
+# ---------------------------------------------------------------------------
+
+_SNK13_CACHE: dict[str, str] = {}
+
+
+def _snk13_tree(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _SNK13_CACHE:
+        return _SNK13_CACHE[sf_dir]
+    from nba_data_pipeline_spark.sinks_ref import write_team_stats_tree
+
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    roster = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("team"),
+        F.col("c_custkey").alias("row_idx"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    advanced = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("team"),
+        F.col("s_suppkey").alias("row_idx"),
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    root = session_tmpdir("snk13_")
+    write_team_stats_tree(
+        [("Roster", roster), ("Advanced", advanced)],
+        root, season="2026", team_col="team", order_col="row_idx",
+    )
+    _SNK13_CACHE[sf_dir] = root
+    return root
+
+
+@query(
+    "snk13_bref_stats_tree",
+    oracle="""
+WITH r AS (
+  SELECT n.n_name AS team, COUNT(*) AS n_roster,
+         CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS roster_cents,
+         MIN(c.c_custkey) AS min_roster_key
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), a AS (
+  SELECT n.n_name AS team, COUNT(*) AS n_adv,
+         CAST(SUM(CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS adv_cents
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT r.team, r.n_roster, r.roster_cents, r.min_roster_key,
+       a.n_adv, a.adv_cents
+FROM r JOIN a ON r.team = a.team
+ORDER BY r.team
+""",
+)
+def snk13_bref_stats_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK13: the Basketball-Reference per-team stats document
+    (``<base>/<TEAM>/<TEAM>_<season>_NBA_Stats.json`` with one key per
+    table, Basketball_Refrence_alltables.py:264-295) written by
+    sinks_ref.write_team_stats_tree — the ``bref`` CLI's sink — and proven
+    by re-reading the landed documents: the team key lives only in the
+    tree path, BOTH heterogeneous tables must survive the round-trip in
+    one document, and per-table counts/sums/min-keys hash-match the base
+    tables. Teams present in only one source table are excluded exactly
+    like the oracle's inner join.
+
+    Scale shape: per-table grouped envelope + partitionBy staging are
+    fact-grain distributed; the finalize and this multiLine read-back
+    touch one small document per TEAM (dimension grain, ≤30 leaves)."""
+    root = _snk13_tree(spark, sf_dir)
+    docs = (
+        spark.read.option("multiLine", "true")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*_NBA_Stats.json")
+        .json(root)
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"),
+                r"/([^/]+)_2026_NBA_Stats\.json$", 1,
+            ).alias("team"),
+            "Roster", "Advanced",
+        )
+    )
+    return (
+        docs.filter(F.col("Roster").isNotNull() & F.col("Advanced").isNotNull())
+        .select(
+            "team",
+            F.size("Roster").cast("bigint").alias("n_roster"),
+            F.expr(
+                "aggregate(Roster, CAST(0 AS BIGINT), (acc, x) -> acc + x.cents)"
+            ).alias("roster_cents"),
+            F.expr("array_min(transform(Roster, x -> x.row_idx))").alias(
+                "min_roster_key"
+            ),
+            F.size("Advanced").cast("bigint").alias("n_adv"),
+            F.expr(
+                "aggregate(Advanced, CAST(0 AS BIGINT), (acc, x) -> acc + x.cents)"
+            ).alias("adv_cents"),
+        )
+        .orderBy("team")
+    )

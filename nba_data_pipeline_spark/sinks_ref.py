@@ -50,9 +50,14 @@ def _envelope(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     if order_col not in payload:
         raise ValueError(f"order_col {order_col!r} must be a payload column")
     ordered_first = [order_col, *[c for c in payload if c != order_col]]
+    # backtick-quote: payload names may contain '.' (a caller-chosen header
+    # separator), which an unquoted F.col parses as a struct access
+    def q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
     return df.groupBy(*key_cols).agg(
         F.sort_array(
-            F.collect_list(F.struct(*[F.col(c) for c in ordered_first]))
+            F.collect_list(F.struct(*[F.col(q(c)) for c in ordered_first]))
         ).alias("rows")
     )
 
@@ -242,3 +247,51 @@ def write_insights_tree(
 
     os.makedirs(base_dir, exist_ok=True)
     return _stage_and_finalize(env, [key], staging, place)
+
+
+def write_team_stats_tree(
+    frames: "list[tuple[str, DataFrame]]",
+    base_dir: str,
+    *,
+    season: str,
+    team_col: str = "team",
+    order_col: str = "row_idx",
+) -> list[str]:
+    """Land the Basketball-Reference per-team stats document
+    (Basketball_Refrence_alltables.py:264-295, Basketball_Refrence_
+    single_team.py:201-229): ONE ``<base_dir>/<TEAM>/<TEAM>_<season>_
+    NBA_Stats.json`` per team whose document maps each table's friendly
+    name to its record list, in the caller's table order (the reference's
+    ``tables_to_extract`` walk order).
+
+    ``frames`` is [(friendly_name, df)] — one DataFrame per table id, each
+    carrying ``team_col`` + ``order_col`` + that table's own columns
+    (tables have heterogeneous schemas, so a single unioned frame would
+    force a lossy common schema; the per-table grain is the reference's).
+    Content stays distributed per table (grouped envelope + partitionBy
+    staging); the finalize accumulates O(#teams × #tables) envelope docs
+    and writes one JSON per team. A table with no rows for a team is
+    simply absent from that team's document, like the reference's
+    ``continue`` on empty extracts."""
+    acc: dict[str, dict[str, list]] = {}
+    for friendly, df in frames:
+        env = _envelope(df, [team_col], order_col)
+        staging = os.path.join(base_dir, "_staging_bref")
+
+        def place(keys: list[str], doc: dict, _friendly=friendly) -> str:
+            team = keys[0]
+            acc.setdefault(team, {})[_friendly] = doc["rows"]
+            return team
+
+        os.makedirs(base_dir, exist_ok=True)
+        _stage_and_finalize(env, [team_col], staging, place)
+
+    out: list[str] = []
+    for team in sorted(acc):
+        d = os.path.join(base_dir, sanitize_component(team))
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{team}_{season}_NBA_Stats.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(acc[team], f, indent=2, ensure_ascii=False)
+        out.append(path)
+    return out

@@ -301,3 +301,75 @@ def test_insights_rejects_unknown_insight_type(tmp_path):
     with pytest.raises(SystemExit):
         main(["insights", "--insight-types", "Bogus",
               "--output", str(tmp_path / "x")])
+
+
+# ---------------------------------------------------------------------------
+# bref — the Basketball-Reference family front door
+# (Basketball_Refrence_single_team.py:25-31, Basketball_Refrence_alltables.py
+# :39-60, get_basketball_stats_all_teams_Version6.py:294-335)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_bref_teams_aliases_and_all():
+    from nba_data_pipeline_spark.cli import BREF_TEAMS, parse_bref_teams
+
+    valid, invalid = parse_bref_teams("ALL")
+    assert valid == list(BREF_TEAMS) and len(valid) == 30 and invalid == []
+    # league-code aliases fold to BR codes; unknowns warn-skip; dedupe
+    valid, invalid = parse_bref_teams(" bkn, CHA ,BRK , phx, zzz ")
+    assert valid == ["BRK", "CHO", "PHO"]
+    assert invalid == ["ZZZ"]
+
+
+def test_bref_golden_tree(spark, tmp_path):
+    out = str(tmp_path / "bref")
+    rc = main(["bref", "DET,BKN", "2026", "--output", out, "--cpus", "4"])
+    assert rc == 0
+    assert _relpaths(out) == {
+        os.path.join(t, f"{t}_2026_NBA_Stats.json") for t in ("DET", "BRK")
+    }
+    doc = json.load(open(os.path.join(out, "DET", "DET_2026_NBA_Stats.json")))
+    # document keys in the reference's walk order; Advanced came from the
+    # COMMENT-embedded table (SRC2 through the CLI lane)
+    assert list(doc) == ["Roster", "per_game_stats", "Advanced"]
+    # F1: the in-band repeated header row is gone (8 data rows, not 9)
+    assert len(doc["Roster"]) == 8
+    assert all(r["Player"] != "Player" for r in doc["Roster"])
+    # X15: birth dates re-shaped m/d/Y; X14: 'us US' fixed up
+    assert all(
+        len(r["Birth_Date"].split("/")) == 3 for r in doc["Roster"]
+    )
+    assert {r["Birth"] for r in doc["Roster"]} == {"US"}
+    # N2 canonical renames with %→_pct (eFG% must win over FG%)
+    pg = doc["per_game_stats"][0]
+    assert {"Player", "G", "FG_pct", "eFG_pct", "PTS"} <= set(pg)
+    # X17: stat columns coerced to numbers, Player stayed a string
+    assert isinstance(pg["PTS"], float) and isinstance(pg["G"], float)
+    assert isinstance(pg["Player"], str)
+    adv = doc["Advanced"][0]
+    assert {"PER", "USG_pct", "WS"} <= set(adv)
+
+
+def test_bref_skip_if_exists_then_overwrite(spark, tmp_path):
+    out = str(tmp_path / "bref")
+    assert main(["bref", "DET", "2026", "--output", out, "--cpus", "4"]) == 0
+    path = os.path.join(out, "DET", "DET_2026_NBA_Stats.json")
+    first = os.path.getmtime(path)
+    # F8: rerun without --overwrite leaves the document untouched
+    assert main(["bref", "DET", "2026", "--output", out, "--cpus", "4"]) == 0
+    assert os.path.getmtime(path) == first
+    # --overwrite replaces it
+    assert main(
+        ["bref", "DET", "2026", "--output", out, "--overwrite", "--cpus", "4"]
+    ) == 0
+    assert os.path.getmtime(path) > first
+
+
+def test_bref_header_sep(spark, tmp_path):
+    out = str(tmp_path / "bref")
+    rc = main(["bref", "DET", "2026", "--header-sep", ".",
+               "--output", out, "--cpus", "4"])
+    assert rc == 0
+    doc = json.load(open(os.path.join(out, "DET", "DET_2026_NBA_Stats.json")))
+    # whitespace in raw headers joins with the chosen separator
+    assert "Birth.Date" in doc["Roster"][0]
