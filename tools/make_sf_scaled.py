@@ -68,14 +68,17 @@ def scale(src: str, out_dir: str, K: int) -> None:
         pq.write_table(t[name], os.path.join(out_dir, f"{name}.parquet"))
 
     def tile(name: str, shift) -> None:
-        reps = []
-        for k in range(K):
-            tbl = t[name]
-            for col, b in shift:
-                idx = tbl.schema.get_field_index(col)
-                tbl = tbl.set_column(idx, col, _offset(tbl[col], k, base[b]))
-            reps.append(tbl)
-        pq.write_table(pa.concat_tables(reps), os.path.join(out_dir, f"{name}.parquet"))
+        # stream one replica at a time through a ParquetWriter: buffering
+        # all K replicas then concat_tables OOMs past K≈300 on the fact
+        # tables (K=1000 would hold ~100 GB of lineitem Arrow buffers)
+        path = os.path.join(out_dir, f"{name}.parquet")
+        with pq.ParquetWriter(path, t[name].schema) as w:
+            for k in range(K):
+                tbl = t[name]
+                for col, b in shift:
+                    idx = tbl.schema.get_field_index(col)
+                    tbl = tbl.set_column(idx, col, _offset(tbl[col], k, base[b]))
+                w.write_table(tbl)
 
     tile("customer", [("c_custkey", "cust")])
     tile("supplier", [("s_suppkey", "supp")])
@@ -90,62 +93,64 @@ def scale(src: str, out_dir: str, K: int) -> None:
     # documents: offset ids + mutate replica text so replicas aren't near-dups
     docs = t["documents"]
     texts = docs["text"].to_pylist()
-    reps = []
-    for k in range(K):
-        tbl = docs.set_column(
-            docs.schema.get_field_index("doc_id"),
-            "doc_id",
-            _offset(docs["doc_id"], k, base["doc"]),
-        )
-        if k > 0:
-            mutated = [_mutate_text(s, k) for s in texts]
-            tbl = tbl.set_column(
-                tbl.schema.get_field_index("text"),
-                "text",
-                pa.chunked_array([pa.array(mutated, type=docs["text"].type)]),
+    with pq.ParquetWriter(
+        os.path.join(out_dir, "documents.parquet"), docs.schema
+    ) as w:
+        for k in range(K):
+            tbl = docs.set_column(
+                docs.schema.get_field_index("doc_id"),
+                "doc_id",
+                _offset(docs["doc_id"], k, base["doc"]),
             )
-            if "n_chars" in tbl.schema.names:
+            if k > 0:
+                mutated = [_mutate_text(s, k) for s in texts]
                 tbl = tbl.set_column(
-                    tbl.schema.get_field_index("n_chars"),
-                    "n_chars",
-                    pa.chunked_array(
-                        [
-                            pa.array(
-                                [len(s) for s in mutated],
-                                type=docs["n_chars"].type,
-                            )
-                        ]
-                    ),
+                    tbl.schema.get_field_index("text"),
+                    "text",
+                    pa.chunked_array([pa.array(mutated, type=docs["text"].type)]),
                 )
-        reps.append(tbl)
-    pq.write_table(pa.concat_tables(reps), os.path.join(out_dir, "documents.parquet"))
+                if "n_chars" in tbl.schema.names:
+                    tbl = tbl.set_column(
+                        tbl.schema.get_field_index("n_chars"),
+                        "n_chars",
+                        pa.chunked_array(
+                            [
+                                pa.array(
+                                    [len(s) for s in mutated],
+                                    type=docs["n_chars"].type,
+                                )
+                            ]
+                        ),
+                    )
+            w.write_table(tbl)
 
     # embeddings: offset ids; replica k rolls each vector by 7k dims and
     # adds seeded noise — cosine(original, replica) ≈ random, norms kept
     emb = t["embeddings"]
     vecs = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
     dim = vecs.shape[1]
-    reps = []
-    for k in range(K):
-        tbl = emb.set_column(
-            emb.schema.get_field_index("vec_id"),
-            "vec_id",
-            _offset(emb["vec_id"], k, base["vec"]),
-        )
-        if k > 0:
-            rng = np.random.default_rng(k)
-            v = np.roll(vecs, 7 * k, axis=1) + rng.normal(
-                0.0, vecs.std() * 0.5, size=vecs.shape
+    with pq.ParquetWriter(
+        os.path.join(out_dir, "embeddings.parquet"), emb.schema
+    ) as w:
+        for k in range(K):
+            tbl = emb.set_column(
+                emb.schema.get_field_index("vec_id"),
+                "vec_id",
+                _offset(emb["vec_id"], k, base["vec"]),
             )
-            tbl = tbl.set_column(
-                tbl.schema.get_field_index("embedding"),
-                "embedding",
-                pa.chunked_array(
-                    [pa.array(list(v), type=emb["embedding"].type)]
-                ),
-            )
-        reps.append(tbl)
-    pq.write_table(pa.concat_tables(reps), os.path.join(out_dir, "embeddings.parquet"))
+            if k > 0:
+                rng = np.random.default_rng(k)
+                v = np.roll(vecs, 7 * k, axis=1) + rng.normal(
+                    0.0, vecs.std() * 0.5, size=vecs.shape
+                )
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("embedding"),
+                    "embedding",
+                    pa.chunked_array(
+                        [pa.array(list(v), type=emb["embedding"].type)]
+                    ),
+                )
+            w.write_table(tbl)
     print(f"wrote {K}x tiling of {src} (dim={dim}) to {out_dir}")
 
 
