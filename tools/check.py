@@ -29,6 +29,7 @@ import math
 import os
 import re
 import sys
+import tempfile
 import threading
 import time
 
@@ -96,6 +97,16 @@ def resolve_sf(sf: str) -> str:
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle's memory and give it a spill dir: at the sf100
+    # (1000x) probe the CC oracle's recursive walk ballooned DuckDB to
+    # ~56 GB WHILE the Spark JVM still held its engine-phase RSS — the two
+    # engines' co-resident peaks exceeded the box and the OS OOM-killer
+    # took the JVM down mid-sweep. With a limit DuckDB spills (or fails
+    # that ONE entry cleanly) instead of detonating the whole lane.
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "40GB")
+    tmp = tempfile.mkdtemp(prefix="check_duck_spill_")
+    con.sql(f"SET memory_limit='{duck_mem}'")
+    con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.sql(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -280,7 +291,26 @@ def main() -> int:
     sf_dir = resolve_sf(args.sf) if args.sf else SF_DIR
     print(f"# sf_dir={sf_dir}  entries={len(names)}", flush=True)
 
-    spark = get_spark("check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # Size the Spark session by the SWEEP DECADE, not a fixed 8-thread/16g
+    # default: the sf100 (1000x) probe showed a 16g/8-thread session dying
+    # inside a single candidate-join stage (GCLocker alloc failures, JVM
+    # OOM-kill) on a plan that runs in ~2 min at 32 threads / 64g — the
+    # harness, not the engine, was the 1000x bottleneck (the r8 lesson:
+    # at scale the harness joins the suspect list). Explicit env vars
+    # always win; the decade only moves the DEFAULTS.
+    m = re.search(r"sf(\d+)$", sf_dir)
+    decade = int(m.group(1)) if m else 0
+    default_cpus = os.cpu_count() or 8 if decade >= 10 else 8
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or default_cpus
+    if decade >= 30 and not os.environ.get("SPARK_DRIVER_MEMORY"):
+        # past ~300x a 16g heap cannot hold one stage's execution memory at
+        # full thread count. 48g measured sufficient for the heaviest sf100
+        # engine phase (d5_cc's 1.27e9-row candidate join, spills cleanly);
+        # larger heaps LOWER survival — the JVM keeps its peak RSS while
+        # the DuckDB oracle runs, and 64g+40GB oracle+workers already
+        # brushed the 125g box (96g heap was OS-OOM-killed outright).
+        os.environ["SPARK_DRIVER_MEMORY"] = "48g"
+    spark = get_spark("check", cpus=cpus)
     con = duck_connect(sf_dir)
     failed = []
     for name in names:

@@ -340,6 +340,157 @@ WITH pts AS (
     return problems
 
 
+def check_d5_cc(spark, con, sf_dir: str, k_pairs: int, k_anchors: int) -> list[str]:
+    """d5_cc_clusters_multipart at oracle-bound SFs (the fifth-decade class
+    member found by the sf100 probe): the full DuckDB oracle's recursive
+    walk over the 5M-doc graph spilled past the box's disk while the engine
+    finished in ~2.5 min. Verified instead as three exact pieces:
+
+    1. CLOSURE, exactly and in FULL: the near-dup edge set is tiny even at
+       1000x (~256k rows — the subgraph, not the corpus), so a driver-side
+       union-find over the engine's own edges recomputes every label and
+       cluster_size; the engine's 5M-row output must match row-for-row.
+       This is the part the recursive CTE was paying unboundedly for.
+    2. Edge PRECISION, sampled: lowest-md5 engine edges re-verified in
+       DuckDB — exact Jaccard from raw text must be >= 0.5.
+    3. Edge RECALL, complete-per-anchor: for sampled docs, DuckDB
+       recomputes the doc's ENTIRE qualifying neighbor set (its shingles
+       against the full corpus — linear, one anchor-restricted join); the
+       engine edge set restricted to those anchors must equal it exactly.
+    """
+    problems: list[str] = []
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.io import read_table
+    from nba_data_pipeline_spark.operators.dedup import jaccard_pairs, shingle_sets
+    from nba_data_pipeline_spark.plans.dedup import _SQL_SH_REL
+
+    # Same edge construction as the entry (plans/dedup.py
+    # d5_cc_clusters_multipart): shingle equi-join, exact Jaccard >= 0.5.
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sh = shingle_sets(d).persist()
+    edges_df = jaccard_pairs(sh, min_jaccard=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges_df.toPandas()
+
+    # --- 1. closure: exact union-find over the engine's edges -------------
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s_, d_ in zip(edges["src"].tolist(), edges["dst"].tolist()):
+        rs, rd = find(int(s_)), find(int(d_))
+        if rs != rd:
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    qs = entrymod.queries()
+    got = qs["d5_cc_clusters_multipart"](spark, sf_dir).toPandas()
+    comp_expect = got["doc_id"].map(lambda x: find(int(x)))
+    bad_label = got[comp_expect != got["component_id"]]
+    if len(bad_label):
+        problems.append(
+            f"closure: {len(bad_label)} of {len(got)} labels differ from the "
+            f"exact union-find (e.g. {bad_label.head(3).to_dict('records')})"
+        )
+    sizes = comp_expect.value_counts()
+    bad_size = got[got["cluster_size"] != comp_expect.map(sizes)]
+    if len(bad_size):
+        problems.append(f"closure: {len(bad_size)} cluster_size values differ")
+
+    # --- 2. precision: sampled engine edges re-checked from raw text ------
+    key = edges.apply(
+        lambda r: hashlib.md5(f"{r.src}_{r.dst}".encode()).hexdigest(), axis=1
+    )
+    samp = edges.loc[key.sort_values().index[:k_pairs]]
+    ids = sorted(set(samp["src"]) | set(samp["dst"]))
+    id_list = ",".join(str(i) for i in ids)
+    pair_list = ",".join(f"({r.src},{r.dst})" for r in samp.itertuples())
+    ok_pairs = {
+        (int(a), int(b))
+        for a, b in con.sql(
+            _SQL_SH_REL.replace(
+                "FROM documents", f"FROM documents WHERE doc_id IN ({id_list})"
+            )
+            + f"""
+            SELECT a.doc_id, b.doc_id FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN sz x ON a.doc_id = x.doc_id JOIN sz y ON b.doc_id = y.doc_id
+            WHERE (a.doc_id, b.doc_id) IN ({pair_list})
+            GROUP BY a.doc_id, b.doc_id, x.sz, y.sz
+            HAVING CAST(COUNT(*) AS DOUBLE) / (x.sz + y.sz - COUNT(*)) >= 0.5
+            """
+        ).fetchall()
+    }
+    missing = [
+        (int(r.src), int(r.dst))
+        for r in samp.itertuples()
+        if (int(r.src), int(r.dst)) not in ok_pairs
+    ]
+    if missing:
+        problems.append(
+            f"precision: {len(missing)}/{len(samp)} sampled engine edges "
+            f"fail the exact >= 0.5 recheck (e.g. {missing[:3]})"
+        )
+
+    # --- 3. recall: complete expected edge set for sampled anchors --------
+    anchors = [
+        r[0]
+        for r in con.sql(
+            f"""
+            SELECT doc_id FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {k_anchors}
+            """
+        ).fetchall()
+    ]
+    a_list = ",".join(str(a) for a in anchors)
+    want = {
+        (int(a), int(b))
+        for a, b in con.sql(
+            _SQL_SH_REL
+            + f"""
+            , anchor_sh AS (SELECT * FROM sh WHERE doc_id IN ({a_list}))
+            SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id)
+            FROM anchor_sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            JOIN sz x ON a.doc_id = x.doc_id JOIN sz y ON b.doc_id = y.doc_id
+            GROUP BY 1, 2, x.sz, y.sz
+            HAVING CAST(COUNT(*) AS DOUBLE) / (x.sz + y.sz - COUNT(*)) >= 0.5
+            """
+        ).fetchall()
+    }
+    a_set = set(anchors)
+    got_anchor = {
+        (int(r.src), int(r.dst))
+        for r in edges.itertuples()
+        if int(r.src) in a_set or int(r.dst) in a_set
+    }
+    if got_anchor != want:
+        problems.append(
+            f"recall: anchor edge sets differ — engine-only="
+            f"{sorted(got_anchor - want)[:3]} expected-only="
+            f"{sorted(want - got_anchor)[:3]} "
+            f"(engine {len(got_anchor)} vs expected {len(want)})"
+        )
+    sh.unpersist()
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf", default="sf10")
@@ -358,6 +509,7 @@ def main() -> int:
         ("d5_embedding_cosine_neardup", lambda: check_d5_embedding(spark, con, sf_dir, args.docs)),
         ("sim_lsh_neardup_pairs", lambda: check_sim_lsh(spark, con, sf_dir, args.pairs, args.anchors)),
         ("geo1_grid_distance_join", lambda: check_geo1(spark, con, sf_dir, args.pairs, args.anchors)),
+        ("d5_cc_clusters_multipart", lambda: check_d5_cc(spark, con, sf_dir, args.pairs, args.anchors)),
     ]
     if args.only:
         entries = [e for e in entries if e[0] == args.only]
