@@ -833,7 +833,26 @@ def d9_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (integer ceil: (L*num + den - 1) div den)
     ceil_tl = F.expr(f"(sz * {_PF_T_NUM} + {_PF_T_DEN} - 1) div {_PF_T_DEN}")
     prefix = ranked.filter(F.col("pos") <= F.col("sz") - ceil_tl + 1).select(
-        "doc_id", "h", "sz"
+        "doc_id", "h", "sz", "pos"
+    )
+    # POSITIONAL filter (PPJoin §3.2, same paper): a qualifying pair needs
+    # inter >= alpha = ceil(t/(1+t) * (|A|+|B|)), and any shared prefix
+    # token at positions (pa, pb) bounds inter <= 1 + min(|A|-pa, |B|-pb)
+    # — both sets have only that many tokens left at or after the match.
+    # A pair with J >= t passes at its FIRST shared prefix token, so
+    # filtering each matched row by the bound loses nothing, while pairs
+    # whose only shared prefix tokens sit too LATE to ever reach alpha
+    # never enter the candidate set. At the sf100 (1000x) probe this is
+    # the difference between a verify intermediate that fits scratch and
+    # one that doesn't: the array-carrying exchange downstream is
+    # |candidates| x the docset payload, and the payload (random 64-bit
+    # hashes) is incompressible — pruning candidates is the only lever.
+    # Integer-exact for t=num/den: 1+min >= ceil(num*(sa+sb)/(num+den))
+    # <=> (1+min)*(num+den) >= num*(sa+sb).
+    pos_bound = (
+        (1 + F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")))
+        * (_PF_T_NUM + _PF_T_DEN)
+        >= (F.col("a.sz") + F.col("b.sz")) * _PF_T_NUM
     )
     cand = (
         prefix.alias("a")
@@ -843,7 +862,8 @@ def d9_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # symmetric length filter for t=num/den: den*min_sz >= num*max_sz
             & (F.col("a.sz") * _PF_T_DEN >= F.col("b.sz") * _PF_T_NUM)
-            & (F.col("b.sz") * _PF_T_DEN >= F.col("a.sz") * _PF_T_NUM),
+            & (F.col("b.sz") * _PF_T_DEN >= F.col("a.sz") * _PF_T_NUM)
+            & pos_bound,
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -874,6 +894,16 @@ def d9_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side_b = docsets.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
     if docsets.count() <= _D9_BROADCAST_DOCS:
         side_a, side_b = F.broadcast(side_a), F.broadcast(side_b)
+    else:
+        # Shuffled HASH join, not sort-merge: the streamed side of these
+        # two joins is the candidate relation carrying a ~0.4 KB sorted
+        # docset array per row, and SMJ would SORT that array-laden stream
+        # (the sf100 probe measured the sorter spilling ~45 GB past the
+        # exchange files — over a node's disk budget — on ~10^8
+        # candidates). Hashing builds on the slim docset side (|docs|/P
+        # rows per task) and streams the fat side with no sort at all;
+        # the verify stays one exchange per join key.
+        side_a, side_b = side_a.hint("shuffle_hash"), side_b.hint("shuffle_hash")
     inter = (
         paired.join(side_a, "id_a")
         .join(side_b, "id_b")

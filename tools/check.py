@@ -310,7 +310,15 @@ def main() -> int:
         # the DuckDB oracle runs, and 64g+40GB oracle+workers already
         # brushed the 125g box (96g heap was OS-OOM-killed outright).
         os.environ["SPARK_DRIVER_MEMORY"] = "48g"
-    spark = get_spark("check", cpus=cpus)
+    extra = {}
+    if decade >= 30:
+        # zstd shuffle/spill compression: the deep decades' array-laden
+        # verify exchanges (d9's ~10^8 candidate rows x 0.4 KB docset
+        # arrays) are scratch-disk-bound on a single box under lz4; zstd
+        # buys ~2x on hash-array payloads for a few % CPU — the standard
+        # trade on shuffle-heavy clusters.
+        extra["spark.io.compression.codec"] = "zstd"
+    spark = get_spark("check", cpus=cpus, extra_conf=extra)
     con = duck_connect(sf_dir)
     failed = []
     for name in names:
