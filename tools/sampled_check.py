@@ -491,6 +491,176 @@ def check_d5_cc(spark, con, sf_dir: str, k_pairs: int, k_anchors: int) -> list[s
     return problems
 
 
+def check_mb1(spark, con, sf_dir: str, k_pairs: int, k_anchors: int) -> list[str]:
+    """mb1_frequent_pairs at oracle-bound SFs: at sf100 the full DuckDB
+    apriori replay (pair self-join over 600M basket-item rows) spilled
+    past the box's disk while the engine finished. Verified instead as:
+
+    1. PRECISION, sampled: lowest-md5 engine pairs get exact support and
+       lift recomputed in DuckDB from a part-restricted basket scan (the
+       item supports and the global basket count are single linear
+       aggregates; the pair count touches only the sampled parts' rows).
+    2. RECALL, complete-per-anchor: for md5-sampled FREQUENT parts,
+       DuckDB recomputes the part's ENTIRE qualifying pair set (its
+       baskets are support(part) rows — replica-local, tiny — so the
+       partner expansion is linear); the engine rows touching those
+       anchors must equal it exactly, supports and lifts included.
+    """
+    problems: list[str] = []
+    import hashlib
+
+    from nba_data_pipeline_spark.plans.mining_plans import (
+        MIN_ITEM_SUPPORT,
+        MIN_PAIR_SUPPORT,
+    )
+    from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS
+
+    qs = entrymod.queries()
+    eng = qs["mb1_frequent_pairs"](spark, sf_dir).toPandas()
+    if not len(eng):
+        return ["engine emitted no pairs"]
+
+    # Every query below restricts lineitem to a bounded part/basket list
+    # BEFORE any distinct or join: the first version of this checker built
+    # the full 600M-row DISTINCT basket-item relation as a CTE and DuckDB
+    # spilled it past the box's disk — the exact failure mode the sampled
+    # oracle exists to avoid. The one full-table pass left is n_orders
+    # (a single COUNT DISTINCT, ~1 GB of hash state).
+    n_orders = con.sql(
+        "SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem"
+    ).fetchone()[0]
+
+    def restricted_sup(parts_csv: str) -> str:
+        return f"""
+sup1 AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS s
+  FROM lineitem WHERE l_partkey IN ({parts_csv}) GROUP BY 1
+)"""
+
+    # --- 1. precision ------------------------------------------------------
+    key = eng.apply(
+        lambda r: hashlib.md5(f"{r.p1}_{r.p2}".encode()).hexdigest(), axis=1
+    )
+    samp = eng.loc[key.sort_values().index[:k_pairs]]
+    parts = sorted(set(samp["p1"]) | set(samp["p2"]))
+    p_list = ",".join(str(p) for p in parts)
+    pair_list = ",".join(f"({r.p1},{r.p2})" for r in samp.itertuples())
+    want = {
+        (int(a), int(b), int(s), float(lift))
+        for a, b, s, lift in con.sql(
+            f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey IN ({p_list})
+),
+{restricted_sup(p_list)}
+            SELECT a.l_partkey, b.l_partkey, CAST(COUNT(*) AS BIGINT) AS support,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) * {n_orders}
+                         / (ANY_VALUE(f1.s) * ANY_VALUE(f2.s)), {ROUND_DIGITS})
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            JOIN sup1 f1 ON f1.l_partkey = a.l_partkey
+            JOIN sup1 f2 ON f2.l_partkey = b.l_partkey
+            WHERE (a.l_partkey, b.l_partkey) IN ({pair_list})
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    got = {
+        (int(r.p1), int(r.p2), int(r.support), float(r.lift))
+        for r in samp.itertuples()
+    }
+    if got - want:
+        problems.append(
+            f"precision: {len(got - want)}/{len(samp)} sampled engine pairs "
+            f"fail the exact recheck (e.g. {sorted(got - want)[:2]})"
+        )
+
+    # --- 2. recall ---------------------------------------------------------
+    # Anchor selection stays unbiased (md5 over ALL part ids, engine not
+    # consulted) but avoids a full sup1: take a generous md5-ordered
+    # window of parts, compute THEIR supports, keep the frequent ones.
+    window = [
+        r[0]
+        for r in con.sql(
+            f"""
+            SELECT DISTINCT l_partkey FROM lineitem
+            ORDER BY md5(CAST(l_partkey AS VARCHAR)), l_partkey
+            LIMIT {20 * k_anchors}
+            """
+        ).fetchall()
+    ]
+    w_list = ",".join(str(p) for p in window)
+    sup_w = dict(
+        con.sql(
+            f"""
+            SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+            FROM lineitem WHERE l_partkey IN ({w_list}) GROUP BY 1
+            """
+        ).fetchall()
+    )
+    anchors = [p for p in window if sup_w.get(p, 0) >= MIN_ITEM_SUPPORT][
+        :k_anchors
+    ]
+    if len(anchors) < k_anchors:
+        problems.append(
+            f"recall: only {len(anchors)} frequent anchors in the "
+            f"{20 * k_anchors}-part md5 window — widen the window"
+        )
+    a_list = ",".join(str(a) for a in anchors)
+    want_pairs = {
+        (int(a), int(b), int(s), float(lift))
+        for a, b, s, lift in con.sql(
+            f"""
+WITH anchor_items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey IN ({a_list})
+),
+partners AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey FROM lineitem l
+  WHERE l.l_orderkey IN (SELECT l_orderkey FROM anchor_items)
+),
+sup1 AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS s
+  FROM lineitem
+  WHERE l_partkey IN (SELECT l_partkey FROM partners)
+  GROUP BY 1
+)
+            -- COUNT(DISTINCT basket): an anchor-anchor pair matches in both
+            -- directions (a=p, b=q and a=q, b=p) and plain COUNT(*) would
+            -- double its support
+            SELECT LEAST(a.l_partkey, b.l_partkey),
+                   GREATEST(a.l_partkey, b.l_partkey),
+                   CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS support,
+                   ROUND(CAST(COUNT(DISTINCT a.l_orderkey) AS DOUBLE)
+                         * {n_orders}
+                         / (ANY_VALUE(f1.s) * ANY_VALUE(f2.s)), {ROUND_DIGITS})
+            FROM anchor_items a JOIN partners b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+            JOIN sup1 f1 ON f1.l_partkey = a.l_partkey
+            JOIN sup1 f2 ON f2.l_partkey = b.l_partkey
+            WHERE f1.s >= {MIN_ITEM_SUPPORT} AND f2.s >= {MIN_ITEM_SUPPORT}
+            GROUP BY 1, 2
+            HAVING COUNT(DISTINCT a.l_orderkey) >= {MIN_PAIR_SUPPORT}
+            """
+        ).fetchall()
+    }
+    a_set = set(anchors)
+    got_anchor = {
+        (int(r.p1), int(r.p2), int(r.support), float(r.lift))
+        for r in eng.itertuples()
+        if int(r.p1) in a_set or int(r.p2) in a_set
+    }
+    if got_anchor != want_pairs:
+        problems.append(
+            f"recall: anchor pair sets differ — engine-only="
+            f"{sorted(got_anchor - want_pairs)[:2]} expected-only="
+            f"{sorted(want_pairs - got_anchor)[:2]} "
+            f"(engine {len(got_anchor)} vs expected {len(want_pairs)})"
+        )
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf", default="sf10")
@@ -510,6 +680,7 @@ def main() -> int:
         ("sim_lsh_neardup_pairs", lambda: check_sim_lsh(spark, con, sf_dir, args.pairs, args.anchors)),
         ("geo1_grid_distance_join", lambda: check_geo1(spark, con, sf_dir, args.pairs, args.anchors)),
         ("d5_cc_clusters_multipart", lambda: check_d5_cc(spark, con, sf_dir, args.pairs, args.anchors)),
+        ("mb1_frequent_pairs", lambda: check_mb1(spark, con, sf_dir, args.pairs, args.anchors)),
     ]
     if args.only:
         entries = [e for e in entries if e[0] == args.only]
