@@ -60,6 +60,14 @@ def seq_cosine(a, b) -> float:
 #: silently OOM-ing the driver, and the error names the scale paths.
 MAX_BLAS_BROADCAST_ROWS = 250_000
 
+#: hard cap on one LSH bucket's cardinality inside
+#: ``cosine_pairs_in_buckets``: the chunked gram matrix bounds MEMORY but
+#: in-bucket candidate decisions (and potentially output) stay |bucket|^2,
+#: so a bucket past this is a mis-sized plane count, not a bigger slab.
+#: 100k rows = ~10^10 decisions per bucket — already hours of one-task
+#: work; raise with the grow-the-plane-count fix instead.
+MAX_LSH_BUCKET_ROWS = 100_000
+
 
 def cosine_pairs_blas(
     df: DataFrame, threshold: float, *, max_rows: int = MAX_BLAS_BROADCAST_ROWS
@@ -159,6 +167,20 @@ def cosine_pairs_in_buckets(df: DataFrame, threshold: float) -> DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame(
                 {"id_a": [], "id_b": [], "bucket": [], "cosine_sim": []}
+            )
+        if len(pdf) > MAX_LSH_BUCKET_ROWS:
+            # MAX_BLAS_BROADCAST_ROWS discipline: candidate DECISIONS per
+            # bucket are |bucket|^2 (the chunked gram bounds memory, not
+            # work or output), so a bucket past this size means the plane
+            # count no longer matches the corpus — the sf100 probe
+            # measured the 4-plane contract putting 125k vectors per
+            # bucket (~10^10 in-bucket decisions) and taking the box down
+            # mid-sort. Raise immediately with the actionable fix instead.
+            raise ValueError(
+                f"LSH bucket {pdf['bucket'].iloc[0]!r} holds {len(pdf)} "
+                f"vectors (> {MAX_LSH_BUCKET_ROWS}): in-bucket pair work "
+                "is quadratic — increase the hyperplane count so bucket "
+                "cardinality stays bounded as the corpus grows"
             )
         m = np.array(pdf["embedding"].to_list(), dtype=np.float64)
         ids = pdf["vec_id"].to_numpy()

@@ -220,3 +220,29 @@ def test_lsh_bucket_fanout_bounded(spark):
     biggest = max(r["count"] for r in counts)
     # expected 64 per bucket; allow generous skew headroom but forbid collapse
     assert biggest <= 4 * 64, f"bucket fan-out collapsed: max={biggest}"
+
+
+def test_bucket_miner_guard_rejects_oversized_buckets(spark):
+    # a bucket past MAX_LSH_BUCKET_ROWS means the plane count is mis-sized
+    # for the corpus (in-bucket work is |bucket|^2 even though the chunked
+    # gram bounds memory) — the miner must raise the actionable error, not
+    # grind through ~10^10 decisions in one task (the sf100 failure mode)
+    import pytest
+
+    from nba_data_pipeline_spark.operators import similarity as sim
+    from nba_data_pipeline_spark.operators.similarity import (
+        cosine_pairs_in_buckets,
+    )
+
+    df = _mk_vectors(spark, 50, 4, seed=11).withColumn(
+        "bucket", F.lit("b0")
+    )
+    # shrink the cap instead of building 100k+ rows: the guard compares
+    # the per-group frame length against the module constant
+    orig = sim.MAX_LSH_BUCKET_ROWS
+    sim.MAX_LSH_BUCKET_ROWS = 10
+    try:
+        with pytest.raises(Exception, match="hyperplane count"):
+            cosine_pairs_in_buckets(df, 0.25).collect()
+    finally:
+        sim.MAX_LSH_BUCKET_ROWS = orig
