@@ -86,6 +86,11 @@ _FRONT: tuple[str, ...] = (
     # --- new r8 (late): Basketball-Reference per-team stats document
     # round-trip (the bref CLI's sink, sinks_ref.write_team_stats_tree) ---
     "snk13_bref_stats_tree",
+    # --- changed r8 (late): cosine_pairs_in_buckets gained the
+    # MAX_LSH_BUCKET_ROWS raise-guard (values unchanged at driver SFs —
+    # buckets are far below the cap — but the operator changed, so its
+    # one catalog consumer re-verifies) ---
+    "sim_lsh_neardup_pairs",
     # --- changed r8: G-family oracles now MATERIALIZE their fact-derived
     # contraction CTEs (DuckDB re-inlined them per consumer; at sf10 g1's
     # unrolled iterations re-ran the 60M-row edge mining to a 66 GB hang).
