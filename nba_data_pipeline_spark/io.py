@@ -48,6 +48,31 @@ def session_tmpdir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT)
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Row count from the parquet FOOTER — a driver-side stats probe, no
+    Spark job. This is what size-adaptive plans (geo1's output-mass pin,
+    running_extreme's small-input cutover) consult before choosing a
+    strategy: on a warehouse it would be catalog statistics; on landed
+    files the footer metadata is the same number for free. Returns None
+    when the path isn't footer-readable (remote FS without pyarrow access)
+    so callers can fall back to a bounded ``df.count()``."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = table_path(sf_dir, name)
+        if os.path.isfile(path):
+            return pq.read_metadata(path).num_rows
+        if os.path.isdir(path):
+            return sum(
+                pq.read_metadata(os.path.join(path, f)).num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+    except Exception:
+        return None
+    return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one landed table. Plain parquet scan → Catalyst gets pushdown +
     pruning for free; callers must select/filter declaratively.

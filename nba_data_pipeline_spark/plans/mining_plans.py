@@ -160,7 +160,15 @@ def sky1_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [
         ("p_retailprice", "asc"), ("p_size", "desc"), ("p_partkey", "asc"),
     ]
-    s = running_extreme(p, order, "p_size", "cm", agg="max")
+    # footer-stats probe feeds the size-adaptive cutover without a count
+    # job: ≤100k parts sweep in one audited task, above that the sampled-
+    # cut bucketed machinery takes over (the sf10+ shape)
+    from nba_data_pipeline_spark.io import table_row_count
+
+    s = running_extreme(
+        p, order, "p_size", "cm", agg="max",
+        known_count=table_row_count(sf_dir, "part"),
+    )
     return (
         s.filter(F.col("cm").isNull() | (F.col("p_size") > F.col("cm")))
         .select("p_partkey", "p_retailprice", "p_size")

@@ -49,13 +49,24 @@ def _envelope(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     payload = [c for c in df.columns if c not in key_cols]
     if order_col not in payload:
         raise ValueError(f"order_col {order_col!r} must be a payload column")
+    # Key columns become partitionBy directory components downstream, where
+    # Spark takes the NAME verbatim — a dotted key would silently diverge
+    # from the quoted groupBy resolution. Reject at the seam.
+    for k in key_cols:
+        if "." in k:
+            raise ValueError(
+                f"key column {k!r} contains '.': partitionBy cannot address "
+                "dotted names — rename the key column before the sink"
+            )
     ordered_first = [order_col, *[c for c in payload if c != order_col]]
     # backtick-quote: payload names may contain '.' (a caller-chosen header
-    # separator), which an unquoted F.col parses as a struct access
+    # separator), which an unquoted F.col parses as a struct access. Key
+    # columns get the same quoting in groupBy (dots are rejected above, but
+    # other specials — spaces, hyphens — still need it).
     def q(c: str) -> str:
         return "`" + c.replace("`", "``") + "`"
 
-    return df.groupBy(*key_cols).agg(
+    return df.groupBy(*[F.col(q(c)) for c in key_cols]).agg(
         F.sort_array(
             F.collect_list(F.struct(*[F.col(q(c)) for c in ordered_first]))
         ).alias("rows")
@@ -71,7 +82,11 @@ def _stage_and_finalize(
     """partitionBy staging write (one envelope row per leaf after the
     repartition → one part file), then the bounded finalize: parse each
     leaf's single JSON line and hand it to ``place(key_values, doc)``."""
-    env.repartition(*key_cols).write.mode("overwrite").partitionBy(
+    # repartition parses string args as expressions — quote like _envelope
+    # (partitionBy takes names verbatim, so it needs no quoting; dotted keys
+    # were already rejected at the _envelope seam)
+    keyq = [F.col("`" + c.replace("`", "``") + "`") for c in key_cols]
+    env.repartition(*keyq).write.mode("overwrite").partitionBy(
         *key_cols
     ).json(staging)
     out: list[str] = []
@@ -268,30 +283,65 @@ def write_team_stats_tree(
     carrying ``team_col`` + ``order_col`` + that table's own columns
     (tables have heterogeneous schemas, so a single unioned frame would
     force a lossy common schema; the per-table grain is the reference's).
+
     Content stays distributed per table (grouped envelope + partitionBy
-    staging); the finalize accumulates O(#teams × #tables) envelope docs
-    and writes one JSON per team. A table with no rows for a team is
+    staging). The finalize touches O(#teams × #tables) FILES but holds at
+    most ONE (team, table) envelope in driver memory at a time: each
+    ``place()`` spills its doc straight to a per-team partial file, and the
+    merge streams one team's partials into its final JSON before moving to
+    the next team — the envelope docs carry fact-grain rows (every
+    customer/supplier row per nation in the SNK13 lane), so accumulating
+    all of them in one dict is exactly the co-resident driver peak the
+    deep-SF sweeps kill boxes with. A table with no rows for a team is
     simply absent from that team's document, like the reference's
     ``continue`` on empty extracts."""
-    acc: dict[str, dict[str, list]] = {}
-    for friendly, df in frames:
+    os.makedirs(base_dir, exist_ok=True)
+    partial_root = os.path.join(base_dir, "_partial_bref")
+    if os.path.isdir(partial_root):
+        shutil.rmtree(partial_root)
+    # sanitized dir -> raw team name (final filename uses the raw name)
+    team_names: dict[str, str] = {}
+    for idx, (friendly, df) in enumerate(frames):
         env = _envelope(df, [team_col], order_col)
         staging = os.path.join(base_dir, "_staging_bref")
 
-        def place(keys: list[str], doc: dict, _friendly=friendly) -> str:
+        def place(keys: list[str], doc: dict, _friendly=friendly, _idx=idx) -> str:
             team = keys[0]
-            acc.setdefault(team, {})[_friendly] = doc["rows"]
+            safe = sanitize_component(team)
+            team_names.setdefault(safe, team)
+            d = os.path.join(partial_root, safe)
+            os.makedirs(d, exist_ok=True)
+            # idx prefix preserves the caller's tables_to_extract walk order
+            part = os.path.join(d, f"{_idx:04d}_{sanitize_component(_friendly)}.json")
+            with open(part, "w", encoding="utf-8") as f:
+                json.dump({"friendly": _friendly, "rows": doc["rows"]}, f)
             return team
 
-        os.makedirs(base_dir, exist_ok=True)
         _stage_and_finalize(env, [team_col], staging, place)
 
     out: list[str] = []
-    for team in sorted(acc):
-        d = os.path.join(base_dir, sanitize_component(team))
+    for safe in sorted(team_names):
+        team = team_names[safe]
+        d = os.path.join(base_dir, safe)
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{team}_{season}_NBA_Stats.json")
+        pdir = os.path.join(partial_root, safe)
+        # stream: one table's partial in memory at a time, written through
         with open(path, "w", encoding="utf-8") as f:
-            json.dump(acc[team], f, indent=2, ensure_ascii=False)
+            f.write("{")
+            for i, part in enumerate(sorted(os.listdir(pdir))):
+                with open(os.path.join(pdir, part), encoding="utf-8") as pf:
+                    payload = json.load(pf)
+                if i:
+                    f.write(",")
+                f.write("\n")
+                body = json.dumps(
+                    payload["rows"], indent=2, ensure_ascii=False
+                )
+                # re-indent the value block to match the top-level document
+                body = body.replace("\n", "\n  ")
+                f.write(f'  {json.dumps(payload["friendly"])}: {body}')
+            f.write("\n}")
         out.append(path)
+    shutil.rmtree(partial_root)
     return out

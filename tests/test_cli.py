@@ -354,15 +354,22 @@ def test_bref_skip_if_exists_then_overwrite(spark, tmp_path):
     out = str(tmp_path / "bref")
     assert main(["bref", "DET", "2026", "--output", out, "--cpus", "4"]) == 0
     path = os.path.join(out, "DET", "DET_2026_NBA_Stats.json")
-    first = os.path.getmtime(path)
+    # ns-resolution stats + an inode/content probe: on filesystems with
+    # coarse mtime granularity a fast rerun can land inside one tick, so
+    # "replaced" is asserted via a sentinel mutation, not mtime ordering
+    first_ns = os.stat(path).st_mtime_ns
+    with open(path, "a", encoding="utf-8") as f:
+        f.write("\n")
+    sentinel_size = os.stat(path).st_size
     # F8: rerun without --overwrite leaves the document untouched
     assert main(["bref", "DET", "2026", "--output", out, "--cpus", "4"]) == 0
-    assert os.path.getmtime(path) == first
-    # --overwrite replaces it
+    assert os.stat(path).st_size == sentinel_size
+    # --overwrite replaces it (sentinel trailing newline rewritten away)
     assert main(
         ["bref", "DET", "2026", "--output", out, "--overwrite", "--cpus", "4"]
     ) == 0
-    assert os.path.getmtime(path) > first
+    assert os.stat(path).st_size != sentinel_size
+    assert os.stat(path).st_mtime_ns >= first_ns
 
 
 def test_bref_header_sep(spark, tmp_path):

@@ -266,19 +266,26 @@ def test_running_extreme_matches_global_window(spark):
     df = spark.createDataFrame(rows, "pk long, price double, size int")
     order = [("price", "asc"), ("size", "desc"), ("pk", "asc")]
     order_exprs = [F.asc("price"), F.desc("size"), F.asc("pk")]
+    # known_count above/below the cutover exercises BOTH the single-task
+    # sweep (small path) and the sampled-cut bucketed machinery (deep path)
     for agg in ("max", "min"):
-        got = running_extreme(
-            df, order, "size", "cm", agg=agg, num_partitions=7
-        )
-        ref = _re_reference(spark, df, order_exprs, "size", agg)
-        merged = got.join(ref.select("pk", "cm_ref"), "pk")
-        bad = merged.filter(
-            ~(
-                (F.col("cm").isNull() & F.col("cm_ref").isNull())
-                | (F.col("cm") == F.col("cm_ref"))
+        for forced_n in (500, 10**9):
+            got = running_extreme(
+                df, order, "size", "cm", agg=agg, num_partitions=7,
+                known_count=forced_n,
             )
-        ).count()
-        assert bad == 0, f"agg={agg}: {bad} rows diverge from the SQL frame"
+            ref = _re_reference(spark, df, order_exprs, "size", agg)
+            merged = got.join(ref.select("pk", "cm_ref"), "pk")
+            bad = merged.filter(
+                ~(
+                    (F.col("cm").isNull() & F.col("cm_ref").isNull())
+                    | (F.col("cm") == F.col("cm_ref"))
+                )
+            ).count()
+            assert bad == 0, (
+                f"agg={agg} known_count={forced_n}: {bad} rows diverge "
+                "from the SQL frame"
+            )
 
 
 def test_running_extreme_degenerate_single_value_order(spark):
@@ -292,7 +299,11 @@ def test_running_extreme_degenerate_single_value_order(spark):
     rows = [(i, 950.0, (i * 37) % 50 + 1) for i in range(400)]
     df = spark.createDataFrame(rows, "pk long, price double, size int")
     order = [("price", "asc"), ("size", "desc"), ("pk", "asc")]
-    got = running_extreme(df, order, "size", "cm", num_partitions=8)
+    # force the bucketed path — the degenerate distribution is exactly what
+    # the sampled cuts must survive
+    got = running_extreme(
+        df, order, "size", "cm", num_partitions=8, known_count=10**9
+    )
     ref = _re_reference(
         spark, df, [F.asc("price"), F.desc("size"), F.asc("pk")], "size", "max"
     )
@@ -325,7 +336,12 @@ def test_running_extreme_no_unpartitioned_window(spark):
     from nba_data_pipeline_spark.operators.totalorder import running_extreme
 
     df = spark.range(100).selectExpr("id AS pk", "id % 7 AS v")
-    got = running_extreme(df, [("v", "asc"), ("pk", "asc")], "v", "cm")
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "windowspecdefinition" in plan  # the windows are really there
-    assert unpartitioned_window_specs(plan) == []
+    # both paths must pass R4: the small path's bounded_window is the
+    # audited constant-keyed spec, the bucketed path partitions by bucket
+    for forced_n in (100, 10**9):
+        got = running_extreme(
+            df, [("v", "asc"), ("pk", "asc")], "v", "cm", known_count=forced_n
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition" in plan  # the windows are really there
+        assert unpartitioned_window_specs(plan) == []

@@ -25,9 +25,11 @@ Standing cadence (the discipline that caught the r6/r7 scale defects):
 from __future__ import annotations
 
 import argparse
+import atexit
 import math
 import os
 import re
+import shutil
 import sys
 import tempfile
 import threading
@@ -105,6 +107,10 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # that ONE entry cleanly) instead of detonating the whole lane.
     duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "40GB")
     tmp = tempfile.mkdtemp(prefix="check_duck_spill_")
+    # an aborted deep-decade run must not strand a multi-GB spill dir in
+    # /tmp: best-effort rmtree at interpreter exit (normal completion leaves
+    # the dir empty anyway — DuckDB cleans its own spill files)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     con.sql(f"SET memory_limit='{duck_mem}'")
     con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:

@@ -16,8 +16,15 @@ cross-replica Jaccard lands ≈0.5, far below the 0.8-class thresholds) and
 rolls+perturbs each embedding (cosine to the original ≈ random), keeping
 within-replica duplicate structure identical to sf0.1.
 
-Usage: python tools/make_sf_scaled.py [K] [out_dir]
-       (defaults: K=10, out_dir=<repo>/sf_scaled/sf1)
+Usage: python tools/make_sf_scaled.py [K] [out_dir] [--tables t1,t2,...]
+       (defaults: K=10, out_dir=<repo>/sf_scaled/sf1, all tables)
+
+--tables tiles a SUBSET (fixed dims region/nation are always written):
+at deep decades the full set outgrows a single box's disk (sf300 ≈ 52 GB
+on a 58 GB-free box), so the scale probes tile phase-wise — the tables a
+probe batch reads, run it, swap in the next batch. Key-offset discipline
+is per-table deterministic, so separately-tiled tables still join with
+exactly the sf0.1 fan-out.
 """
 
 from __future__ import annotations
@@ -44,14 +51,25 @@ def _mutate_text(text: str, k: int) -> str:
     return " ".join(words)
 
 
-def scale(src: str, out_dir: str, K: int) -> None:
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def scale(
+    src: str, out_dir: str, K: int, tables: "list[str] | None" = None
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    want = set(tables or ALL_TABLES)
+    unknown = want - set(ALL_TABLES)
+    if unknown:
+        raise SystemExit(f"unknown tables: {sorted(unknown)}")
     t = {
         name: pq.read_table(os.path.join(src, f"{name}.parquet"))
-        for name in (
-            "region nation customer supplier part orders lineitem events "
-            "documents embeddings"
-        ).split()
+        for name in ALL_TABLES
+        # key-offset bases come from max keys, which need the key COLUMN of
+        # every base table regardless of selection — cheap at sf0.1 source
     }
     base = {
         "cust": int(pc.max(t["customer"]["c_custkey"]).as_py()) + 1,
@@ -63,11 +81,14 @@ def scale(src: str, out_dir: str, K: int) -> None:
         "vec": int(pc.max(t["embeddings"]["vec_id"]).as_py()) + 1,
     }
 
-    # fixed dimensions: straight copies
+    # fixed dimensions: straight copies (always — they're 4 KB each and
+    # every probe's oracle view registration expects all ten files)
     for name in ("region", "nation"):
         pq.write_table(t[name], os.path.join(out_dir, f"{name}.parquet"))
 
     def tile(name: str, shift) -> None:
+        if name not in want:
+            return
         # stream one replica at a time through a ParquetWriter: buffering
         # all K replicas then concat_tables OOMs past K≈300 on the fact
         # tables (K=1000 would hold ~100 GB of lineitem Arrow buffers)
@@ -90,75 +111,94 @@ def scale(src: str, out_dir: str, K: int) -> None:
     )
     tile("events", [("event_id", "event"), ("user_id", "cust")])
 
-    # documents: offset ids + mutate replica text so replicas aren't near-dups
-    docs = t["documents"]
-    texts = docs["text"].to_pylist()
-    with pq.ParquetWriter(
-        os.path.join(out_dir, "documents.parquet"), docs.schema
-    ) as w:
-        for k in range(K):
-            tbl = docs.set_column(
-                docs.schema.get_field_index("doc_id"),
-                "doc_id",
-                _offset(docs["doc_id"], k, base["doc"]),
-            )
-            if k > 0:
-                mutated = [_mutate_text(s, k) for s in texts]
-                tbl = tbl.set_column(
-                    tbl.schema.get_field_index("text"),
-                    "text",
-                    pa.chunked_array([pa.array(mutated, type=docs["text"].type)]),
+    def tile_documents() -> None:
+        # offset ids + mutate replica text so replicas aren't near-dups
+        docs = t["documents"]
+        texts = docs["text"].to_pylist()
+        with pq.ParquetWriter(
+            os.path.join(out_dir, "documents.parquet"), docs.schema
+        ) as w:
+            for k in range(K):
+                tbl = docs.set_column(
+                    docs.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    _offset(docs["doc_id"], k, base["doc"]),
                 )
-                if "n_chars" in tbl.schema.names:
+                if k > 0:
+                    mutated = [_mutate_text(s, k) for s in texts]
                     tbl = tbl.set_column(
-                        tbl.schema.get_field_index("n_chars"),
-                        "n_chars",
+                        tbl.schema.get_field_index("text"),
+                        "text",
                         pa.chunked_array(
-                            [
-                                pa.array(
-                                    [len(s) for s in mutated],
-                                    type=docs["n_chars"].type,
-                                )
-                            ]
+                            [pa.array(mutated, type=docs["text"].type)]
                         ),
                     )
-            w.write_table(tbl)
+                    if "n_chars" in tbl.schema.names:
+                        tbl = tbl.set_column(
+                            tbl.schema.get_field_index("n_chars"),
+                            "n_chars",
+                            pa.chunked_array(
+                                [
+                                    pa.array(
+                                        [len(s) for s in mutated],
+                                        type=docs["n_chars"].type,
+                                    )
+                                ]
+                            ),
+                        )
+                w.write_table(tbl)
 
-    # embeddings: offset ids; replica k rolls each vector by 7k dims and
-    # adds seeded noise — cosine(original, replica) ≈ random, norms kept
-    emb = t["embeddings"]
-    vecs = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
-    dim = vecs.shape[1]
-    with pq.ParquetWriter(
-        os.path.join(out_dir, "embeddings.parquet"), emb.schema
-    ) as w:
-        for k in range(K):
-            tbl = emb.set_column(
-                emb.schema.get_field_index("vec_id"),
-                "vec_id",
-                _offset(emb["vec_id"], k, base["vec"]),
-            )
-            if k > 0:
-                rng = np.random.default_rng(k)
-                v = np.roll(vecs, 7 * k, axis=1) + rng.normal(
-                    0.0, vecs.std() * 0.5, size=vecs.shape
+    def tile_embeddings() -> None:
+        # offset ids; replica k rolls each vector by 7k dims and adds
+        # seeded noise — cosine(original, replica) ≈ random, norms kept
+        emb = t["embeddings"]
+        vecs = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+        with pq.ParquetWriter(
+            os.path.join(out_dir, "embeddings.parquet"), emb.schema
+        ) as w:
+            for k in range(K):
+                tbl = emb.set_column(
+                    emb.schema.get_field_index("vec_id"),
+                    "vec_id",
+                    _offset(emb["vec_id"], k, base["vec"]),
                 )
-                tbl = tbl.set_column(
-                    tbl.schema.get_field_index("embedding"),
-                    "embedding",
-                    pa.chunked_array(
-                        [pa.array(list(v), type=emb["embedding"].type)]
-                    ),
-                )
-            w.write_table(tbl)
-    print(f"wrote {K}x tiling of {src} (dim={dim}) to {out_dir}")
+                if k > 0:
+                    rng = np.random.default_rng(k)
+                    v = np.roll(vecs, 7 * k, axis=1) + rng.normal(
+                        0.0, vecs.std() * 0.5, size=vecs.shape
+                    )
+                    tbl = tbl.set_column(
+                        tbl.schema.get_field_index("embedding"),
+                        "embedding",
+                        pa.chunked_array(
+                            [pa.array(list(v), type=emb["embedding"].type)]
+                        ),
+                    )
+                w.write_table(tbl)
+
+    if "documents" in want:
+        tile_documents()
+    if "embeddings" in want:
+        tile_embeddings()
+    done = sorted(want | {"region", "nation"})
+    print(f"wrote {K}x tiling of {src} to {out_dir}: {', '.join(done)}")
 
 
 if __name__ == "__main__":
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    argv = sys.argv[1:]
+    tables = None
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        tables = [s for s in argv[i + 1].split(",") if s]
+        argv = argv[:i] + argv[i + 2 :]
+    K = int(argv[0]) if len(argv) > 0 else 10
     out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sf_scaled", "sf1")
+        argv[1]
+        if len(argv) > 1
+        else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "sf_scaled",
+            "sf1",
+        )
     )
-    scale(SRC, out, K)
+    scale(SRC, out, K, tables)

@@ -629,12 +629,17 @@ sup1 AS (
             -- COUNT(DISTINCT basket): an anchor-anchor pair matches in both
             -- directions (a=p, b=q and a=q, b=p) and plain COUNT(*) would
             -- double its support
+            -- MIN(f1.s * f2.s), not ANY_VALUE(f1.s)*ANY_VALUE(f2.s): an
+            -- anchor-anchor pair groups rows from BOTH orientations under
+            -- one (LEAST, GREATEST) key, and two independent ANY_VALUEs may
+            -- sample different orientations (s_p*s_p). The product itself is
+            -- orientation-invariant, so MIN over it is exact.
             SELECT LEAST(a.l_partkey, b.l_partkey),
                    GREATEST(a.l_partkey, b.l_partkey),
                    CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS support,
                    ROUND(CAST(COUNT(DISTINCT a.l_orderkey) AS DOUBLE)
                          * {n_orders}
-                         / (ANY_VALUE(f1.s) * ANY_VALUE(f2.s)), {ROUND_DIGITS})
+                         / MIN(f1.s * f2.s), {ROUND_DIGITS})
             FROM anchor_items a JOIN partners b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
             JOIN sup1 f1 ON f1.l_partkey = a.l_partkey
