@@ -953,6 +953,112 @@ def ud13_prop_line_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the 30 NBA team abbreviations the lineup fixture draws from — all exactly
+#: three uppercase letters so the reference's favorite regex ([A-Z]{3})
+#: matches (lineup_scraper.py:69).
+_NBA_ABBRS = (
+    "ATL BOS BKN CHA CHI CLE DAL DEN DET GSW HOU IND LAC LAL MEM MIA MIL "
+    "MIN NOP NYK OKC ORL PHI PHX POR SAC SAS TOR UTA WAS"
+).split()
+
+_ABBR_SQL = "[" + ", ".join(f"'{a}'" for a in _NBA_ABBRS) + "]"
+
+
+@query(
+    "ud3_lineup_parse",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderkey AS game_key,
+         list_extract({_ABBR_SQL}, CAST(o_orderkey % 30 AS INT) + 1) AS team_a,
+         list_extract({_ABBR_SQL},
+             CAST(((o_orderkey % 30) + 1 + (o_orderkey % 29)) % 30 AS INT) + 1
+         ) AS team_b,
+         CAST(6 + o_orderkey % 6 AS VARCHAR) || ':30 PM ET' AS game_time,
+         CAST(1 + o_orderkey % 10 AS DOUBLE) + 0.5 AS spread,
+         CAST(210 + o_orderkey % 40 AS DOUBLE) + 0.5 AS over_under
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+pos AS (
+  SELECT UNNEST(['PG', 'SG', 'SF', 'PF', 'C']) AS pos,
+         UNNEST([0, 1, 2, 3, 4]) AS pos_idx
+),
+sides AS (SELECT UNNEST([0, 1]) AS s)
+SELECT g.game_key,
+       g.team_a || ' @ ' || g.team_b AS game,
+       g.game_time,
+       g.team_a AS favorite,
+       g.spread,
+       g.over_under,
+       CASE sides.s WHEN 0 THEN 'away' ELSE 'home' END AS side,
+       CASE sides.s WHEN 0 THEN g.team_a ELSE g.team_b END AS team,
+       pos.pos, pos.pos_idx,
+       'P' || pos.pos || ' '
+           || (CASE sides.s WHEN 0 THEN g.team_a ELSE g.team_b END) AS player
+FROM g CROSS JOIN pos CROSS JOIN sides
+ORDER BY game_key, pos_idx, side
+""",
+)
+def ud3_lineup_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD3: the lineup-table parse (lineup_scraper.py:31-114) as a
+    SQL-callable UDTF over game-table text blobs — one blob per game in,
+    game header + 2 teams × 5 position rows out.
+
+    Fixture: one deterministic game table per sampled order key (matchup
+    from the 30-team abbreviation ring, tip-off time, the reference's
+    betting line ``XXX by <spread>, o/u <total>``, a ``|``-led team row
+    with the away ``@ `` marker, and five ``POS|playerA|playerB`` rows
+    whose player cells carry doubled spaces so the whitespace collapse at
+    :104-106 is actually exercised). The oracle recomputes every emitted
+    field directly from the key arithmetic, so the parse must be the exact
+    inverse of the construction — favorite/spread via the :69 regex, o/u
+    via :70, team-row cleanup via :85, position gating via :108.
+
+    Scale shape: identical to ud13 — the blob table repartitions to the
+    session's parallelism BEFORE the lateral so the Python UDTF stage (the
+    expensive one) fans out, and each eval() owns one whole blob, so the
+    reference's in-table cursor order needs no global ordering."""
+    from nba_data_pipeline_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    k = F.col("o_orderkey")
+    abbrs = F.array(*[F.lit(a) for a in _NBA_ABBRS])
+    team_a = F.element_at(abbrs, ((k % 30) + 1).cast("int"))
+    team_b = F.element_at(
+        abbrs, ((((k % 30) + 1 + (k % 29)) % 30) + 1).cast("int")
+    )
+    pos_rows = [
+        F.concat(
+            F.lit(p), F.lit("|P"), F.lit(p), F.lit("  "), team_a,
+            F.lit("|P"), F.lit(p), F.lit("  "), team_b,
+        )
+        for p in ("PG", "SG", "SF", "PF", "C")
+    ]
+    blob = F.concat_ws(
+        "\n",
+        F.concat(team_a, F.lit(" @ "), team_b),
+        F.concat((6 + k % 6).cast("string"), F.lit(":30 PM ET")),
+        F.concat(
+            team_a, F.lit(" by "), (1 + k % 10).cast("string"), F.lit(".5"),
+            F.lit(", o/u "), (210 + k % 40).cast("string"), F.lit(".5"),
+        ),
+        F.concat(F.lit("| "), team_a, F.lit(" | @ "), team_b),
+        *pos_rows,
+    )
+    o.withColumn("blob", blob).createOrReplaceTempView("__lineup_blobs")
+    return spark.sql(
+        "SELECT b.o_orderkey AS game_key, p.game, p.game_time, p.favorite, "
+        "p.spread, p.over_under, p.side, p.team, p.pos, p.pos_idx, p.player "
+        "FROM __lineup_blobs b, LATERAL lineup_table_walker(b.blob) p "
+        "ORDER BY game_key, p.pos_idx, p.side"
+    )
+
+
 @query(
     "ta_vocab_topk",
     oracle=f"""
