@@ -1007,6 +1007,191 @@ def cmd_bref(args: argparse.Namespace) -> int:
 
 
 # ---------------------------------------------------------------------------
+# dvp
+# ---------------------------------------------------------------------------
+
+
+def _dvp_cell_html(pos: str, tf: str) -> str:
+    """Deterministic replay page for one (position, timeframe) DvP cell:
+    the bettingpros-shaped table (DEFENSEVSPOSTION.PY:71) with 30 team rows
+    whose names are DIRTY in the reference's ways — trailing records
+    '(14-15)', alias abbreviations, mascot-bearing full names, and the
+    ambiguous 'Los Angeles' twice (disambiguated only by row order). Stats
+    are numeric-looking STRINGS, like the reference keeps them (:126-152)."""
+    from nba_data_pipeline_spark.operators.dvp import (
+        DVP_ABBREVS,
+        DVP_CANONICAL_TEAMS,
+        DVP_FULL_NAMES,
+        DVP_POSITIONS,
+        DVP_TIMEFRAMES,
+    )
+
+    pi = DVP_POSITIONS.index(pos)
+    ti = DVP_TIMEFRAMES.index(tf)
+    hdr = (
+        "<tr>" + "".join(
+            f"<th>{h}</th>"
+            for h in ("Team", "PTS", "REB", "AST", "3PM", "STL", "BLK", "TO")
+        ) + "</tr>"
+    )
+    rows = []
+    for i, canon in enumerate(DVP_CANONICAL_TEAMS):
+        if canon in ("LA Lakers", "LA Clippers"):
+            # the ambiguity the ordinal rule exists for (:177-184); one of
+            # the two also carries a record paren so both cleanups compose
+            raw = "Los Angeles" if canon == "LA Lakers" else "Los Angeles (22-10)"
+        else:
+            variant = (i + pi + ti) % 4
+            raw = (
+                canon.upper(),
+                f"{canon} (14-{i % 20})",
+                DVP_ABBREVS[i],
+                DVP_FULL_NAMES[i],
+            )[variant]
+        s = [
+            f"{(i * 7 + pi * 3 + ti) % 40}.{i % 10}",   # PTS
+            f"{(i * 5 + ti) % 20}.{(i + pi) % 10}",     # REB
+            f"{(i * 3 + pi) % 15}.{ti % 10}",           # AST
+            f"{(i + pi + ti) % 8}.{i % 10}",            # 3PM
+            f"{(i + ti) % 4}.{pi % 10}",                # STL
+            f"{(i + pi) % 5}.{ti % 10}",                # BLK
+            f"{(i * 2 + ti) % 18}.{pi % 10}",           # TO
+        ]
+        rows.append(
+            f"<tr><td>{raw}</td>" + "".join(f"<td>{v}</td>" for v in s) + "</tr>"
+        )
+    return (
+        f"<html><body><h1>Defense vs Position {pos} {tf}</h1>"
+        f"<table id='dvp'>{hdr}{''.join(rows)}</table></body></html>"
+    )
+
+
+def cmd_dvp(args: argparse.Namespace) -> int:
+    """The DvP scraper's end-to-end front door (DEFENSEVSPOSTION.PY:601-674):
+    walk the 5×4 position/timeframe matrix through the browser adapter with
+    the reference's retry≤N + backoff + reload loop, land each cell's
+    rendered page, scan with the htmltable DataSource, canonicalize team
+    names (X11 alias dim + the W1 ordinal LA rule), run the all-or-nothing
+    30-team/20-cell gate (S5), and write the single combined nested
+    document (:544-572). Nothing lands on a gate failure."""
+    from nba_data_pipeline_spark.adapters.browser_ingest import (
+        ScriptedSession,
+        land_pages,
+    )
+    from nba_data_pipeline_spark.io import session_tmpdir
+    from nba_data_pipeline_spark.operators.dvp import (
+        DVP_POSITIONS,
+        DVP_TIMEFRAMES,
+        dvp_alias_df,
+        dvp_matrix_walk,
+        validate_dvp_rows,
+    )
+    from nba_data_pipeline_spark.operators.enrich import canonicalize_teams
+    from nba_data_pipeline_spark.session import get_spark
+    from nba_data_pipeline_spark.sinks_ref import write_dvp_matrix_doc
+    from nba_data_pipeline_spark.sources.html_datasource import register
+
+    base_url = "https://dvp.example/defense-vs-position"
+    pages = {
+        f"{base_url}#{p}-{t.replace(' ', '_')}": _dvp_cell_html(p, t)
+        for p in DVP_POSITIONS
+        for t in DVP_TIMEFRAMES
+    }
+    session = ScriptedSession(pages)
+
+    spark = get_spark("cli-dvp", cpus=int(args.cpus))
+
+    # 1. WALK + LAND: the sequential 5×4 matrix with retry/backoff (:633-661)
+    land_dir = session_tmpdir("cli_dvp_")
+    landed = land_pages(
+        (
+            (f"dvp_{pos}_{tf.replace(' ', '_')}", html)
+            for pos, tf, html in dvp_matrix_walk(
+                session,
+                base_url,
+                max_retries=int(args.max_retries),
+                timeout_s=2.0,
+                poll_s=0.02,
+                stable_s=0.05,
+            )
+        ),
+        land_dir,
+    )
+    print(f"Landed {len(landed)} matrix cells")
+
+    # 2. SCAN: htmltable DataSource; (position, timeframe) from the path
+    register(spark)
+    raw = (
+        spark.read.format("htmltable")
+        .load(land_dir)
+        .select(
+            F.regexp_extract("path", r"dvp_([A-Z]+)_", 1).alias("position"),
+            F.regexp_replace(
+                F.regexp_extract("path", r"dvp_[A-Z]+_(.+)\.html", 1), "_", " "
+            ).alias("timeframe"),
+            "row_idx",
+            F.from_json("headers", "array<string>").alias("hdr"),
+            F.from_json("cells", "array<string>").alias("cells"),
+        )
+        .select(
+            "position", "timeframe", "row_idx",
+            *[
+                F.col("cells").getItem(i).alias(h)
+                for i, h in enumerate(
+                    ("team_raw", "PTS", "REB", "AST", "3PM", "STL", "BLK", "TO")
+                )
+            ],
+        )
+    )
+
+    # 3. CANONICALIZE: X11 + the ordinal LA rule, counter reset per cell
+    canon = canonicalize_teams(
+        raw,
+        dvp_alias_df(spark),
+        team_col="team_raw",
+        position_col=["position", "timeframe"],
+        row_idx_col="row_idx",
+        la_first="LA Lakers",
+        la_second="LA Clippers",
+    ).persist()
+
+    try:
+        # 4. GATE: all-or-nothing (:524-541, :575-598)
+        validate_dvp_rows(canon)
+
+        # 5. SINK: the single combined nested document (:544-572)
+        doc_rows = canon.select(
+            F.col("team").alias("Team"),
+            F.col("position").alias("Position"),
+            F.col("timeframe").alias("Timeframe"),
+            "PTS", "REB", "AST", "3PM", "STL", "BLK", "TO",
+            "row_idx",
+        )
+        path = write_dvp_matrix_doc(
+            doc_rows,
+            args.output,
+            metadata={
+                "source": "bettingpros.com",
+                "url": base_url,
+                "scraped_at": args.scraped_at or time.strftime("%Y-%m-%dT%H:%M:%S"),
+            },
+            position_col="Position",
+            timeframe_col="Timeframe",
+            order_col="row_idx",
+        )
+    finally:
+        canon.unpersist()
+    n = 30 * len(DVP_POSITIONS) * len(DVP_TIMEFRAMES)
+    print(
+        f"Saved {n} total records across {len(DVP_POSITIONS)} positions "
+        f"and {len(DVP_TIMEFRAMES)} timeframes to {os.path.basename(path)}"
+    )
+    print(f"All {len(DVP_POSITIONS)} positions and {len(DVP_TIMEFRAMES)} "
+          f"timeframes scraped successfully.")
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # argparse wiring
 # ---------------------------------------------------------------------------
 
@@ -1107,6 +1292,22 @@ def build_parser() -> argparse.ArgumentParser:
     br.add_argument("--output", type=str, required=True)
     br.add_argument("--cpus", type=int, default=8)
     br.set_defaults(fn=cmd_bref)
+
+    dv = sub.add_parser(
+        "dvp",
+        help="walk the 5x4 defense-vs-position matrix with retry/backoff, "
+        "canonicalize teams, gate all-or-nothing, write the combined "
+        "nested JSON document",
+    )
+    dv.add_argument("--output", type=str, required=True)
+    dv.add_argument("--max-retries", type=int, default=4,
+                    help="attempts per matrix cell before hard failure "
+                    "(the reference call site passes 4)")
+    dv.add_argument("--scraped-at", type=str, default=None,
+                    help="metadata timestamp override (default: now; pass "
+                    "a fixed value for deterministic reruns)")
+    dv.add_argument("--cpus", type=int, default=8)
+    dv.set_defaults(fn=cmd_dvp)
     return p
 
 

@@ -712,3 +712,202 @@ def snk13_bref_stats_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("team")
     )
+
+
+# ---------------------------------------------------------------------------
+# SNK14: DvP combined nested document round-trip
+# (sinks_ref.write_dvp_matrix_doc — the dvp CLI's sink)
+# ---------------------------------------------------------------------------
+
+_SNK14_CACHE: dict[str, str] = {}
+
+_DVP_CANON_SQL = None  # built lazily from operators.dvp
+
+
+def _snk14_doc(spark: SparkSession, sf_dir: str) -> str:
+    """Build the DIRTY DvP matrix from customer-bucket aggregates, run the
+    full pipeline (X11 canonicalization + W1 LA rule → S5 all-or-nothing
+    gate → the combined nested document sink), and return the doc path."""
+    if sf_dir in _SNK14_CACHE:
+        return _SNK14_CACHE[sf_dir]
+    from nba_data_pipeline_spark.operators.dvp import (
+        DVP_ABBREVS,
+        DVP_CANONICAL_TEAMS,
+        DVP_FULL_NAMES,
+        DVP_POSITIONS,
+        DVP_TIMEFRAMES,
+        dvp_alias_df,
+        validate_dvp_rows,
+    )
+    from nba_data_pipeline_spark.operators.enrich import canonicalize_teams
+    from nba_data_pipeline_spark.sinks_ref import write_dvp_matrix_doc
+
+    b = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy((F.col("c_custkey") % 30).alias("bi"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_custkey").alias("mn"),
+            (F.sum("c_custkey") % 100000).alias("sm"),
+        )
+    )
+    pos = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(DVP_POSITIONS)], "position string, pi int"
+    )
+    tf = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(DVP_TIMEFRAMES)], "timeframe string, ti int"
+    )
+    canon_arr = F.array(*[F.lit(c) for c in DVP_CANONICAL_TEAMS])
+    city_paren = F.concat(
+        F.element_at(canon_arr, (F.col("bi") + 1).cast("int")),
+        F.lit(" (14-"), (F.col("bi") % 20).cast("string"), F.lit(")"),
+    )
+    abbr_arr = F.array(*[F.lit(a) for a in DVP_ABBREVS])
+    full_arr = F.array(*[F.lit(n) for n in DVP_FULL_NAMES])
+    variant = (F.col("bi") + F.col("pi") + F.col("ti")) % 4
+    la_first = DVP_CANONICAL_TEAMS.index("LA Lakers")
+    la_second = DVP_CANONICAL_TEAMS.index("LA Clippers")
+    team_raw = (
+        F.when(F.col("bi") == la_first, F.lit("Los Angeles"))
+        .when(F.col("bi") == la_second, F.lit("Los Angeles (22-10)"))
+        .when(variant == 0, F.upper(F.element_at(canon_arr, (F.col("bi") + 1).cast("int"))))
+        .when(variant == 1, city_paren)
+        .when(variant == 2, F.element_at(abbr_arr, (F.col("bi") + 1).cast("int")))
+        .otherwise(F.element_at(full_arr, (F.col("bi") + 1).cast("int")))
+    )
+    raw = (
+        b.crossJoin(F.broadcast(pos))
+        .crossJoin(F.broadcast(tf))
+        .select(
+            "position", "timeframe",
+            F.col("bi").alias("row_idx"),
+            team_raw.alias("team_raw"),
+            (F.col("n") + F.col("pi")).cast("string").alias("PTS"),
+            ((F.col("mn") + F.col("ti")) % 1000).cast("string").alias("REB"),
+            ((F.col("sm") + F.col("pi") * F.col("ti")) % 100000)
+            .cast("string").alias("AST"),
+            ((F.col("n") + F.col("ti")) % 50).cast("string").alias("3PM"),
+            ((F.col("mn") + F.col("pi")) % 97).cast("string").alias("STL"),
+            ((F.col("sm") + F.col("ti")) % 89).cast("string").alias("BLK"),
+            ((F.col("n") + F.col("pi") + F.col("ti")) % 23)
+            .cast("string").alias("TO"),
+        )
+    )
+    canon = canonicalize_teams(
+        raw,
+        dvp_alias_df(spark),
+        team_col="team_raw",
+        position_col=["position", "timeframe"],
+        row_idx_col="row_idx",
+        la_first="LA Lakers",
+        la_second="LA Clippers",
+    ).persist()
+    try:
+        validate_dvp_rows(canon)
+        root = session_tmpdir("snk14_")
+        write_dvp_matrix_doc(
+            canon.select(
+                F.col("team").alias("Team"),
+                F.col("position").alias("Position"),
+                F.col("timeframe").alias("Timeframe"),
+                "PTS", "REB", "AST", "3PM", "STL", "BLK", "TO",
+                "row_idx",
+            ),
+            root,
+            metadata={
+                "source": "bettingpros.com",
+                "url": "https://dvp.example/defense-vs-position",
+                "scraped_at": "2026-01-01T00:00:00",
+            },
+        )
+    finally:
+        canon.unpersist()
+    _SNK14_CACHE[sf_dir] = root
+    return root
+
+
+def _snk14_oracle_sql() -> str:
+    from nba_data_pipeline_spark.operators.dvp import (
+        DVP_CANONICAL_TEAMS,
+        DVP_POSITIONS,
+        DVP_TIMEFRAMES,
+    )
+
+    canon_sql = "[" + ", ".join(f"'{c}'" for c in DVP_CANONICAL_TEAMS) + "]"
+    pos_sql = ", ".join(f"'{p}'" for p in DVP_POSITIONS)
+    pi_sql = ", ".join(str(i) for i in range(len(DVP_POSITIONS)))
+    tf_sql = ", ".join(f"'{t}'" for t in DVP_TIMEFRAMES)
+    ti_sql = ", ".join(str(i) for i in range(len(DVP_TIMEFRAMES)))
+    return f"""
+WITH b AS (
+  SELECT c_custkey % 30 AS bi, COUNT(*) AS n, MIN(c_custkey) AS mn,
+         SUM(c_custkey) % 100000 AS sm
+  FROM customer GROUP BY 1
+),
+pos AS (SELECT UNNEST([{pos_sql}]) AS position, UNNEST([{pi_sql}]) AS pi),
+tf AS (SELECT UNNEST([{tf_sql}]) AS timeframe, UNNEST([{ti_sql}]) AS ti)
+SELECT pos.position, tf.timeframe,
+       list_extract({canon_sql}, CAST(bi AS INT) + 1) AS team,
+       CAST(n + pi AS VARCHAR) AS pts,
+       CAST((mn + ti) % 1000 AS VARCHAR) AS reb,
+       CAST((sm + pi * ti) % 100000 AS VARCHAR) AS ast,
+       CAST((n + ti) % 50 AS VARCHAR) AS three_pm,
+       CAST((mn + pi) % 97 AS VARCHAR) AS stl,
+       CAST((sm + ti) % 89 AS VARCHAR) AS blk,
+       CAST((n + pi + ti) % 23 AS VARCHAR) AS to_stat
+FROM b CROSS JOIN pos CROSS JOIN tf
+ORDER BY position, timeframe, team
+"""
+
+
+@query("snk14_dvp_matrix_tree", oracle=_snk14_oracle_sql())
+def snk14_dvp_matrix_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK14: the DvP combined nested document
+    (``defense_vs_position_all.json`` with ``{metadata, data:{position:
+    {timeframe:[rows]}}}``, DEFENSEVSPOSTION.PY:544-572) — the ``dvp``
+    CLI's full pipeline proven end to end: a DIRTY 30-team × 5-position ×
+    4-timeframe matrix (record parens, alias abbreviations, mascot names,
+    and 'Los Angeles' twice per cell) built from customer-bucket
+    aggregates, canonicalized (X11 + the W1 ordinal LA rule), gated
+    all-or-nothing (S5, :524-541), landed as the single nested document,
+    and READ BACK — the oracle computes every cell's canonical team and
+    stat strings directly from the same key arithmetic, so alias
+    resolution, LA ordering, the gate, and the envelope round-trip must
+    all be exact for the hash to match.
+
+    Scale shape: the matrix is dimension grain (600 rows) but its stat
+    values aggregate the full customer table, so the distributed stages
+    scale with the fact table while the document finalize stays O(20
+    leaves)."""
+    from nba_data_pipeline_spark.operators.dvp import (
+        DVP_POSITIONS,
+        DVP_TIMEFRAMES,
+    )
+
+    root = _snk14_doc(spark, sf_dir)
+    doc = spark.read.option("multiLine", "true").json(
+        os.path.join(root, "defense_vs_position_all.json")
+    )
+    cells = []
+    for p in DVP_POSITIONS:
+        for t in DVP_TIMEFRAMES:
+            cells.append(
+                doc.select(
+                    F.explode(F.col(f"data.{p}.`{t}`")).alias("r")
+                ).select(
+                    F.col("r.Position").alias("position"),
+                    F.col("r.Timeframe").alias("timeframe"),
+                    F.col("r.Team").alias("team"),
+                    F.col("r.PTS").alias("pts"),
+                    F.col("r.REB").alias("reb"),
+                    F.col("r.AST").alias("ast"),
+                    F.col("r.`3PM`").alias("three_pm"),
+                    F.col("r.STL").alias("stl"),
+                    F.col("r.BLK").alias("blk"),
+                    F.col("r.TO").alias("to_stat"),
+                )
+            )
+    from functools import reduce
+
+    out = reduce(lambda a, b: a.unionByName(b), cells)
+    return out.orderBy("position", "timeframe", "team")

@@ -264,6 +264,77 @@ def write_insights_tree(
     return _stage_and_finalize(env, [key], staging, place)
 
 
+def write_dvp_matrix_doc(
+    df: DataFrame,
+    base_dir: str,
+    *,
+    metadata: dict,
+    position_col: str = "Position",
+    timeframe_col: str = "Timeframe",
+    order_col: str = "row_idx",
+    filename: str = "defense_vs_position_all.json",
+) -> str:
+    """Land the DvP combined document (DEFENSEVSPOSTION.PY:544-572): ONE
+    ``<base_dir>/defense_vs_position_all.json`` with the reference's nested
+    envelope ``{"metadata": {...}, "data": {position: {timeframe: [row,
+    ...]}}}``. Row order inside each cell is pinned by ``order_col`` (the
+    ingestion row index — the reference's DOM order) and the order column
+    is then dropped so rows carry exactly the reference's keys.
+
+    Content path stays distributed (grouped envelope + partitionBy
+    staging); the finalize assembles 5 positions × 4 timeframes leaf docs
+    — dimension grain, each leaf 30 team rows — before one driver-side
+    ``json.dump``. ``metadata`` is caller-stamped (the reference stamps
+    ``datetime.now()``; a parameter keeps reruns deterministic) and is
+    completed with the positions/timeframes actually landed."""
+    # group on COPIES of the cell keys so every row keeps its own
+    # Position/Timeframe fields, like the reference's to_json_obj rows
+    # (DEFENSEVSPOSTION.PY:142-152)
+    work = df.withColumn("__pos", F.col(position_col)).withColumn(
+        "__tf", F.col(timeframe_col)
+    )
+    env = _envelope(work, ["__pos", "__tf"], order_col)
+    staging = os.path.join(base_dir, "_staging_dvp")
+    data: dict[str, dict[str, list]] = {}
+
+    def place(keys: list[str], doc: dict) -> str:
+        pos, tf = keys
+        rows = [
+            {k: v for k, v in r.items() if k != order_col} for r in doc["rows"]
+        ]
+        data.setdefault(pos, {})[tf] = rows
+        return f"{pos}/{tf}"
+
+    os.makedirs(base_dir, exist_ok=True)
+    _stage_and_finalize(env, ["__pos", "__tf"], staging, place)
+    # key order inside the document follows the reference's walk order
+    # (POSITIONS then TIMEFRAMES, DEFENSEVSPOSTION.PY:64-66), not sort order
+    from nba_data_pipeline_spark.operators.dvp import (
+        DVP_POSITIONS,
+        DVP_TIMEFRAMES,
+    )
+
+    seen_tfs = {tf for cell in data.values() for tf in cell}
+    positions = [p for p in DVP_POSITIONS if p in data] or sorted(data)
+    timeframes = [t for t in DVP_TIMEFRAMES if t in seen_tfs] or sorted(seen_tfs)
+    out = {
+        "metadata": {
+            **metadata,
+            "positions": positions,
+            "timeframes": timeframes,
+            "total_teams": 30,
+        },
+        "data": {
+            p: {t: data[p][t] for t in timeframes if t in data[p]}
+            for p in positions
+        },
+    }
+    path = os.path.join(base_dir, filename)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(out, f, ensure_ascii=False, indent=2)
+    return path
+
+
 def write_team_stats_tree(
     frames: "list[tuple[str, DataFrame]]",
     base_dir: str,

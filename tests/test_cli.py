@@ -380,3 +380,156 @@ def test_bref_header_sep(spark, tmp_path):
     doc = json.load(open(os.path.join(out, "DET", "DET_2026_NBA_Stats.json")))
     # whitespace in raw headers joins with the chosen separator
     assert "Birth.Date" in doc["Roster"][0]
+
+
+# ---------------------------------------------------------------------------
+# dvp — the DEFENSEVSPOSTION.PY front door (5x4 matrix walk, retry/backoff,
+# all-or-nothing gate, combined nested document)
+# ---------------------------------------------------------------------------
+
+
+def test_dvp_golden_tree(spark, tmp_path):
+    out = str(tmp_path / "dvp")
+    rc = main([
+        "dvp", "--output", out,
+        "--scraped-at", "2026-08-16T00:00:00", "--cpus", "4",
+    ])
+    assert rc == 0
+    doc = json.load(open(os.path.join(out, "defense_vs_position_all.json")))
+    # reference envelope (DEFENSEVSPOSTION.PY:544-572)
+    assert doc["metadata"]["source"] == "bettingpros.com"
+    assert doc["metadata"]["scraped_at"] == "2026-08-16T00:00:00"
+    assert doc["metadata"]["positions"] == ["PG", "SG", "SF", "PF", "C"]
+    assert doc["metadata"]["timeframes"] == [
+        "2025-26", "Last 7", "Last 15", "Last 30"
+    ]
+    assert doc["metadata"]["total_teams"] == 30
+    assert list(doc["data"].keys()) == ["PG", "SG", "SF", "PF", "C"]
+    total = 0
+    for pos, cells in doc["data"].items():
+        assert list(cells.keys()) == ["2025-26", "Last 7", "Last 15", "Last 30"]
+        for tf, rows in cells.items():
+            assert len(rows) == 30
+            total += len(rows)
+            teams = [r["Team"] for r in rows]
+            assert len(set(teams)) == 30
+            # the ordinal LA rule: first DOM 'Los Angeles' -> Lakers
+            assert teams.index("LA Lakers") < teams.index("LA Clippers")
+            # reference row keys, in to_json_obj order (:142-152)
+            assert list(rows[0].keys()) == [
+                "Team", "Position", "Timeframe",
+                "PTS", "REB", "AST", "3PM", "STL", "BLK", "TO",
+            ]
+            assert all(
+                r["Position"] == pos and r["Timeframe"] == tf for r in rows
+            )
+            # stats stay strings, like the reference keeps them (:126-152)
+            assert all(isinstance(r["PTS"], str) for r in rows)
+    assert total == 600
+
+
+def test_dvp_matrix_walk_retries_then_succeeds():
+    """The per-cell retry loop (DEFENSEVSPOSTION.PY:633-661): a cell whose
+    first attempt never readies is retried with backoff and succeeds when
+    the page finally renders; a permanently-bad cell raises after
+    max_retries."""
+    from nba_data_pipeline_spark.adapters.browser_ingest import ScriptedSession
+    from nba_data_pipeline_spark.operators.dvp import dvp_matrix_walk
+
+    hdr = "<tr>" + "".join(
+        f"<th>{h}</th>"
+        for h in ("Team", "PTS", "REB", "AST", "3PM", "STL", "BLK", "TO")
+    ) + "</tr>"
+    good = (
+        f"<table>{hdr}<tr><td>Atlanta</td>"
+        + "<td>1</td>" * 7 + "</tr></table>"
+    )
+    bad = "<html><body>loading...</body></html>"
+
+    class FakeClock:
+        def __init__(self):
+            self.t = 0.0
+
+        def __call__(self):
+            return self.t
+
+        def sleep(self, dt):
+            self.t += dt
+
+    url = "https://dvp.example/x#PG-Last_7"
+    clock = FakeClock()
+    session = ScriptedSession({url: [bad] * 6 + [good]})
+    sleeps: list[float] = []
+
+    def sleep(dt):
+        sleeps.append(dt)
+        clock.sleep(dt)
+
+    got = list(
+        dvp_matrix_walk(
+            session, "https://dvp.example/x",
+            positions=("PG",), timeframes=("Last 7",),
+            max_retries=4, timeout_s=1.0, poll_s=0.2, stable_s=0.6,
+            clock=clock, sleep=sleep,
+        )
+    )
+    assert [(p, t) for p, t, _ in got] == [("PG", "Last 7")]
+    assert "Atlanta" in got[0][2]
+    # attempt 1 timed out, so exactly one 0.6s backoff fired (:652-655)
+    assert 0.6 in sleeps
+
+    # permanently bad -> RuntimeError naming the cell, after max_retries
+    clock2 = FakeClock()
+    session2 = ScriptedSession({url: bad})
+    with pytest.raises(RuntimeError, match="PG - Last 7 after 2"):
+        list(
+            dvp_matrix_walk(
+                session2, "https://dvp.example/x",
+                positions=("PG",), timeframes=("Last 7",),
+                max_retries=2, timeout_s=1.0, poll_s=0.2, stable_s=0.6,
+                clock=clock2, sleep=clock2.sleep,
+            )
+        )
+
+
+def test_validate_dvp_rows_gate(spark):
+    """All-or-nothing (DEFENSEVSPOSTION.PY:524-541): a cell missing one
+    team, a missing cell, or an unresolved name each hard-fail."""
+    from nba_data_pipeline_spark.operators.dvp import (
+        DVP_CANONICAL_TEAMS,
+        validate_dvp_rows,
+    )
+    from nba_data_pipeline_spark.operators.gates import CompletenessError
+
+    full = [
+        (p, t, team)
+        for p in ("PG", "SG", "SF", "PF", "C")
+        for t in ("2025-26", "Last 7", "Last 15", "Last 30")
+        for team in DVP_CANONICAL_TEAMS
+    ]
+    ok_df = spark.createDataFrame(
+        full, "position string, timeframe string, team string"
+    )
+    validate_dvp_rows(ok_df)  # passes
+
+    missing_team = spark.createDataFrame(
+        [r for r in full if r != ("PG", "Last 7", "Utah")],
+        "position string, timeframe string, team string",
+    )
+    with pytest.raises(CompletenessError, match="teams per cell"):
+        validate_dvp_rows(missing_team)
+
+    missing_cell = spark.createDataFrame(
+        [r for r in full if (r[0], r[1]) != ("C", "Last 30")],
+        "position string, timeframe string, team string",
+    )
+    with pytest.raises(CompletenessError):
+        validate_dvp_rows(missing_cell)
+
+    unresolved = spark.createDataFrame(
+        [("PG", "Last 7", "SEATTLE") if r == ("PG", "Last 7", "Utah") else r
+         for r in full],
+        "position string, timeframe string, team string",
+    )
+    with pytest.raises(CompletenessError, match="unrecognized"):
+        validate_dvp_rows(unresolved)

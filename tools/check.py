@@ -113,10 +113,21 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     con.sql(f"SET memory_limit='{duck_mem}'")
     con.sql(f"SET temp_directory='{tmp}'")
+    # Deep-decade tilings are built PHASE-WISE (the full sf300 set outgrows
+    # one box's disk — see tools/make_sf_scaled.py --tables): register the
+    # tables that exist; an entry that reads a missing one fails with the
+    # usual missing-view error instead of blocking the whole connection.
+    missing = []
     for t in TABLES:
-        con.sql(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            con.sql(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        else:
+            missing.append(t)
+    if missing:
+        print(f"# note: tables absent in {sf_dir}: {', '.join(missing)}")
     return con
 
 
