@@ -392,6 +392,55 @@ def cmd_props(args: argparse.Namespace) -> int:
 
 
 # ---------------------------------------------------------------------------
+# prompts (hardrock_scraper.py:453-506)
+# ---------------------------------------------------------------------------
+
+
+def cmd_prompts(args: argparse.Namespace) -> int:
+    """The Hard Rock LLM-prompt lane's front door: the props extraction
+    lane (same frames as ``props``) grouped per matchup, each document
+    landed as the reference's ``format_for_llm`` envelope — metadata block,
+    machine-readable data, and the per-type analysis prompt
+    (hardrock_scraper.py:453-506) — in the per-matchup tree (SNK2). Prompt
+    generation is distributed (UD4): the template + JSON payload concat
+    runs on the grouped envelope, one row per (matchup, type) leaf."""
+    from nba_data_pipeline_spark.session import get_spark
+    from nba_data_pipeline_spark.sinks_ref import write_prompt_tree
+
+    spark = get_spark("cli-prompts", cpus=int(args.cpus))
+    date_str = resolve_date_str(spark, args.date)
+    ts = args.run_ts or time.strftime("%Y%m%d_%H%M%S")
+    print(f"LLM analysis prompts for {date_str} ({args.prop_type})")
+
+    player, game = _props_frames(spark, args.sf_dir, date_str)
+    # the reference's data["type"] values (:469, :489)
+    frames: list[tuple[str, DataFrame]] = []
+    if args.prop_type in ("player", "both"):
+        frames.append(("player_props", player))
+    if args.prop_type in ("game", "both"):
+        frames.append(("game_odds", game))
+
+    landed: list[str] = []
+    for prop_type, df in frames:
+        landed.extend(
+            write_prompt_tree(
+                df.withColumn("prop_type", F.lit(prop_type)),
+                args.output,
+                date_str=date_str,
+                timestamp=ts,
+                matchup_col="matchup",
+                proptype_col="prop_type",
+                order_col="row_idx",
+                url="https://app.hardrock.bet/nba",
+            )
+        )
+    for p in landed:
+        print(f"Saved to: {p}")
+    print(f"{len(landed)} prompt document(s) under {args.output}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # export (ctg_export_league.py:608-660)
 # ---------------------------------------------------------------------------
 
@@ -1308,6 +1357,22 @@ def build_parser() -> argparse.ArgumentParser:
                     "a fixed value for deterministic reruns)")
     dv.add_argument("--cpus", type=int, default=8)
     dv.set_defaults(fn=cmd_dvp)
+
+    pm = sub.add_parser(
+        "prompts",
+        help="land per-matchup LLM-analysis documents: props data + "
+        "metadata + generated analysis prompt (the Hard Rock lane)",
+    )
+    pm.add_argument("--date", type=str, default="today",
+                    help="today/tomorrow/YYYY-MM-DD (X16 resolution)")
+    pm.add_argument("--prop-type", choices=("player", "game", "both"),
+                    default="both")
+    pm.add_argument("--run-ts", type=str, default=None,
+                    help="timestamp override for deterministic reruns")
+    pm.add_argument("--output", type=str, required=True)
+    pm.add_argument("--sf-dir", type=str, default=DEFAULT_SF_DIR)
+    pm.add_argument("--cpus", type=int, default=8)
+    pm.set_defaults(fn=cmd_prompts)
     return p
 
 

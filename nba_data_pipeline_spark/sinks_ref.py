@@ -264,6 +264,94 @@ def write_insights_tree(
     return _stage_and_finalize(env, [key], staging, place)
 
 
+def write_prompt_tree(
+    df: DataFrame,
+    base_dir: str,
+    *,
+    date_str: str,
+    timestamp: str,
+    matchup_col: str = "matchup",
+    proptype_col: str = "prop_type",
+    order_col: str = "row_idx",
+    source: str = "Hard Rock Bet",
+    url: str | None = None,
+) -> list[str]:
+    """Land the Hard Rock LLM-analysis tree (UD4 + SNK2;
+    hardrock_scraper.py:453-506): the per-matchup folder layout of
+    :func:`write_matchup_tree` but each document is the ``format_for_llm``
+    envelope — ``{"metadata": {...}, "data": {...}, "analysis_prompt":
+    "..."}`` with the per-type analysis prompt generated DISTRIBUTED:
+    the prompt column is a concat over the grouped envelope (template head
+    keyed by prop type + the data payload as JSON), so at scale prompt
+    construction is executor work, one row per (matchup, type) leaf.
+
+    ``timestamp`` is injected (the reference stamps ``datetime.now()``;
+    :468) so reruns are deterministic. Returns the landed file paths."""
+    env = _envelope(df, [matchup_col, proptype_col], order_col)
+    is_player = F.col(proptype_col).startswith("player")
+    data_json = F.to_json(
+        F.struct(
+            F.col(proptype_col).alias("type"),
+            F.col(matchup_col).alias("match"),
+            F.col("rows"),
+        )
+    )
+    prompt = F.concat(
+        F.lit("Analyze the following "),
+        F.when(is_player, F.lit("player props")).otherwise(F.lit("game odds")),
+        F.lit(" data for "),
+        F.col(matchup_col),
+        F.lit(":\n\nThis data contains "),
+        F.when(
+            is_player, F.lit("player proposition bets")
+        ).otherwise(F.lit("game-level betting markets")),
+        F.lit(f" scraped from {source}.\n"),
+        F.when(
+            is_player,
+            F.lit(
+                "For each player, identify the statistical category, the "
+                "betting line, the odds for over and under, and any "
+                "notable value bets.\n"
+            ),
+        ).otherwise(
+            F.lit(
+                "Identify moneyline odds, the point spread, the total, "
+                "and any alternate lines or special markets.\n"
+            )
+        ),
+        F.lit("\nData:\n"),
+        data_json,
+    )
+    env = env.withColumn("analysis_prompt", prompt)
+    staging = os.path.join(base_dir, "_staging_prompts")
+
+    def place(keys: list[str], doc: dict) -> str:
+        matchup, prop_type = keys
+        folder = f"{date_str}_{sanitize_component(matchup)}"
+        d = os.path.join(base_dir, folder)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{prop_type}_{timestamp}.json")
+        envelope = {
+            "metadata": {
+                "source": source,
+                "scraped_at": timestamp,
+                "match": matchup,
+                "url": url,
+            },
+            "data": {
+                "type": prop_type,
+                "match": matchup,
+                "rows": doc["rows"],
+            },
+            "analysis_prompt": doc["analysis_prompt"],
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(envelope, f, indent=2, ensure_ascii=False)
+        return path
+
+    return _stage_and_finalize(env, [matchup_col, proptype_col], staging, place)
+
+
 def write_dvp_matrix_doc(
     df: DataFrame,
     base_dir: str,

@@ -533,3 +533,58 @@ def test_validate_dvp_rows_gate(spark):
     )
     with pytest.raises(CompletenessError, match="unrecognized"):
         validate_dvp_rows(unresolved)
+
+
+# ---------------------------------------------------------------------------
+# prompts — the Hard Rock LLM-analysis lane (hardrock_scraper.py:453-506)
+# ---------------------------------------------------------------------------
+
+
+def test_prompts_golden_tree(spark, tmp_path):
+    out = str(tmp_path / "prompts")
+    rc = main([
+        "prompts", "--date", "2026-02-01", "--prop-type", "both",
+        "--output", out, "--run-ts", "20260201_120000",
+    ])
+    assert rc == 0
+    rels = _relpaths(out)
+    assert len(rels) == 60  # 30 matchups x {player_props, game_odds}
+    sample = os.path.join(
+        "2026-02-01_BKN at DET", "player_props_20260201_120000.json"
+    )
+    assert sample in rels
+    doc = json.load(open(os.path.join(out, sample)))
+    # format_for_llm envelope (:455-466)
+    assert list(doc.keys()) == ["metadata", "data", "analysis_prompt"]
+    assert doc["metadata"]["source"] == "Hard Rock Bet"
+    assert doc["metadata"]["match"] == "BKN at DET"
+    assert doc["metadata"]["scraped_at"] == "20260201_120000"
+    assert doc["data"]["type"] == "player_props"
+    assert doc["data"]["rows"], "data payload must carry the prop rows"
+    # the per-type prompt (:468-505): player template + embedded data JSON
+    p = doc["analysis_prompt"]
+    assert p.startswith("Analyze the following player props data for BKN at DET")
+    assert "player proposition bets" in p
+    assert "Data:\n{" in p
+    # the embedded JSON is the machine-readable data payload itself
+    embedded = json.loads(p.split("Data:\n", 1)[1])
+    assert embedded["type"] == "player_props"
+    assert len(embedded["rows"]) == len(doc["data"]["rows"])
+    game = json.load(
+        open(os.path.join(out, "2026-02-01_BKN at DET",
+                          "game_odds_20260201_120000.json"))
+    )
+    assert "game-level betting markets" in game["analysis_prompt"]
+    assert game["data"]["type"] == "game_odds"
+
+
+def test_prompts_player_only(spark, tmp_path):
+    out = str(tmp_path / "prompts_p")
+    rc = main([
+        "prompts", "--date", "2026-02-01", "--prop-type", "player",
+        "--output", out, "--run-ts", "20260201_120000",
+    ])
+    assert rc == 0
+    rels = _relpaths(out)
+    assert len(rels) == 30
+    assert all(os.path.basename(p).startswith("player_props_") for p in rels)
