@@ -27,6 +27,18 @@ whichever family the next run's noise lands on.
 
 New queries absent from the budget file are reported (so --rebase gets run)
 but are not failures; removed queries are dropped on the next --rebase.
+
+Round-9 addition — the FROZEN floor ledger (``bench_floor.json``): budgets
+are rebased every round (max-of-two), so the 1.5x gate only tracks
+round-over-round drift — a query could decay 1.4x every round forever
+without a breach. The floor file records each query's BEST-EVER accepted
+timing and is only ever lowered (``--update-floor`` merges
+min(current, floor)); the audit WARNS (not fails) when a timing exceeds
+``FLOOR_DRIFT``x its floor, surfacing cumulative decay that per-round
+rebasing masks. Floor warnings demand a look, not an automatic revert —
+a deliberate scale-correctness trade (e.g. sky1's r8 rewrite) legitimately
+raises small-SF cost; after accepting one, refresh that query's floor by
+hand or let it stand as a documented trade.
 """
 
 from __future__ import annotations
@@ -38,9 +50,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench_full.json")
 BUDGET = os.path.join(REPO, "bench_budget.json")
+FLOOR = os.path.join(REPO, "bench_floor.json")
 
 HEADROOM = 1.5
 FLOOR_SEC = 0.5
+#: warn when a timing exceeds this multiple of its best-ever floor
+FLOOR_DRIFT = 2.0
 
 
 def main() -> int:
@@ -50,6 +65,27 @@ def main() -> int:
         k: v for k, v in bench["queries"].items() if v >= 0
     }
     failed_queries = [k for k, v in bench["queries"].items() if v < 0]
+
+    floors: dict[str, float] = {}
+    if os.path.exists(FLOOR):
+        with open(FLOOR) as f:
+            floors = json.load(f)
+
+    if "--update-floor" in sys.argv:
+        merged = {
+            k: round(min(v, floors.get(k, v)), 3) for k, v in timings.items()
+        }
+        lowered = sum(1 for k in merged if merged[k] < floors.get(k, float("inf")))
+        new_q = len(set(merged) - set(floors))
+        floors.update(merged)
+        with open(FLOOR, "w") as f:
+            json.dump(dict(sorted(floors.items())), f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(
+            f"benchaudit: floor ledger updated ({lowered} lowered, "
+            f"{new_q} new) into {FLOOR}"
+        )
+        return 0
 
     if "--rebase" in sys.argv:
         budgets = {
@@ -77,10 +113,25 @@ def main() -> int:
         print(f"note: {name} has no budget yet (run --rebase to add)")
     for name in failed_queries:
         print(f"BREACH  {name}: bench run FAILED (-1)")
+    # floor drift: cumulative decay the per-round budget rebase can't see.
+    # Warnings, not failures — see the module docstring.
+    drifted = {
+        k: (t, floors[k])
+        for k, t in timings.items()
+        if k in floors and t > max(floors[k] * FLOOR_DRIFT, FLOOR_SEC)
+    }
+    for name, (t, fl) in sorted(drifted.items(), key=lambda kv: -kv[1][0]):
+        print(
+            f"WARN    {name}: {t:.2f}s > {FLOOR_DRIFT}x best-ever floor "
+            f"{fl:.2f}s (cumulative drift — investigate or accept+refresh)"
+        )
+    unfloored = sorted(set(timings) - set(floors))
     ok = not breaches and not failed_queries
     print(
         f"benchaudit: {len(timings) - len(breaches)}/{len(timings)} within budget"
         + (f", {len(new)} unbudgeted" if new else "")
+        + (f", {len(drifted)} floor-drift warning(s)" if drifted else "")
+        + (f", {len(unfloored)} unfloored" if unfloored else "")
     )
     return 0 if ok else 1
 
