@@ -54,177 +54,77 @@ def query(name: str, oracle: str | None = None):
 # Everything else — driver-green in r1/r2 and semantically unchanged — sits
 # after the prefix and stays covered by tools/check.py locally.
 _FRONT: tuple[str, ...] = (
-    # ROUND-8 ROTATION. Head: entries whose implementation changed this
-    # round, per the standing policy (any changed entry re-verifies on the
-    # driver signal next round).
-    # --- changed r8: sky1 rewired onto totalorder.running_extreme after
-    # the sf10 sweep showed the $100-band prefilter never pruned (the
-    # fixture's whole price range is one band) ---
-    "sky1_pareto_frontier",
-    # --- changed r8: w14's pair expansion moved from user_id-equi +
-    # x-range filter (Sum n^2 intermediate on both engines; the oracle
-    # spilled >70 GB at sf10) to an offset equi-join bounded at 21 rows
-    # per anchor by the join key ---
-    "w14_theil_sen_slope",
-    # --- changed r8: a34's sliding window moved from a day-spine theta
-    # join (BroadcastNestedLoopJoin, |days|x|grid| comparisons) to the
-    # offset-explode + broadcast semi-join form ---
-    "a34_sliding_distinct",
-    # --- changed r8: geo1's grid join pins its shuffle partition count
-    # (AQE coalesced the small pre-join shuffle to ~4 partitions whose
-    # JOIN OUTPUT was 2.5e9 candidate pairs — hour-long stragglers at
-    # sf10; now 17s for 7.8e8 output pairs) ---
-    "geo1_grid_distance_join",
-    # --- changed r8: d9's verify join adapts broadcast->shuffle past
-    # 600k docsets (the sf30 probe measured the driver OOMing while
-    # building the 1.5M-doc broadcast the docstring used to only
-    # predict) ---
-    "d9_prefix_filter_join",
-    # --- new r8: by-team insights-tree round-trip (the insights CLI's
-    # sink, sinks_ref.write_insights_tree) ---
-    "snk12_insights_tree",
-    # --- new r8 (late): Basketball-Reference per-team stats document
-    # round-trip (the bref CLI's sink, sinks_ref.write_team_stats_tree) ---
-    "snk13_bref_stats_tree",
-    # --- changed r8 (late): cosine_pairs_in_buckets gained the
-    # MAX_LSH_BUCKET_ROWS raise-guard (values unchanged at driver SFs —
-    # buckets are far below the cap — but the operator changed, so its
-    # one catalog consumer re-verifies) ---
-    "sim_lsh_neardup_pairs",
-    # --- changed r8: G-family oracles now MATERIALIZE their fact-derived
-    # contraction CTEs (DuckDB re-inlined them per consumer; at sf10 g1's
-    # unrolled iterations re-ran the 60M-row edge mining to a 66 GB hang).
-    # Engine plans untouched; the driver compare runs the oracle, so the
-    # whole family re-verifies. ---
-    "g1_pagerank_trade",
-    "g4_weighted_sssp",
-    "g5_kcore_peel",
-    "g2_triangle_count",
-    "g3_bfs_levels",
-    "g6_degree_assortativity",
-    "g7_clustering_coefficient",
-    "g8_hits_hubs_authorities",
-    "g9_adamic_adar_links",
-    # ROUND-7 ROTATION (shifted). Head: src_browser_tabwalk — the ONLY
-    # catalog entry never driver-checked at the time (added late-r6;
-    # local-green), pinned first per VERDICT r6 item 1 so CORRECTNESS_r07
-    # took driver-verification debt to zero.
-    "src_browser_tabwalk",
-    # --- changed r7: s11 store read is now a single-path partition-
-    # discovery load (VERDICT r6 item 2) ---
-    "s11_stream_incremental_minhash",
-    # --- new r7: reference-literal layout tree round-trip (VERDICT r6
-    # item 6; sinks_ref.py, also the CLI's sink) ---
-    "snk11_reference_layout_tree",
-    # --- changed r7: ts6 join keys renamed (trivially-true predicate fix,
-    # VERDICT r6 item 3) and sky1's guarded candidate sliver (persist+count
-    # before the phase-2 sweep; ADVICE r6 item 2) ---
-    "ts6_linear_interp",
-    # sky1 already sits in the r6 prefix below and re-verifies there.
-    # ROUND-6 ROTATION (shifted). Head: entries whose implementation CHANGED that
-    # round (the R4 unpartitioned-window migration onto
-    # operators/totalorder.total_order / bounded_window, VERDICT r5 item 1;
-    # mi1's 1e-9-BIGINT hash fix, item 2) plus the new SRC3 by-id entry
-    # (item 3) — all need (re-)verification on the driver signal even where
-    # r1–r5 checked the old plan. Tail: the r5-deferred never-driver-checked
-    # queue, verbatim (item 4); its four members that changed this round
-    # (a38, a39, g8, ts10) are pulled into the head instead.
-    # --- changed r6: mi1 hash fix (head of prefix per VERDICT item 2) ---
-    "mi1_mutual_information",
-    # --- new r6: SRC3 table-by-id oracle entry (VERDICT item 3) ---
-    "src_html_by_id",
-    # --- new r6: X13/X16/X20 batched oracle entry (VERDICT item 8) ---
-    "x_sanitize_dates",
-    # --- changed r6: R4 migration (VERDICT item 1) ---
-    "flagship_hitrate_last10",
-    "a43_rfm_segmentation",
-    "a41_ks_test",
-    "ta_dsir_importance",
-    "ta_bm25_search",
-    "ta_kneser_ney_bigram",
-    "a20_cms_heavy_hitters",
-    "a25_kmv_set_ops",
-    "lo4_skew_profiler",
-    "ts10_kaplan_meier",
-    "a8_status_rollup",
-    # --- changed r6: histogram-assisted exact-median selection (the 30×
-    # ladder exposed the whole-fact '(all)' window partition). a33's r6
-    # change was a value-identical bounded_window declaration
-    # (driver-r5-green values, plan-fingerprinted) — it yields its slot. ---
-    "a26_histogram_quantile_rollup",
-    "a38_runs_test",
-    "a39_chi_square_independence",
-    # --- changed r6: decimal(38,0) Σ(i·w) overflow fix (value-affecting:
-    # the gini division operands changed type). dq4's r6 change was a
-    # value-identical bounded_window declaration (driver-r2-green values,
-    # plan-fingerprinted), so it yields its slot to a29. ---
-    "a29_gini_concentration",
-    "sky1_pareto_frontier",
-    "g1_pagerank_trade",
-    "g4_weighted_sssp",
-    "g8_hits_hubs_authorities",
-    # --- changed r6: g7 wedge-volume cap (VERDICT item 6) ---
-    "g7_clustering_coefficient",
-    # --- changed r6: fixed-size pair samples (the 30× ladder exposed the
-    # r5 proportional sample as quadratic). ntile_from_rank's divisor
-    # guard is NOT given a slot: it is value-identical by construction,
-    # property-tested against F.ntile in tests/test_totalorder.py, and
-    # a43 above re-verifies both its callers' semantics on the driver. ---
-    "sim_alignment_uniformity",
-    # --- r5-deferred queue, original order (minus the four pulled up) ---
-    "dq10_mad_outliers",
-    "a35_topn_plus_others",
-    "a36_abc_classification",
-    "u5_snapshot_diff_report",
-    "ta_nb_train_classify",
-    "snk10_dynamic_partition_overwrite",
-    "g5_kcore_peel",
-    "ts7_autocorrelation",
-    "ts8_cusum_changepoint",
-    "g6_degree_assortativity",
-    # geo1 + ts11 (below) also CHANGED late in r6 — geo1's half-plane
-    # candidate halving and ts11's DECIMAL(38,0) area2 overflow fix (both
-    # caught by the 30x ladder); they were already queue members, so the
-    # prefix re-verifies the new plans without costing extra slots.
-    # Late-r6 persist fixes (sibling-aggregate recompute, BENCH_sf1.md):
-    # kn/bm25/a20/nb/keyword are prefix members and get re-verified; the
-    # five value-identical-by-construction ones outside the prefix
-    # (sparse_cosine, novelty, tfidf, perplexity — pure .persist() or
-    # exact df/vocab derivations — and d12's xxhash64 contraction) yield
-    # their slots per the a33/dq4 precedent: all ten are local-green on
-    # tools/check.py after the change, and evicting never-driver-checked
-    # queue members would reopen VERDICT r5 item 4.
-    "geo1_grid_distance_join",
-    "mb2_sequential_patterns",
-    "w15_rolling_median",
-    "ta_keyword_extract",
-    "mm_image_phash",
-    "src_binaryfile_roundtrip",
-    "ta_readability_forcast",
-    "a40_welch_ttest",
-    "mm_audio_silence",
-    "ta_zipf_fit",
-    "ts9_seasonal_strength",
-    "geo2_density_smooth",
-    "g9_adamic_adar_links",
-    "ts11_lttb_downsample",
-    "sql_q5_local_supplier_volume",
-    "sql_q18_large_volume_customer",
-    # R6 DEFERRED: src_browser_tabwalk only (added late-r6 with the
-    # browser-ingestion adapter seam; local-green on tools/check.py).
-    # Every other catalog entry is driver-checked in some r1–r6 round once
-    # CORRECTNESS_r06 lands this prefix. r7's rotation should lead with
-    # src_browser_tabwalk plus whatever r7 changes or adds.
+    # ROUND-9 ROTATION. Standing policy: head = entries whose
+    # implementation changed or that are new this round (they need
+    # (re-)verification on the driver signal), then the prefix fills with
+    # the entries whose last driver check is OLDEST (here: r1/r2-only),
+    # so verification debt ages out instead of accumulating. Everything
+    # else is driver-green in a later round and semantically unchanged —
+    # covered locally by tools/check.py full sweeps at sf0.01 and sf1.
     #
-    # Late-r6 sf1 oracle-sweep fixes, all value-identical at driver scale
-    # (the a33/dq4 precedent, no slots consumed): dq6's checksum now
-    # accumulates DECIMAL(38,0) mod 2^63 (equal to the old BIGINT sum
-    # everywhere below 2^63 — i.e. at every driver-checked sf); sql_dsum/
-    # sql_davg and five inline oracle casts route decimal->double through
-    # VARCHAR (equal wherever DuckDB's direct cast was correctly rounded,
-    # which includes every previously-green cell); ta_greedy_set_cover's
-    # oracle CTEs are MATERIALIZED (plan-only). All re-verified green by a
-    # full local sweep at sf0.01 AND sf1.
+    # --- new r9: the dvp CLI's combined nested-document pipeline
+    # (X11 + W1 LA rule + S5 gate + the SNK4 envelope, end to end) ---
+    "snk14_dvp_matrix_tree",
+    # --- new r9: the lineup-table UDTF walk (UD3, lineup_scraper.py:31-114) ---
+    "ud3_lineup_parse",
+    # --- changed r9: running_extreme gained the size-adaptive single-task
+    # cutover (sky1 is its one catalog consumer) ---
+    "sky1_pareto_frontier",
+    # --- changed r9: geo1's partition pin is now derived from a footer-
+    # stats probe instead of a static value ---
+    "geo1_grid_distance_join",
+    # --- changed r9: write_team_stats_tree streams per-(team, table)
+    # partials instead of accumulating every envelope in driver memory ---
+    "snk13_bref_stats_tree",
+    # --- r9: the prompts CLI reuses this operator for its distributed
+    # prompt generation — re-pin it with the new consumer ---
+    "ud4_llm_prompt",
+    # --- oldest driver checks (r1) ---
+    "a11_onoff_split",
+    "a12_pricing_summary",
+    "a13_cube_order_mix",
+    "a13_rollup_revenue",
+    "a1_group_collect",
+    "a2_group_fanout_manifest",
+    "a3_count_metadata",
+    "a5_completeness_counts",
+    "a6_market_buckets",
+    "a7_argmax_order",
+    "a9_rolling_averages",
+    "a_pivot_matrix",
+    "d1_first_wins_dedup",
+    "d2_prefix_dedup",
+    "d3_full_row_distinct",
+    "d4_content_hash_dedup",
+    "d5_simhash_signatures",
+    "f2_keyword_length",
+    "f3_pattern_exclusion",
+    "f5_name_shape",
+    "f6_token_list_validate",
+    "f7_min_content",
+    "f8_skip_if_exists",
+    "j1_dim_enrichment",
+    "j3_anti_join_missing",
+    "j4_containment_match",
+    "j6_customer_revenue_topk",
+    "j7_asof_latest_event",
+    "j8_semi_join_selection",
+    "j9_time_range_join",
+    "n_normalize_pipeline",
+    "sim_topk_bruteforce",
+    "u1_union_dedupe",
+    "u2_multistrategy_union",
+    "u3_except_missing",
+    "u4_intersect_common",
+    "ud5_grouped_normalize",
+    # --- oldest driver checks (r2) ---
+    "a14_approx_distinct",
+    "a15_approx_percentile_bounded",
+    "a4_sum_group_sizes",
+    "d5_embedding_cosine_neardup",
+    "d5_ngram_jaccard_topk",
+    "d6_semdedup_prune",
+    "d8_crossdoc_ngram_coverage",
 )
 
 
