@@ -113,27 +113,42 @@ _NUM_CENTROIDS = 8
 
 @query(
     "sim_ivf_batch_topk",
+    # Oracle plan note (r9, value-identical rewrite): the original CTE
+    # carried the 64-dim DOUBLE[] payload THROUGH the per-vector assignment
+    # window — at the 3000x tiling that is ~48M array-laden rows into one
+    # window sort, which blew DuckDB past its memory cap into a 22 GB spill
+    # cascade (the d9-defect-9 class, but oracle-side). The window now sorts
+    # only skinny (vec_id, cid, s) rows; arrays join back AFTER assignment.
+    # best is MATERIALIZED (referenced twice; the r8 G-family lesson).
     oracle=f"""
-WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_NUM_CENTROIDS}),
-assigned AS (
-  SELECT vec_id, label, e, cid FROM (
-    SELECT a.vec_id, a.label, a.e, c.cid,
-           ROW_NUMBER() OVER (
-             PARTITION BY a.vec_id
-             ORDER BY list_dot_product(a.e, c.ce) /
-                      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce)))
-                      DESC, c.cid
-           ) AS rn
-    FROM v a, cent c
+sims AS (
+  SELECT a.vec_id, c.cid,
+         list_dot_product(a.e, c.ce) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce))) AS s
+  FROM v a, cent c
+),
+best AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sims
   ) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS qid, cid AS qcid, e AS qe FROM assigned WHERE vec_id < 100),
+q AS (
+  SELECT b.vec_id AS qid, b.cid AS qcid, v.e AS qe
+  FROM best b JOIN v ON v.vec_id = b.vec_id
+  WHERE b.vec_id < 100
+),
 scored AS (
-  SELECT q.qid, a.vec_id AS neighbor_id,
-         list_dot_product(q.qe, a.e) /
-         (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(a.e, a.e))) AS cosine_sim
-  FROM q JOIN assigned a ON a.cid = q.qcid AND a.vec_id <> q.qid
+  SELECT q.qid, m.vec_id AS neighbor_id,
+         list_dot_product(q.qe, v.e) /
+         (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e)))
+         AS cosine_sim
+  FROM q
+  JOIN best m ON m.cid = q.qcid AND m.vec_id <> q.qid
+  JOIN v ON v.vec_id = m.vec_id
 )
 SELECT qid, neighbor_id, cosine_sim, rnk FROM (
   SELECT qid, neighbor_id, cosine_sim,

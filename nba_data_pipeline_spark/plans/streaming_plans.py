@@ -983,8 +983,8 @@ def _land_with_sentinel(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     flushed deterministically before the availableNow drain terminates.
     This is the land-a-heartbeat pattern for closing event-time windows on
     a bounded replay of an unbounded stream."""
+    import os as _os
     import shutil
-    import time as _time
 
     from nba_data_pipeline_spark.io import table_path
 
@@ -993,6 +993,10 @@ def _land_with_sentinel(spark: SparkSession, sf_dir: str, prefix: str) -> str:
         land_dir = session_tmpdir(f"{prefix}_landing_")
         src = table_path(sf_dir, "events")
         shutil.copy(src, f"{land_dir}/arrival_1.parquet")
+        # batch order is pinned by EXPLICIT mtimes (the s11 pattern), not
+        # wall-clock sleeps — the old sleep(1.05) per sentinel put a fixed
+        # 2.1 s on every first drain of this landing
+        _os.utime(f"{land_dir}/arrival_1.parquet", (1_700_000_000, 1_700_000_000))
         base = spark.read.parquet(f"{land_dir}/arrival_1.parquet")
         ts_type = dict(base.dtypes).get("ts")
         for i, days in ((2, 30), (3, 60)):
@@ -1016,8 +1020,9 @@ def _land_with_sentinel(spark: SparkSession, sf_dir: str, prefix: str) -> str:
             scratch = session_tmpdir(f"{prefix}_sent{i}_")
             sent.coalesce(1).write.mode("overwrite").parquet(scratch)
             part = _glob.glob(f"{scratch}/part-*.parquet")[0]
-            _time.sleep(1.05)  # distinct mtimes -> stable batch order
-            shutil.move(part, f"{land_dir}/sentinel_{i}.parquet")
+            dst = f"{land_dir}/sentinel_{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         _LANDING_CACHE[key] = land_dir
     return _LANDING_CACHE[key]
 

@@ -109,8 +109,14 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     tmp = tempfile.mkdtemp(prefix="check_duck_spill_")
     # an aborted deep-decade run must not strand a multi-GB spill dir in
     # /tmp: best-effort rmtree at interpreter exit (normal completion leaves
-    # the dir empty anyway — DuckDB cleans its own spill files)
+    # the dir empty anyway — DuckDB cleans its own spill files). atexit does
+    # NOT run on SIGTERM (how `timeout` kills a runaway entry — the r9
+    # sim_ivf sf300 kill stranded 22 GB), so route TERM through sys.exit.
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    import signal
+
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     con.sql(f"SET memory_limit='{duck_mem}'")
     con.sql(f"SET temp_directory='{tmp}'")
     # Deep-decade tilings are built PHASE-WISE (the full sf300 set outgrows
