@@ -666,6 +666,98 @@ sup1 AS (
     return problems
 
 
+def check_flagship(spark, con, sf_dir: str, k_supps: int) -> list[str]:
+    """flagship_hitrate_last10 joins the sampled-oracle set at sf300: the
+    full DuckDB oracle sorts the whole lineitem⋈orders stream through one
+    window (~90 GB spill at 1.8 B rows — past the box, the defect-10
+    class). Sampled form, exact in both directions:
+
+    * structure — exactly one output row per supplier with ≥1 lineitem
+      (count parity both ways);
+    * global rank — hit_rank is a total order (DESC hit_rate, ASC
+      suppkey), so re-sorting the ENGINE's own output must reproduce
+      1..N exactly (every rank value checked, driver-side);
+    * sampled values — K md5-chosen suppliers' rolling_avg_qty /
+      hit_rate / s_name recomputed EXACTLY by DuckDB from raw
+      lineitem⋈orders restricted to those suppliers (predicate pushdown
+      keeps it linear in K·rows-per-supplier). The rank column is covered
+      by (2) once the sampled hit_rates are proven, because rank is a
+      pure function of the hit_rate ordering."""
+    problems: list[str] = []
+    qs = entrymod.queries()
+    eng = qs["flagship_hitrate_last10"](spark, sf_dir).toPandas()
+
+    n_supp = con.sql(
+        "SELECT COUNT(DISTINCT l_suppkey) FROM lineitem"
+    ).fetchone()[0]
+    if len(eng) != n_supp:
+        problems.append(
+            f"row count: engine={len(eng)} expected(suppliers w/ items)={n_supp}"
+        )
+    if eng["s_suppkey"].nunique() != len(eng):
+        problems.append("duplicate suppliers in engine output")
+
+    srt = eng.sort_values(
+        ["hit_rate", "s_suppkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    bad_rank = (srt["hit_rank"] != srt.index + 1).sum()
+    if bad_rank:
+        problems.append(
+            f"rank: {bad_rank}/{len(srt)} rows disagree with the total order "
+            "recomputed from the engine's own hit_rates"
+        )
+
+    ids = [
+        r[0]
+        for r in con.sql(
+            f"""
+            SELECT s_suppkey FROM supplier
+            ORDER BY md5(CAST(s_suppkey AS VARCHAR)), s_suppkey
+            LIMIT {k_supps}
+            """
+        ).fetchall()
+    ]
+    id_list = ",".join(str(i) for i in ids)
+    cols = ["s_suppkey", "s_name", "rolling_avg_qty", "hit_rate"]
+    want = _duck_to_set(
+        con.sql(
+            f"""
+WITH li AS (
+  SELECT l.l_suppkey, CAST(l.l_quantity AS DECIMAL(18,2)) AS q,
+         o.o_orderdate, l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_suppkey IN ({id_list})
+),
+ranked AS (
+  SELECT l_suppkey, q,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY o_orderdate DESC, l_orderkey DESC, l_linenumber DESC
+         ) AS rn
+  FROM li
+)
+SELECT r.l_suppkey AS s_suppkey, s.s_name,
+       CAST(SUM(r.q) AS DOUBLE) / COUNT(*) AS rolling_avg_qty,
+       CAST(SUM(CASE WHEN r.q > 25 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS hit_rate
+FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rn <= 10
+GROUP BY r.l_suppkey, s.s_name
+"""
+        ),
+        cols,
+    )
+    sub = eng[eng["s_suppkey"].isin(ids)]
+    got = {tuple(canon(row[c]) for c in cols) for _, row in sub.iterrows()}
+    if got != want:
+        problems.append(
+            f"sampled values differ — engine-only={sorted(got - want)[:2]} "
+            f"expected-only={sorted(want - got)[:2]} "
+            f"(engine {len(got)} vs expected {len(want)})"
+        )
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf", default="sf10")
@@ -686,6 +778,7 @@ def main() -> int:
         ("geo1_grid_distance_join", lambda: check_geo1(spark, con, sf_dir, args.pairs, args.anchors)),
         ("d5_cc_clusters_multipart", lambda: check_d5_cc(spark, con, sf_dir, args.pairs, args.anchors)),
         ("mb1_frequent_pairs", lambda: check_mb1(spark, con, sf_dir, args.pairs, args.anchors)),
+        ("flagship_hitrate_last10", lambda: check_flagship(spark, con, sf_dir, max(args.anchors, 64))),
     ]
     if args.only:
         entries = [e for e in entries if e[0] == args.only]
