@@ -1,9 +1,9 @@
 """CLI entry points mirroring the reference's user surface (VERDICT r6
 missing item 2): ``python -m nba_data_pipeline_spark <command> ...``.
 
-Five commands cover the reference's argparse/interactive front doors and run
-the matching engine pipeline END TO END (land → scan → normalize → gate →
-reference-layout sink):
+Seven commands cover the reference's argparse/interactive front doors and
+run the matching engine pipeline END TO END (land → scan → normalize →
+gate → reference-layout sink):
 
 * ``scrape-teams`` — the unified scraper's ``--mode/--team/--teams/--season``
   surface (Basketball Reference Scraper unified_nba_scraper.py:356-416) with
@@ -40,6 +40,16 @@ reference-layout sink):
   (SRC1/SRC2/SRC3), F1 header-repeat drops, X14/X15 roster fixups, X17
   numeric coercion, N2/N3 canonical renames, F8 skip-if-exists, one
   nested per-team stats JSON document.
+
+* ``dvp`` — the defense-vs-position pipeline (DEFENSEVSPOSTION.PY:601-674):
+  5×4 position/timeframe matrix walk with retry≤N + backoff + reload,
+  X11 alias canonicalization with the W1 ordinal LA rule, the S5
+  all-or-nothing 30-team/20-cell gate, one combined nested document.
+
+* ``prompts`` — the Hard Rock LLM-analysis lane (hardrock_scraper.py:
+  453-506): the props frames grouped per matchup, each document the
+  format_for_llm envelope (metadata + data + distributed-generated
+  analysis prompt) in the per-matchup tree.
 
 No command invents engine surface: every stage is an existing
 operator; the CLI only resolves arguments and composes. Interactive

@@ -48,6 +48,40 @@ def session_tmpdir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT)
 
 
+_CKPT_ROOT: str | None = None
+
+
+def streaming_checkpoint_dir(prefix: str) -> str:
+    """Checkpoint location for a bounded streaming drain.
+
+    A drained availableNow query's checkpoint is pure coordination
+    metadata — offset/commit logs plus state-store deltas, kilobytes —
+    yet every micro-batch fsyncs several of these files, so on a
+    disk-backed /tmp the per-batch floor is fsync latency, not compute
+    (the drains' dominant fixed cost at bench SFs). Route them to tmpfs
+    (/dev/shm) when present: the local-mode analog of a production
+    cluster's fast statestore volume. Durability is irrelevant here by
+    construction — these checkpoints are created fresh per drain and
+    never resumed across processes (the module's standing note: reusing
+    an availableNow checkpoint against a drained source yields an empty
+    batch). Override the root with SPARK_GRAFT_CKPT_DIR; falls back to
+    the session tmpdir when no tmpfs exists."""
+    global _CKPT_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_CKPT_DIR")
+    if root is None and os.path.isdir("/dev/shm"):
+        root = "/dev/shm"
+    if root is None:
+        return session_tmpdir(prefix)
+    if _CKPT_ROOT is None:
+        _CKPT_ROOT = tempfile.mkdtemp(prefix="nba_spark_ckpt_", dir=root)
+        atexit.register(shutil.rmtree, _CKPT_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_CKPT_ROOT)
+
+
 def table_row_count(sf_dir: str, name: str) -> int | None:
     """Row count from the parquet FOOTER — a driver-side stats probe, no
     Spark job. This is what size-adaptive plans (geo1's output-mass pin,

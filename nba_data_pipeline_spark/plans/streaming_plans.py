@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 import contextlib
 
-from nba_data_pipeline_spark.io import read_table, session_tmpdir
+from nba_data_pipeline_spark.io import (
+    read_table,
+    session_tmpdir,
+    streaming_checkpoint_dir,
+)
 from nba_data_pipeline_spark.plans.exact import sql_dsum
 from nba_data_pipeline_spark.plans.registry import query
 
@@ -259,7 +263,7 @@ def s1_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName("s1_stream_counts_mem")
             .outputMode("complete")
-            .option("checkpointLocation", session_tmpdir("s1_ckpt_"))
+            .option("checkpointLocation", streaming_checkpoint_dir("s1_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -302,7 +306,7 @@ def s2_stream_arrival_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName("s2_dedupe_mem")
             .outputMode("complete")
-            .option("checkpointLocation", session_tmpdir("s2_ckpt_"))
+            .option("checkpointLocation", streaming_checkpoint_dir("s2_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -348,7 +352,7 @@ def s7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName("s7_stream_static_mem")
             .outputMode("complete")
-            .option("checkpointLocation", session_tmpdir("s7_ckpt_"))
+            .option("checkpointLocation", streaming_checkpoint_dir("s7_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -436,7 +440,7 @@ def s3_stability_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
             tracked.writeStream.format("memory")
             .queryName("s3_stability_mem")
             .outputMode("update")
-            .option("checkpointLocation", session_tmpdir("s3_ckpt_"))
+            .option("checkpointLocation", streaming_checkpoint_dir("s3_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -495,7 +499,7 @@ def s8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.writeStream.format("memory")
             .queryName("s8_pairs_mem")
             .outputMode("append")
-            .option("checkpointLocation", session_tmpdir("s8_ckpt_"))
+            .option("checkpointLocation", streaming_checkpoint_dir("s8_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -569,7 +573,7 @@ def s9_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _small_state_shuffle(spark):
         q = (
             sdf.writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", session_tmpdir("s9_ckpt_"))
+            .option("checkpointLocation", streaming_checkpoint_dir("s9_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -663,7 +667,7 @@ def s10_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName("s10_dedupe_mem")
             .outputMode("complete")
-            .option("checkpointLocation", session_tmpdir("s10_ckpt_"))
+            .option("checkpointLocation", streaming_checkpoint_dir("s10_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -854,7 +858,7 @@ def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q = (
         stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", session_tmpdir("s11_ckpt_"))
+        .option("checkpointLocation", streaming_checkpoint_dir("s11_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -965,7 +969,7 @@ def s12_custom_pystream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName("s12_poll_mem")
             .outputMode("complete")
-            .option("checkpointLocation", session_tmpdir("s12_ckpt_"))
+            .option("checkpointLocation", streaming_checkpoint_dir("s12_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -1095,7 +1099,7 @@ def s13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.writeStream.format("memory")
             .queryName("s13_pairs_mem")
             .outputMode("append")
-            .option("checkpointLocation", session_tmpdir("s13_ckpt_"))
+            .option("checkpointLocation", streaming_checkpoint_dir("s13_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
