@@ -666,6 +666,177 @@ sup1 AS (
     return problems
 
 
+def check_d5_minhash(
+    spark, con, sf_dir: str, k_pairs: int, k_anchors: int
+) -> list[str]:
+    """d5_minhash_lsh_pairs at oracle-bound SFs (the sixth-decade find):
+    the full oracle's signature aggregate — 12 MIN(md5(seed:shingle))
+    per doc over the whole unnested corpus — overshot DuckDB's memory
+    cap to 77 GB at 15 M docs and the kernel OOM-killed the process
+    (memory_limit does not bound every operator). Sampled form, exact in
+    both directions and fully INDEPENDENT of the engine's artifacts:
+
+    * precision — K lowest-md5 engine pairs re-verified restricted: the
+      two docs' shingle sets, exact Jaccard (value-equal, ≥ 0.4), AND a
+      shared band key under the 12-hash/4-band contract, all recomputed
+      from raw text for just those docs;
+    * recall — for K anchor docs, the anchor-restricted shingle join
+      against the full corpus finds EVERY Jaccard-qualifying neighbor
+      (one streaming pass, small build side — the d5_cc recall shape,
+      NOT the blown-up full-corpus signature aggregate); band keys are
+      then recomputed restricted to anchors ∪ neighbors only, and the
+      engine's pairs touching the anchors must equal the qualifying
+      band-sharing set exactly — a dropped or phantom pair fails."""
+    problems: list[str] = []
+    import hashlib
+
+    from nba_data_pipeline_spark.plans.dedup import (
+        _SQL_BANDS,
+        _SQL_SH_REL,
+        _SQL_SIG,
+        _SQL_SHINGLES,
+        _TOKS,
+    )
+
+    qs = entrymod.queries()
+    eng = qs["d5_minhash_lsh_pairs"](spark, sf_dir).toPandas()
+
+    def restricted_bands(id_list: str) -> str:
+        return (
+            _SQL_SH_REL.replace(
+                "FROM documents", f"FROM documents WHERE doc_id IN ({id_list})"
+            )
+            + f""",
+sig AS (SELECT doc_id, {_SQL_SIG} FROM sh GROUP BY doc_id),
+bands AS (
+{_SQL_BANDS}
+)"""
+        )
+
+    # --- 1. precision ------------------------------------------------------
+    if len(eng):
+        key = eng.apply(
+            lambda r: hashlib.md5(f"{r.id_a}_{r.id_b}".encode()).hexdigest(),
+            axis=1,
+        )
+        samp = eng.loc[key.sort_values().index[:k_pairs]]
+        ids = sorted(set(samp["id_a"]) | set(samp["id_b"]))
+        id_list = ",".join(str(i) for i in ids)
+        pair_list = ",".join(f"({r.id_a},{r.id_b})" for r in samp.itertuples())
+        want = _duck_to_set(
+            con.sql(
+                restricted_bands(id_list)
+                + f""",
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+bandhit AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sz x ON x.doc_id = i.id_a JOIN sz y ON y.doc_id = i.id_b
+JOIN bandhit h ON h.id_a = i.id_a AND h.id_b = i.id_b
+WHERE (i.id_a, i.id_b) IN ({pair_list})
+  AND CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.4
+""",
+            ),
+            ["id_a", "id_b", "jaccard"],
+        )
+        got = {
+            tuple(canon(v) for v in (r.id_a, r.id_b, r.jaccard))
+            for r in samp.itertuples()
+        }
+        if got - want:
+            problems.append(
+                f"precision: {len(got - want)}/{len(samp)} sampled engine "
+                f"pairs fail the exact recheck (e.g. {sorted(got - want)[:2]})"
+            )
+
+    # --- 2. recall ---------------------------------------------------------
+    anchors = [
+        r[0]
+        for r in con.sql(
+            f"""
+            SELECT doc_id FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {k_anchors}
+            """
+        ).fetchall()
+    ]
+    a_list = ",".join(str(a) for a in anchors)
+    # qualifying neighbors: one streaming pass of the full shingle unnest
+    # against the small anchor build side; sz restricted via semi-join
+    qual = con.sql(
+        f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM t),
+anchor_sh AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id IN ({a_list})
+),
+cand AS MATERIALIZED (
+  -- MATERIALIZED (the g1 lesson): referenced twice below; each CTE
+  -- re-expansion would re-stream the full corpus shingle unnest
+  SELECT a.doc_id AS aid, b.doc_id AS bid, COUNT(*) AS inter
+  FROM anchor_sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+needed AS (
+  SELECT DISTINCT bid AS doc_id FROM cand
+  UNION SELECT DISTINCT aid FROM cand
+),
+szr AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh
+  WHERE doc_id IN (SELECT doc_id FROM needed) GROUP BY 1
+)
+SELECT c.aid, c.bid,
+       CAST(c.inter AS DOUBLE) / (x.sz + y.sz - c.inter) AS jaccard
+FROM cand c JOIN szr x ON x.doc_id = c.aid JOIN szr y ON y.doc_id = c.bid
+WHERE CAST(c.inter AS DOUBLE) / (x.sz + y.sz - c.inter) >= 0.4
+"""
+    ).fetchall()
+    # band keys recomputed for anchors + qualifying neighbors only
+    part_ids = sorted({int(r[0]) for r in qual} | {int(r[1]) for r in qual})
+    expected = set()
+    if part_ids:
+        pid_list = ",".join(str(i) for i in part_ids)
+        shares_band = {
+            (int(a), int(b))
+            for a, b in con.sql(
+                restricted_bands(pid_list)
+                + """
+SELECT DISTINCT a.doc_id, b.doc_id FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+"""
+            ).fetchall()
+        }
+        for aid, bid, jac in qual:
+            lo, hi = (int(aid), int(bid)) if aid < bid else (int(bid), int(aid))
+            if (lo, hi) in shares_band:
+                expected.add((lo, hi, canon(float(jac))))
+    a_set = set(anchors)
+    got_anchor = {
+        (int(r.id_a), int(r.id_b), canon(float(r.jaccard)))
+        for r in eng.itertuples()
+        if int(r.id_a) in a_set or int(r.id_b) in a_set
+    }
+    if got_anchor != expected:
+        problems.append(
+            f"recall: anchor pair sets differ — engine-only="
+            f"{sorted(got_anchor - expected)[:2]} expected-only="
+            f"{sorted(expected - got_anchor)[:2]} "
+            f"(engine {len(got_anchor)} vs expected {len(expected)})"
+        )
+    return problems
+
+
 def check_flagship(spark, con, sf_dir: str, k_supps: int) -> list[str]:
     """flagship_hitrate_last10 joins the sampled-oracle set at sf300: the
     full DuckDB oracle sorts the whole lineitem⋈orders stream through one
@@ -779,6 +950,7 @@ def main() -> int:
         ("d5_cc_clusters_multipart", lambda: check_d5_cc(spark, con, sf_dir, args.pairs, args.anchors)),
         ("mb1_frequent_pairs", lambda: check_mb1(spark, con, sf_dir, args.pairs, args.anchors)),
         ("flagship_hitrate_last10", lambda: check_flagship(spark, con, sf_dir, max(args.anchors, 64))),
+        ("d5_minhash_lsh_pairs", lambda: check_d5_minhash(spark, con, sf_dir, args.pairs, args.anchors)),
     ]
     if args.only:
         entries = [e for e in entries if e[0] == args.only]

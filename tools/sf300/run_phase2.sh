@@ -9,7 +9,7 @@
 cd /root/repo
 LOG=/root/repo/tools/sf300/phase2.log
 : > "$LOG"
-while pgrep -f "run_phase1b.sh" > /dev/null; do sleep 30; done
+while pgrep -f "run_phase1b.sh\|run_phase1c.sh" > /dev/null; do sleep 30; done
 echo "=== freeing phase-1 tables $(date +%H:%M:%S)" >> "$LOG"
 rm -f sf_scaled/sf300/documents.parquet sf_scaled/sf300/embeddings.parquet \
       sf_scaled/sf300/events.parquet
