@@ -341,6 +341,11 @@ def main() -> int:
         # buys ~2x on hash-array payloads for a few % CPU — the standard
         # trade on shuffle-heavy clusters.
         extra["spark.io.compression.codec"] = "zstd"
+    if os.environ.get("SPARK_GRAFT_EXTRA_FAULTHANDLER"):
+        # deep-decade worker-crash triage: dump the real Python traceback
+        # when an Arrow worker dies mid-task
+        extra["spark.python.worker.faulthandler.enabled"] = "true"
+        extra["spark.sql.execution.pyspark.udf.faulthandler.enabled"] = "true"
     spark = get_spark("check", cpus=cpus, extra_conf=extra)
     con = duck_connect(sf_dir)
     failed = []
