@@ -423,12 +423,13 @@ def cmd_prompts(args: argparse.Namespace) -> int:
     print(f"LLM analysis prompts for {date_str} ({args.prop_type})")
 
     player, game = _props_frames(spark, args.sf_dir, date_str)
-    # the reference's data["type"] values (:469, :489)
+    # the reference's data["type"] / save_to_json prop_type values
+    # (hardrock_scraper.py:210, :269, :662, :670)
     frames: list[tuple[str, DataFrame]] = []
     if args.prop_type in ("player", "both"):
         frames.append(("player_props", player))
     if args.prop_type in ("game", "both"):
-        frames.append(("game_odds", game))
+        frames.append(("game_props", game))
 
     landed: list[str] = []
     for prop_type, df in frames:

@@ -75,7 +75,9 @@ class LineupTableWalker:
     * the team row — starts with ``|``, th cells with the away marker
       ``@ `` stripped (:80-90);
     * five position rows — ``POS|<player A>|<player B>`` with whitespace
-      collapsed per cell (:96-109), accepted only for PG/SG/SF/PF/C.
+      collapsed per cell (:96-109), accepted only for PG/SG/SF/PF/C;
+      trailing extra cells are tolerated and the first three used,
+      matching ``if len(cols) < 3: continue`` (:99).
 
     Mirrors the reference's skip rules: no matchup, fewer than two teams,
     or zero accepted position rows → the whole game is dropped (:63, :91,
@@ -100,7 +102,11 @@ class LineupTableWalker:
                 teams = [c for c in cells if c]
                 continue
             cells = [c for c in line.split("|")]
-            if len(cells) == 3 and cells[0].strip() in POSITIONS:
+            # the reference accepts rows with 3 OR MORE cells and uses the
+            # first three (lineup_scraper.py:99 'if len(cols) < 3: continue')
+            # — a trailing extra cell must not drop the row
+            if len(cells) >= 3 and cells[0].strip() in POSITIONS:
+                cells = cells[:3]
                 lineup_rows.append(
                     (
                         cells[0].strip(),

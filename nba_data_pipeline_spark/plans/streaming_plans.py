@@ -24,10 +24,20 @@ from nba_data_pipeline_spark.plans.exact import sql_dsum
 from nba_data_pipeline_spark.plans.registry import query
 
 # Landed-file directories, reused across runs within a session (keyed by
-# (prefix, sf_dir)): re-landing identical files per invocation only adds
-# I/O. Checkpoints are NOT reused — availableNow against a drained
-# checkpoint would consider the files already processed.
-_LANDING_CACHE: dict[tuple[str, str], str] = {}
+# (prefix, sf_dir, source mtime_ns)): re-landing identical files per
+# invocation only adds I/O, and the mtime component means a regenerated
+# source table at the same path re-lands instead of serving stale bytes.
+# Checkpoints are NOT reused — availableNow against a drained checkpoint
+# would consider the files already processed.
+_LANDING_CACHE: dict[tuple[str, str, int], str] = {}
+
+
+def _source_mtime_ns(sf_dir: str, table: str) -> int:
+    import os as _os
+
+    from nba_data_pipeline_spark.io import table_path
+
+    return _os.stat(table_path(sf_dir, table)).st_mtime_ns
 
 
 def _land(prefix: str, sf_dir: str, copies: int) -> str:
@@ -35,7 +45,7 @@ def _land(prefix: str, sf_dir: str, copies: int) -> str:
 
     from nba_data_pipeline_spark.io import table_path
 
-    key = (prefix, sf_dir)
+    key = (prefix, sf_dir, _source_mtime_ns(sf_dir, "events"))
     if key not in _LANDING_CACHE:
         land_dir = session_tmpdir(f"{prefix}_landing_")
         src = table_path(sf_dir, "events")
@@ -372,7 +382,7 @@ def _land_two_phase(sf_dir: str) -> str:
 
     from nba_data_pipeline_spark.io import table_path
 
-    key = ("s3", sf_dir)
+    key = ("s3", sf_dir, _source_mtime_ns(sf_dir, "events"))
     if key not in _LANDING_CACHE:
         land_dir = session_tmpdir("s3_landing_")
         tbl = pq.read_table(table_path(sf_dir, "events"))
@@ -748,11 +758,12 @@ def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     from nba_data_pipeline_spark.operators.textops import distinct_word_shingles_fast
 
     # --- land the two arrival files (even parity first; mtimes pin order).
-    # Landed once per (sf_dir, documents mtime) like _POLL_CACHE: the two
-    # coalesce(1) writes were a fixed ~1 s on EVERY call for identical
-    # bytes. Checkpoints/store/output dirs stay fresh per call — only the
-    # immutable input landing is reused.
-    key = ("s11", sf_dir)
+    # Landed once per (sf_dir, documents mtime) like _LANDING_CACHE's other
+    # entries: the two coalesce(1) writes were a fixed ~1 s on EVERY call
+    # for identical bytes, and the mtime key means a regenerated documents
+    # table re-lands. Checkpoints/store/output dirs stay fresh per call —
+    # only the input landing is reused.
+    key = ("s11", sf_dir, _source_mtime_ns(sf_dir, "documents"))
     if key not in _LANDING_CACHE:
         land = session_tmpdir("s11_landing_")
         docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1000,7 +1011,7 @@ def _land_with_sentinel(spark: SparkSession, sf_dir: str, prefix: str) -> str:
 
     from nba_data_pipeline_spark.io import table_path
 
-    key = (prefix, sf_dir)
+    key = (prefix, sf_dir, _source_mtime_ns(sf_dir, "events"))
     if key not in _LANDING_CACHE:
         land_dir = session_tmpdir(f"{prefix}_landing_")
         src = table_path(sf_dir, "events")

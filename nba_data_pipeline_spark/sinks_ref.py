@@ -264,6 +264,52 @@ def write_insights_tree(
     return _stage_and_finalize(env, [key], staging, place)
 
 
+def _generate_analysis_prompt(data: dict, match_info: str) -> str:
+    """The reference's LLM-analysis prompt, reproduced verbatim
+    (hardrock_scraper.py:467-505) — including the numbered-identify list,
+    the 'Consider:' section, and the template's leading/trailing newlines —
+    over the same ``data`` dict the envelope stores, serialized with
+    ``json.dumps(data, indent=2)`` exactly as the reference does."""
+    if data.get("type") == "player_props":
+        return f"""
+Analyze the following player props data for {match_info}:
+
+This data contains player proposition bets scraped from Hard Rock Bet.
+For each player, identify:
+1. The statistical category (points, rebounds, assists, etc.)
+2. The betting line (over/under threshold)
+3. The odds for over and under
+4. Any notable value bets (favorable odds relative to expected probability)
+
+Consider:
+- Which props appear to offer positive expected value?
+- Are there any correlated props that could be combined?
+- How do these lines compare to typical player averages?
+
+Data:
+{json.dumps(data, indent=2)}
+"""
+    else:
+        return f"""
+Analyze the following game odds data for {match_info}:
+
+This data contains game-level betting markets scraped from Hard Rock Bet.
+Identify:
+1. Moneyline odds for each team
+2. Point spread and associated odds
+3. Total (over/under) and associated odds
+4. Any alternate lines or special markets
+
+Consider:
+- Implied probability from the odds
+- Vig/juice on each market
+- Any potential value compared to fair odds
+
+Data:
+{json.dumps(data, indent=2)}
+"""
+
+
 def write_prompt_tree(
     df: DataFrame,
     base_dir: str,
@@ -280,49 +326,21 @@ def write_prompt_tree(
     hardrock_scraper.py:453-506): the per-matchup folder layout of
     :func:`write_matchup_tree` but each document is the ``format_for_llm``
     envelope — ``{"metadata": {...}, "data": {...}, "analysis_prompt":
-    "..."}`` with the per-type analysis prompt generated DISTRIBUTED:
-    the prompt column is a concat over the grouped envelope (template head
-    keyed by prop type + the data payload as JSON), so at scale prompt
-    construction is executor work, one row per (matchup, type) leaf.
+    "..."}``. The heavy work — grouping, deterministic row ordering, the
+    partitionBy staging write — is distributed; the analysis prompt itself
+    is rendered at the per-leaf finalize step, where the reference's
+    ``_generate_analysis_prompt`` template (:468-505) is reproduced
+    VERBATIM over the exact ``data`` dict stored in the envelope
+    (``json.dumps(data, indent=2)``), so downstream prompt consumers see
+    byte-identical documents. The finalize step already round-trips each
+    leaf's single envelope row through the driver to write the JSON file
+    (the SNK2 document grain is bounded by construction), so this adds no
+    driver funnel; the distributed prompt-generation capability itself is
+    exercised by the ``ud4_llm_prompt`` catalog entry.
 
     ``timestamp`` is injected (the reference stamps ``datetime.now()``;
     :468) so reruns are deterministic. Returns the landed file paths."""
     env = _envelope(df, [matchup_col, proptype_col], order_col)
-    is_player = F.col(proptype_col).startswith("player")
-    data_json = F.to_json(
-        F.struct(
-            F.col(proptype_col).alias("type"),
-            F.col(matchup_col).alias("match"),
-            F.col("rows"),
-        )
-    )
-    prompt = F.concat(
-        F.lit("Analyze the following "),
-        F.when(is_player, F.lit("player props")).otherwise(F.lit("game odds")),
-        F.lit(" data for "),
-        F.col(matchup_col),
-        F.lit(":\n\nThis data contains "),
-        F.when(
-            is_player, F.lit("player proposition bets")
-        ).otherwise(F.lit("game-level betting markets")),
-        F.lit(f" scraped from {source}.\n"),
-        F.when(
-            is_player,
-            F.lit(
-                "For each player, identify the statistical category, the "
-                "betting line, the odds for over and under, and any "
-                "notable value bets.\n"
-            ),
-        ).otherwise(
-            F.lit(
-                "Identify moneyline odds, the point spread, the total, "
-                "and any alternate lines or special markets.\n"
-            )
-        ),
-        F.lit("\nData:\n"),
-        data_json,
-    )
-    env = env.withColumn("analysis_prompt", prompt)
     staging = os.path.join(base_dir, "_staging_prompts")
 
     def place(keys: list[str], doc: dict) -> str:
@@ -331,6 +349,11 @@ def write_prompt_tree(
         d = os.path.join(base_dir, folder)
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{prop_type}_{timestamp}.json")
+        data = {
+            "type": prop_type,
+            "match": matchup,
+            "rows": doc["rows"],
+        }
         envelope = {
             "metadata": {
                 "source": source,
@@ -338,12 +361,8 @@ def write_prompt_tree(
                 "match": matchup,
                 "url": url,
             },
-            "data": {
-                "type": prop_type,
-                "match": matchup,
-                "rows": doc["rows"],
-            },
-            "analysis_prompt": doc["analysis_prompt"],
+            "data": data,
+            "analysis_prompt": _generate_analysis_prompt(data, matchup),
         }
         with open(path, "w", encoding="utf-8") as f:
             json.dump(envelope, f, indent=2, ensure_ascii=False)

@@ -548,7 +548,7 @@ def test_prompts_golden_tree(spark, tmp_path):
     ])
     assert rc == 0
     rels = _relpaths(out)
-    assert len(rels) == 60  # 30 matchups x {player_props, game_odds}
+    assert len(rels) == 60  # 30 matchups x {player_props, game_props}
     sample = os.path.join(
         "2026-02-01_BKN at DET", "player_props_20260201_120000.json"
     )
@@ -561,21 +561,33 @@ def test_prompts_golden_tree(spark, tmp_path):
     assert doc["metadata"]["scraped_at"] == "20260201_120000"
     assert doc["data"]["type"] == "player_props"
     assert doc["data"]["rows"], "data payload must carry the prop rows"
-    # the per-type prompt (:468-505): player template + embedded data JSON
+    # the per-type prompt (:468-505) is the reference template VERBATIM:
+    # leading newline, numbered identify list, Consider: section,
+    # json.dumps(data, indent=2) tail, trailing newline
     p = doc["analysis_prompt"]
-    assert p.startswith("Analyze the following player props data for BKN at DET")
-    assert "player proposition bets" in p
-    assert "Data:\n{" in p
-    # the embedded JSON is the machine-readable data payload itself
-    embedded = json.loads(p.split("Data:\n", 1)[1])
-    assert embedded["type"] == "player_props"
-    assert len(embedded["rows"]) == len(doc["data"]["rows"])
+    assert p.startswith(
+        "\nAnalyze the following player props data for BKN at DET:\n"
+    )
+    assert "This data contains player proposition bets scraped from Hard Rock Bet.\n" in p
+    assert "For each player, identify:\n1. The statistical category (points, rebounds, assists, etc.)\n" in p
+    assert "\nConsider:\n- Which props appear to offer positive expected value?\n" in p
+    assert p.endswith("\n")
+    # the embedded JSON is byte-for-byte json.dumps(data, indent=2) of the
+    # SAME dict stored in the envelope's data field (reference :486, :505)
+    embedded_text = p.split("Data:\n", 1)[1].rstrip("\n")
+    assert embedded_text == json.dumps(doc["data"], indent=2)
     game = json.load(
         open(os.path.join(out, "2026-02-01_BKN at DET",
-                          "game_odds_20260201_120000.json"))
+                          "game_props_20260201_120000.json"))
     )
-    assert "game-level betting markets" in game["analysis_prompt"]
-    assert game["data"]["type"] == "game_odds"
+    gp = game["analysis_prompt"]
+    assert gp.startswith(
+        "\nAnalyze the following game odds data for BKN at DET:\n"
+    )
+    assert "This data contains game-level betting markets scraped from Hard Rock Bet.\n" in gp
+    assert "Identify:\n1. Moneyline odds for each team\n" in gp
+    assert "\nConsider:\n- Implied probability from the odds\n" in gp
+    assert game["data"]["type"] == "game_props"
 
 
 def test_prompts_player_only(spark, tmp_path):

@@ -111,3 +111,27 @@ def test_stability_tracker_stateful(spark, dirs):
     assert not any(s for _, _, s in a_rows)
     b_rows = [(r.prev, r.total, r.stable) for r in rows if r.key == "b"]
     assert b_rows == [(0, 1, False)]
+
+
+def test_landing_cache_relands_when_source_changes(tmp_path):
+    """_LANDING_CACHE keys on the source table's mtime: regenerating the
+    events table at the same path within a session must produce a FRESH
+    landing (a stale landing would silently replay old bytes)."""
+    import os
+    import shutil
+
+    from nba_data_pipeline_spark.plans.streaming_plans import _land
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src)
+
+    first = _land("tcache", sf_dir, copies=1)
+    # identical source -> cached landing dir
+    assert _land("tcache", sf_dir, copies=1) == first
+    # regenerated source (same path, new mtime) -> fresh landing
+    st = os.stat(src)
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    second = _land("tcache", sf_dir, copies=1)
+    assert second != first

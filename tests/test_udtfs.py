@@ -115,6 +115,27 @@ def test_lineup_walker_skip_rules(spark):
         assert out == [], blob
 
 
+def test_lineup_walker_tolerates_trailing_extra_cells(spark):
+    """The reference accepts position rows with >=3 cells and uses the
+    first three (lineup_scraper.py:99 'if len(cols) < 3: continue') — a
+    game table carrying a trailing extra cell per row must still parse."""
+    register_udtfs(spark)
+    blob = (
+        "CLE @ NYK\n7:30 PM ET\n| CLE | @ NYK\n"
+        "PG|Darius Garland|Jalen Brunson|GTD\n"
+        "SG|Donovan Mitchell|Mikal Bridges|\n"
+    )
+    rows = spark.sql(
+        "SELECT * FROM lineup_table_walker(?) ORDER BY pos_idx, side",
+        args=[blob],
+    ).collect()
+    assert len(rows) == 4  # 2 teams x 2 accepted position rows
+    assert [r.player for r in rows] == [
+        "Darius Garland", "Jalen Brunson",
+        "Donovan Mitchell", "Mikal Bridges",
+    ]
+
+
 def test_lineup_walker_missing_betting_defaults(spark):
     """Absent/garbled betting line -> the reference's N/A + 0.0 defaults
     (lineup_scraper.py:72-77)."""
