@@ -77,7 +77,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bounded_window",
+    "multi_ntile_exact",
     "multi_order_cuts",
+    "ntile_exact",
     "ntile_from_rank",
     "total_order",
 ]
@@ -136,6 +138,140 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     return F.when(rk <= boundary, in_first).otherwise(in_rest).cast("int")
 
 
+def multi_ntile_exact(
+    df: DataFrame,
+    specs: Sequence[tuple[OrderSpec, int, str]],
+    *,
+    cuts: Sequence[Sequence[tuple]] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach exact ``NTILE(k)`` columns over one or more total orders
+    WITHOUT ranking any row — the boundary-selection plan:
+
+    1. exact per-(metric, bucket) counts for ALL metrics in ONE map-side-
+       combined aggregate (each row contributes one tiny (metric, bucket)
+       struct per metric — the shuffle is ≤ metrics×k rows, never the
+       data);
+    2. each metric's ``k_tiles-1`` global boundary POSITIONS follow from
+       pure integer arithmetic on its counts (standard NTILE sizes: with
+       q = n div k and r = n mod k the first r tiles hold q+1 rows), and
+       each position lands in exactly one bucket at a known local offset;
+    3. the boundary TUPLES are selected by sorting ONLY the (≤ k_tiles-1)
+       buckets that contain a boundary — a filtered window over a few
+       percent of the frame per metric — and collected (bounded);
+    4. every row's tile is then ``1 + #(boundaries strictly below it)`` —
+       a pure projection of k_tiles-1 literal lexicographic compares per
+       metric, so ALL tile columns ride one downstream pass.
+
+    The full frame is never globally sorted and never re-shuffled. This is
+    what replaced a43's three chained :func:`total_order` ranks (sf300,
+    45M customers: 514 s un-pinned / 439 s with the AQE-exempt partition
+    pin → the boundary plan's handful of bounded passes).
+
+    ``specs`` is a sequence of ``(order, k_tiles, tile_col)``. Ties cannot
+    straddle tiles because callers pass TOTAL orders (unique tiebreaker),
+    mirroring the NTILE determinism contract of the module.
+
+    .. note:: BUILD-TIME JOBS — the bucket-count aggregate and the
+       per-metric boundary-select collects run real Spark jobs at
+       DataFrame construction time (same caveat as :func:`total_order`'s
+       cut sample). Callers whose input has expensive lineage should
+       localCheckpoint it first so these bounded passes share one
+       computation.
+    """
+    if not specs:
+        raise ValueError("multi_ntile_exact: no specs")
+    for _, k_tiles, _ in specs:
+        if k_tiles < 1:
+            raise ValueError("k_tiles must be >= 1")
+    infos = [_norm_order(order) for order, _, _ in specs]
+    k = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if cuts is None:
+        cuts = multi_order_cuts(df, [order for order, _, _ in specs],
+                                num_partitions=k)
+    bkts = [_bucket_expr(c, inf) for c, inf in zip(cuts, infos)]
+    # one pass, all metrics: explode to (metric, bucket) micro-structs —
+    # the partial aggregate collapses them to ≤ metrics×k rows map-side
+    mb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("m"), b.alias("b"))
+                for i, b in enumerate(bkts)
+            ]
+        )
+    ).alias("mb")
+    stats = (
+        df.select(mb)
+        .groupBy(F.col("mb.m").alias("m"), F.col("mb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias(_CNT))
+        .collect()
+    )
+    counts: list[dict] = [{} for _ in specs]
+    for row in stats:
+        counts[row["m"]][row["b"]] = row[_CNT]
+    n = sum(counts[0].values())
+    out = df
+    for i, ((order, k_tiles, tile_col), info) in enumerate(zip(specs, infos)):
+        if n == 0 or k_tiles == 1:
+            out = out.withColumn(
+                tile_col, (F.lit(1) if n else F.lit(None)).cast("int")
+            )
+            continue
+        q, r = divmod(n, k_tiles)
+        targets = [j * q + min(j, r) for j in range(1, k_tiles)]
+        ordered_bkts = sorted(counts[i])
+        pairs: list[tuple[int, int]] = []
+        for p in targets:
+            off = 0
+            for b in ordered_bkts:
+                if off + counts[i][b] >= p:
+                    pairs.append((b, p - off))
+                    break
+                off += counts[i][b]
+        want = sorted({b for b, _ in pairs})
+        names = [c for c, _ in info]
+        lw = W.partitionBy(_BKT).orderBy(*_order_exprs(info))
+        sel: Column = F.lit(False)
+        for b, lp in sorted(set(pairs)):
+            sel = sel | ((F.col(_BKT) == b) & (F.col(_LPOS) == lp))
+        brows = (
+            df.withColumn(_BKT, bkts[i])
+            .filter(F.col(_BKT).isin(*want))
+            .withColumn(_LPOS, F.row_number().over(lw))
+            .filter(sel)
+            .select(_BKT, _LPOS, *names)
+            .collect()
+        )
+        by_pos = {
+            (row[_BKT], row[_LPOS]): tuple(row[c] for c in names)
+            for row in brows
+        }
+        boundaries = [by_pos[p] for p in pairs]
+        tile = F.lit(1)
+        for cut in boundaries:
+            tile = tile + _cut_cmp_row(cut, info, strict=True).cast("int")
+        out = out.withColumn(tile_col, tile.cast("int"))
+    return out
+
+
+def ntile_exact(
+    df: DataFrame,
+    order: OrderSpec,
+    k_tiles: int,
+    *,
+    tile_col: str,
+    cuts: Sequence[tuple] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Single-metric form of :func:`multi_ntile_exact`."""
+    return multi_ntile_exact(
+        df,
+        [(order, k_tiles, tile_col)],
+        cuts=None if cuts is None else [cuts],
+        num_partitions=num_partitions,
+    )
+
+
 def _norm_order(order: OrderSpec) -> list[tuple[str, str]]:
     out: list[tuple[str, str]] = []
     for o in order:
@@ -182,9 +318,12 @@ def _py_sort_key(info: Sequence[tuple[str, str]]):
     return key
 
 
-def _cut_le_row(cut, info: Sequence[tuple[str, str]]) -> Column:
-    """Literal lexicographic ``cut <= row`` under the window's sort order."""
-    le: Column = F.lit(True)
+def _cut_cmp_row(
+    cut, info: Sequence[tuple[str, str]], *, strict: bool
+) -> Column:
+    """Literal lexicographic ``cut <= row`` (or strict ``cut < row``) under
+    the window's sort order."""
+    le: Column = F.lit(not strict)
     for (name, d), cv in reversed(list(zip(info, cut))):
         col = F.col(name)
         if cv is None:
@@ -211,7 +350,10 @@ def _bucket_expr(cuts, info: Sequence[tuple[str, str]]) -> Column:
     # folds a literal one away, reintroducing the single-partition warning.
     lead = F.col(info[0][0])
     base: Column = F.coalesce(F.length(lead.cast("string")), F.lit(0)) % 1
-    terms = [base, *(_cut_le_row(cut, info).cast("int") for cut in cuts)]
+    terms = [
+        base,
+        *(_cut_cmp_row(cut, info, strict=False).cast("int") for cut in cuts),
+    ]
     # balanced-tree sum: a left-deep chain of +(k) blows the converter
     # stack past a few hundred cuts
     while len(terms) > 1:
@@ -297,6 +439,7 @@ def total_order(
     num_partitions: int | None = None,
     materialize: bool = False,
     cuts: Sequence[tuple] | None = None,
+    pin: bool = False,
 ) -> DataFrame:
     """Attach exact global-order columns to ``df`` with no single-partition
     stage.
@@ -322,6 +465,17 @@ def total_order(
         bucket balance, never rank correctness (bucket membership is decided
         by the Spark-side comparisons), so any cut list sampled from the
         same frame is valid.
+    pin : insert an explicit ``repartition(num_partitions, bucket, part)``
+        before the per-bucket window. An explicit numPartitions repartition
+        is exempt from AQE coalescing — without it AQE byte-targets the
+        window's hash exchange (64 MB partitions), which at skinny-row
+        fact-scale collapses k buckets into a fraction of the executor
+        pool and idles cores across every sequential window stage (the a43
+        sf300 finding: 30 M × 40 B rows → 18 partitions on 32 cores).
+        Leave off for small frames, where AQE's coalescing is the right
+        call; callers should derive the decision (and ``num_partitions``)
+        from footer row counts — the geo1 pattern
+        (plans/geo_plans.py:129-142).
 
     .. note:: BUILD-TIME JOB — the cut-sample collect (and the lazy
        localCheckpoint when ``materialize=True``) runs a real Spark job at
@@ -345,6 +499,12 @@ def total_order(
     if cuts is None:
         cuts = _collect_cuts(df, info, k)
     tagged = df.withColumn(_BKT, _bucket_expr(cuts, info))
+    if pin:
+        # AQE-exempt exchange: both the window branch and the stats
+        # aggregate read this one shuffle (reuse), each bucket lands whole
+        # in exactly one of k partitions, and the partition count cannot be
+        # byte-coalesced below the executor pool (see param doc).
+        tagged = tagged.repartition(k, F.col(_BKT), *[F.col(c) for c in part])
 
     lw = W.partitionBy(_BKT, *part).orderBy(*_order_exprs(info))
     lcw = lw.rowsBetween(W.unboundedPreceding, W.currentRow)

@@ -15,11 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.io import read_table, table_row_count
 from nba_data_pipeline_spark.operators.totalorder import (
     bounded_window,
-    multi_order_cuts,
-    ntile_from_rank,
+    multi_ntile_exact,
     total_order,
 )
 from nba_data_pipeline_spark.plans.exact import davg, dsum, sql_davg, sql_dsum
@@ -3502,23 +3501,21 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Segment labels are a shared integer CASE.
 
     Scale shape: orders collapse to customer grain in one partially
-    aggregated shuffle; the three NTILEs ride the distributed total-order
-    primitive (operators/totalorder.py — sampled cuts, one hash shuffle
-    each, broadcast offsets; the customer-grain frame and each chained
-    rank output are localCheckpointed so the three passes share work).
-    All three cut lists come from ONE sample job (multi_order_cuts over
-    the union of the R/F/M key columns) instead of one bounded sample
-    pass per rank — at fact-scale customer cardinality that is two fewer
-    full passes. No single-partition stage at any customer cardinality;
-    at extreme cardinality swap for approx-percentile boundary lookup,
-    trading exact equal-count tiles for a broadcast bucketize. The final
-    contraction is ≤125 groups."""
-    anchor = F.broadcast(
-        read_table(spark, sf_dir, "orders").agg(
-            F.to_date(F.max("o_orderdate")).alias("anchor_date")
-        )
-    )
-    cust = (
+    aggregated shuffle (localCheckpointed — every later pass reads the
+    30M-row grain, not the fact table); the three NTILEs ride
+    ``operators/totalorder.ntile_exact`` — exact boundary selection
+    (bucket-count histogram → k-1 boundary positions by integer
+    arithmetic → sort ONLY the boundary buckets → tile as a pure
+    projection of 4 literal compares), so the customer frame is never
+    globally sorted, never re-shuffled, and all three tile columns ride
+    ONE final pass into the ≤125-group contraction. All three cut lists
+    come from ONE sample job and all three bucket histograms from ONE
+    aggregate pass (multi_ntile_exact). No single-partition stage at any customer
+    cardinality. This replaced three chained total_order ranks: at sf300
+    (45M customers) the rank chain measured 514 s un-pinned / 439 s with
+    the AQE-exempt partition pin; the boundary plan needs none of that
+    window machinery."""
+    base = (
         read_table(spark, sf_dir, "orders")
         .select("o_custkey", "o_orderdate", "o_totalprice")
         .groupBy("o_custkey")
@@ -3529,33 +3526,29 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("monetary_cents"),
         )
-        .crossJoin(anchor)
-        .select(
-            "o_custkey",
-            F.datediff("anchor_date", "last_order").alias("recency_days"),
-            "frequency",
-            "monetary_cents",
-        )
+        .localCheckpoint(eager=False)
     )
-    cust = cust.localCheckpoint(eager=False)
+    # The recency anchor — MAX(o_orderdate) over all orders — equals the
+    # max of the per-customer maxes, so it comes from the (already
+    # checkpointed) customer-grain frame instead of a second full pass
+    # over the fact table. Collected to a literal (one bounded scalar,
+    # and it ALSO materializes the checkpoint) rather than riding as a
+    # broadcast subquery: a subquery re-executes as an extra job inside
+    # every build-time pass below.
+    anchor_date = base.agg(F.max("last_order")).collect()[0][0]
+    cust = base.select(
+        "o_custkey",
+        F.datediff(F.lit(anchor_date), "last_order").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
     ord_r = [("recency_days", "desc"), ("o_custkey", "asc")]
     ord_f = [("frequency", "asc"), ("o_custkey", "asc")]
     ord_m = [("monetary_cents", "asc"), ("o_custkey", "asc")]
-    cuts_r, cuts_f, cuts_m = multi_order_cuts(cust, [ord_r, ord_f, ord_m])
-    t = total_order(cust, ord_r, rank_col="__r_rk", n_col="__n", cuts=cuts_r)
-    t = total_order(
-        t, ord_f, rank_col="__f_rk", materialize=True, cuts=cuts_f
-    )
-    t = total_order(
-        t, ord_m, rank_col="__m_rk", materialize=True, cuts=cuts_m
-    )
-    scored = t.select(
-        "o_custkey",
-        "monetary_cents",
-        ntile_from_rank(F.col("__r_rk"), F.col("__n"), 5).alias("r_score"),
-        ntile_from_rank(F.col("__f_rk"), F.col("__n"), 5).alias("f_score"),
-        ntile_from_rank(F.col("__m_rk"), F.col("__n"), 5).alias("m_score"),
-    )
+    scored = multi_ntile_exact(
+        cust,
+        [(ord_r, 5, "r_score"), (ord_f, 5, "f_score"), (ord_m, 5, "m_score")],
+    ).select("o_custkey", "monetary_cents", "r_score", "f_score", "m_score")
     segment = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
         .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")

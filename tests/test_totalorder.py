@@ -345,3 +345,84 @@ def test_running_extreme_no_unpartitioned_window(spark):
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "windowspecdefinition" in plan  # the windows are really there
         assert unpartitioned_window_specs(plan) == []
+
+
+def test_pin_ranks_match_and_exchange_is_aqe_exempt(spark):
+    """pin=True: ranks are unchanged, and the window's exchange comes from
+    an explicit numPartitions repartition (REPARTITION_BY_NUM), which AQE
+    cannot byte-coalesce below the requested count."""
+    df, rows = _mkdf(spark)
+    exp = _expected_rank(rows)
+    out = total_order(
+        df, ["x", "key"], rank_col="rnk", num_partitions=8, pin=True
+    )
+    got = {r["key"]: r["rnk"] for r in out.collect()}
+    assert got == exp
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ntile_exact_matches_spark_ntile(spark):
+    """multi_ntile_exact's boundary-selection tiles must equal F.ntile over
+    the same total order, for several k and bucket counts, with nulls."""
+    from nba_data_pipeline_spark.operators.totalorder import multi_ntile_exact
+
+    df, _rows = _mkdf(spark, n=499, with_nulls=True)
+    got = multi_ntile_exact(
+        df,
+        [
+            ([("x", "asc"), ("key", "asc")], 5, "t_asc"),
+            ([("x", "desc"), ("key", "asc")], 7, "t_desc"),
+            ([("w", "asc"), ("key", "asc")], 3, "t_w"),
+        ],
+        num_partitions=8,
+    )
+    exp = (
+        df.withColumn(
+            "e_asc",
+            F.ntile(5).over(bounded_window(F.asc("x"), F.asc("key"), anchor="key")),
+        )
+        .withColumn(
+            "e_desc",
+            F.ntile(7).over(bounded_window(F.desc("x"), F.asc("key"), anchor="key")),
+        )
+        .withColumn(
+            "e_w",
+            F.ntile(3).over(bounded_window(F.asc("w"), F.asc("key"), anchor="key")),
+        )
+        .select("key", "e_asc", "e_desc", "e_w")
+    )
+    j = got.join(exp, "key")
+    bad = j.filter(
+        (F.col("t_asc") != F.col("e_asc"))
+        | (F.col("t_desc") != F.col("e_desc"))
+        | (F.col("t_w") != F.col("e_w"))
+    ).count()
+    assert bad == 0
+
+
+def test_ntile_exact_small_and_degenerate_frames(spark):
+    """n < k_tiles (some tiles empty), k_tiles=1, and a single-bucket cut
+    list must all match F.ntile semantics exactly."""
+    from nba_data_pipeline_spark.operators.totalorder import ntile_exact
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(3)], "key int, x int")
+    got = {
+        r["key"]: r["t"]
+        for r in ntile_exact(
+            df, [("x", "asc"), ("key", "asc")], 5, tile_col="t", num_partitions=4
+        ).collect()
+    }
+    exp = {
+        r["key"]: r["e"]
+        for r in df.withColumn(
+            "e",
+            F.ntile(5).over(bounded_window(F.asc("x"), F.asc("key"), anchor="key")),
+        ).collect()
+    }
+    assert got == exp
+    one = ntile_exact(
+        df, ["key"], 1, tile_col="t", num_partitions=4
+    ).collect()
+    assert all(r["t"] == 1 for r in one)
