@@ -527,6 +527,31 @@ def s8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s9_batch_state(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """s9's per-batch state transition, factored out of the foreachBatch
+    handler so its PLAN is testable with plain frames (foreachBatch hands
+    the handler an ordinary DataFrame, so this IS the production path):
+    aggregate the batch per user, then merge into the previous state by
+    union + re-aggregate. Plan contract (tests/test_plan_shapes.py): pure
+    hash aggregates with map-side partial combine, no join — O(batch +
+    |keys|) per batch."""
+    agg = batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value_dec"),
+    )
+    if prev is None:
+        return agg
+    return (
+        prev.unionByName(agg)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value_dec").alias("total_value_dec"),
+        )
+    )
+
+
+
 @query(
     "s9_foreach_batch_upsert",
     oracle=f"""
@@ -562,22 +587,9 @@ def s9_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest: dict[str, str] = {}
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        agg = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value_dec"),
-        )
-        if "path" in latest:
-            prev = spark.read.parquet(latest["path"])
-            agg = (
-                prev.unionByName(agg)
-                .groupBy("user_id")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("total_value_dec").alias("total_value_dec"),
-                )
-            )
+        prev = spark.read.parquet(latest["path"]) if "path" in latest else None
         out = os.path.join(state_root, f"v{batch_id}")
-        agg.write.mode("overwrite").parquet(out)
+        s9_batch_state(batch_df, prev).write.mode("overwrite").parquet(out)
         latest["path"] = out
 
     with _small_state_shuffle(spark):
@@ -688,6 +700,50 @@ def s10_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # S11: streaming incremental near-dup — foreachBatch MinHash signature store
 # ---------------------------------------------------------------------------
+
+
+def s11_batch_decisions(bdf, bands, store, arrival: int):
+    """s11's per-batch new-vs-duplicate decision, factored out of the
+    foreachBatch handler so its PLAN is testable with plain frames.
+
+    Plan contract (tests/test_plan_shapes.py): the vs-store probe is an
+    EQUI-join on the short band keys (band_idx, band_key) — the store is
+    consulted through its band index, never cross-joined or rescanned per
+    candidate — and the within-batch check is the same band-keyed
+    self-join with a doc_id order predicate. No cartesian products
+    anywhere; per-batch cost is O(batch bands + matching store bands)."""
+    from pyspark.sql import functions as _F
+
+    if store is not None:
+        vs_store = bands.join(
+            store.select("doc_id", "band_idx", "band_key").withColumnRenamed(
+                "doc_id", "prior_doc"
+            ),
+            ["band_idx", "band_key"],
+        ).select("doc_id")
+    else:
+        vs_store = bands.limit(0).select("doc_id")
+    within = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (_F.col("a.band_idx") == _F.col("b.band_idx"))
+            & (_F.col("a.band_key") == _F.col("b.band_key"))
+            & (_F.col("a.doc_id") < _F.col("b.doc_id")),
+        )
+        .select(_F.col("b.doc_id").alias("doc_id"))
+    )
+    dups = vs_store.unionByName(within).distinct()
+    return (
+        bdf.select("doc_id")
+        .distinct()
+        .join(dups.withColumn("hit", _F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            _F.lit(arrival).alias("arrival_batch"),
+            _F.col("hit").isNull().alias("is_new"),
+        )
+    )
 
 
 def _s11_band_sql() -> str:
@@ -829,36 +885,10 @@ def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
         has_store = any(
             e.name.startswith("batch=") for e in _os.scandir(store_dir)
         )
-        if has_store:
-            store = bdf.sparkSession.read.parquet(store_dir).select(
-                "doc_id", "band_idx", "band_key"
-            )
-            vs_store = bands.join(
-                store.withColumnRenamed("doc_id", "prior_doc"), ["band_idx", "band_key"]
-            ).select("doc_id")
-        else:
-            vs_store = bands.limit(0).select("doc_id")
-        within = (
-            bands.alias("a")
-            .join(
-                bands.alias("b"),
-                (_F.col("a.band_idx") == _F.col("b.band_idx"))
-                & (_F.col("a.band_key") == _F.col("b.band_key"))
-                & (_F.col("a.doc_id") < _F.col("b.doc_id")),
-            )
-            .select(_F.col("b.doc_id").alias("doc_id"))
+        store = (
+            bdf.sparkSession.read.parquet(store_dir) if has_store else None
         )
-        dups = vs_store.unionByName(within).distinct()
-        decisions = (
-            bdf.select("doc_id")
-            .distinct()
-            .join(dups.withColumn("hit", _F.lit(True)), "doc_id", "left")
-            .select(
-                "doc_id",
-                _F.lit(arrival).alias("arrival_batch"),
-                _F.col("hit").isNull().alias("is_new"),
-            )
-        )
+        decisions = s11_batch_decisions(bdf, bands, store, arrival)
         # idempotent on replay: each batch owns its subdirectory
         decisions.write.mode("overwrite").parquet(
             _os.path.join(out_dir, f"batch={arrival}")

