@@ -124,6 +124,82 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("flagship_hitrate_last10", oracle=FLAGSHIP_ORACLE)(flagship)
 
 
+@query("flagship_hitrate_bucketed", oracle=FLAGSHIP_ORACLE)
+def flagship_hitrate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship over a MAINTAINED suppkey-bucketed staging layout —
+    the 100 TB remedy for its one fact-scale shuffle (VERDICT r9 item 1,
+    BENCH_sf1 sixth decade: at sf300 the per-supplier window exchange over
+    lineitem⋈orders alone exceeds a single box's disk).
+
+    The layout: lineitem⋈orders pre-joined once, pre-projected to the five
+    window columns, landed bucketed by ``l_suppkey`` and sorted by the
+    window order (``plans/joins.bucketed_layout``). Every subsequent run's
+    per-supplier window then reads bucket-local, pre-sorted data — the
+    physical plan has NO Exchange between the scan and the Window
+    (asserted by tests/test_plan_shapes.py); the only shuffles left are
+    the supplier-grain broadcast and the ≤|supplier| leaderboard rank. The
+    layout build pays the join shuffle ONCE at landing time — on a
+    cluster that is the routine maintenance write this entry's docstring
+    exists to justify; per-run cost after it is shuffle-free.
+
+    Results identical to ``flagship_hitrate_last10`` (same oracle)."""
+    from nba_data_pipeline_spark.plans.joins import bucketed_layout, sf_label
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey", "l_quantity", "o_orderdate", "l_orderkey", "l_linenumber"
+    )
+    staged = bucketed_layout(
+        spark,
+        joined,
+        f"bkt_flagship_{sf_label(sf_dir)}",
+        "l_suppkey",
+        sort_cols=["l_suppkey", "o_orderdate", "l_orderkey", "l_linenumber"],
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    frame = (
+        W.partitionBy("l_suppkey")
+        .orderBy("o_orderdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-9, 0)
+    )
+    asc = W.partitionBy("l_suppkey").orderBy(
+        "o_orderdate", "l_orderkey", "l_linenumber"
+    )
+    hit = F.when(F.col("l_quantity") > 25, 1).otherwise(0)
+    rolled = (
+        staged.withColumn(
+            "rolling_avg_qty",
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(frame).cast("double")
+            / F.count("l_quantity").over(frame),
+        )
+        .withColumn(
+            "hit_rate",
+            F.sum(hit).over(frame).cast("double") / F.count(F.lit(1)).over(frame),
+        )
+        .withColumn("rn", F.row_number().over(asc))
+        .withColumn("n_rows", F.count(F.lit(1)).over(W.partitionBy("l_suppkey")))
+        .filter(F.col("rn") == F.col("n_rows"))
+    )
+    return (
+        rolled.join(F.broadcast(supplier), rolled.l_suppkey == supplier.s_suppkey)
+        .withColumn(
+            "hit_rank",
+            F.rank()
+            .over(
+                bounded_window(
+                    F.desc("hit_rate"), F.asc("s_suppkey"), anchor="s_suppkey"
+                )
+            )
+            .cast("int"),
+        )
+        .select("s_suppkey", "s_name", "rolling_avg_qty", "hit_rate", "hit_rank")
+        .orderBy("hit_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # A12: derived-efficiency arithmetic aggregation (four-factors style,
 # Cleaning_Glass_#1.py:71-81) — TPC-H Q1-shaped pricing summary.

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
 from nba_data_pipeline_spark.operators.dedup import (
+    hashed_shingle_sets,
     jaccard_pairs,
     keep_first,
     lsh_band_keys,
@@ -128,7 +129,7 @@ def d5_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sh = shingle_sets(d).persist()
+    sh = hashed_shingle_sets(d).persist()
     return (
         jaccard_pairs(sh)
         .select("id_a", "id_b", "jaccard")
@@ -494,7 +495,8 @@ def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Persisted for the same reason as in d5_ngram_jaccard_topk: two
     # consumers, one Python shingling pass.
-    sh = shingle_sets(d).persist()
+    # persisted in the 8-byte hashed form — see hashed_shingle_sets
+    sh = hashed_shingle_sets(d).persist()
     edges = (
         jaccard_pairs(sh, min_jaccard=0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -534,7 +536,8 @@ def d5_cc_clusters_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sh = shingle_sets(d).persist()
+    # persisted in the 8-byte hashed form — see hashed_shingle_sets
+    sh = hashed_shingle_sets(d).persist()
     edges = (
         jaccard_pairs(sh, min_jaccard=0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -1133,7 +1136,8 @@ def d11_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "n_chars")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sh = shingle_sets(d.select("doc_id", "text")).persist()
+    # persisted in the 8-byte hashed form — see hashed_shingle_sets
+    sh = hashed_shingle_sets(d.select("doc_id", "text")).persist()
     edges = jaccard_pairs(sh, min_jaccard=0.5).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

@@ -380,33 +380,57 @@ _BUCKETED: set[str] = set()
 _N_BUCKETS = 8
 
 
-def _bucketed(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFrame:
-    import re
+def bucketed_layout(
+    spark: SparkSession,
+    df: DataFrame,
+    tname: str,
+    key: str,
+    sort_cols: list[str] | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Land ``df`` once as an external table bucketed (and sorted) by
+    ``key`` and return the table — the maintained-LAYOUT primitive behind
+    j10's co-located join and the flagship's exchange-free per-supplier
+    window. The write pays the one shuffle a repeated query would
+    otherwise pay every run; every later read is bucket-local.
+
+    Written as an EXTERNAL table at an absolute temp path: the default
+    managed location lives under spark.sql.warehouse.dir, which resolves
+    relative to the launching process's cwd — a cwd the round driver
+    controls, not us. A previous process may also have left the table (or
+    just its orphaned location) behind; clear both so the write is fresh.
+    """
     import shutil
     import tempfile
 
-    sf_label = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    tname = f"bkt_{table}_{sf_label}"
     if tname not in _BUCKETED:
-        # Write as an EXTERNAL table at an absolute temp path: the default
-        # managed location lives under spark.sql.warehouse.dir, which
-        # resolves relative to the launching process's cwd — a cwd the
-        # round driver controls, not us. A previous process may also have
-        # left the table (or just its orphaned location) behind; clear
-        # both so the write is fresh.
         loc = f"{tempfile.gettempdir()}/spark_graft_bucketed/{tname}"
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
         shutil.rmtree(loc, ignore_errors=True)
         (
-            read_table(spark, sf_dir, table)
-            .write.bucketBy(_N_BUCKETS, key)
-            .sortBy(key)
+            df.write.bucketBy(n_buckets or _N_BUCKETS, key)
+            .sortBy(*(sort_cols or [key]))
             .option("path", loc)
             .mode("overwrite")
             .saveAsTable(tname)
         )
         _BUCKETED.add(tname)
     return spark.table(tname)
+
+
+def sf_label(sf_dir: str) -> str:
+    import re
+
+    return re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+
+
+def _bucketed(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFrame:
+    return bucketed_layout(
+        spark,
+        read_table(spark, sf_dir, table),
+        f"bkt_{table}_{sf_label(sf_dir)}",
+        key,
+    )
 
 
 @query(

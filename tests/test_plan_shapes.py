@@ -92,6 +92,26 @@ def test_bucketed_join_has_no_shuffle_below_join(spark):
     assert "Exchange" not in below
 
 
+def test_flagship_bucketed_window_is_exchange_free(spark):
+    """flagship_hitrate_bucketed's contract: over the suppkey-bucketed
+    staging layout, the per-supplier rolling window — the one fact-scale
+    shuffle of the plain flagship, and its sf300 single-box wall — runs
+    with NO Exchange between the layout scan and the Window (in-partition
+    sort only). The shuffles that remain sit above supplier grain."""
+    df = load_all()["flagship_hitrate_bucketed"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    phys = plan.split("== Physical Plan ==")[-1]
+    # the DEEPEST Window node is the rolling frame over the staged layout;
+    # the path from it down to the bucketed FileScan must be exchange-free
+    # (text after the scan belongs to sibling branches — the supplier
+    # broadcast — so the slice stops at the layout scan line)
+    win_pos = phys.rindex("Window")
+    scan_pos = phys.index("bkt_flagship", win_pos)
+    path = phys[win_pos:scan_pos]
+    assert "Exchange" not in path
+    assert "Bucketed: true" in phys[scan_pos : scan_pos + 400]
+
+
 # The 12 r4-session additions (plans/registry.py r5-queue note): never
 # driver-checked until their r5 rotation slot, so each holds the same
 # structural contract — plan-clean + a fingerprint naming the node that

@@ -80,6 +80,36 @@ def lane_members(names: list[str]) -> dict[str, list[str]]:
     return out
 
 
+def names_all_streaming(names: list[str], lanes: dict[str, list[str]]) -> bool:
+    streaming = set(lanes.get("streaming", ()))
+    return bool(names) and all(n in streaming for n in names)
+
+
+def streaming_worker_cap(
+    heap_gb: float | None = None, per_worker_gb: float = 4.5
+) -> int:
+    """Python-worker count the box can actually feed at a deep-decade
+    streaming drain: (MemAvailable − JVM heap) / measured per-worker peak.
+
+    The 4.5 GB/worker figure is the sf300 s11 measurement solved backward:
+    32 workers OOM'd and 16 ran clean on a 125 GB box with a 48 g heap —
+    (120 − 48) / 16 ≈ 4.5. On a box without /proc, falls back to cpu
+    count (no cap)."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = {
+                line.split(":")[0]: int(line.split()[1]) for line in f
+            }
+        avail_gb = kb["MemAvailable"] / 1024 / 1024
+    except Exception:  # noqa: BLE001
+        return os.cpu_count() or 8
+    if heap_gb is None:
+        m = re.match(r"(\d+)g", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        heap_gb = float(m.group(1)) if m else 48.0
+    usable = max(avail_gb - heap_gb, per_worker_gb)
+    return max(4, min(os.cpu_count() or 8, int(usable // per_worker_gb)))
+
+
 def resolve_sf(sf: str) -> str:
     """Shorthand SF name or directory path -> parquet directory."""
     if os.path.isdir(sf):
@@ -324,6 +354,15 @@ def main() -> int:
     m = re.search(r"sf(\d+)$", sf_dir)
     decade = int(m.group(1)) if m else 0
     default_cpus = os.cpu_count() or 8 if decade >= 10 else 8
+    # Deep-decade STREAMING runs: thread count is a first-class memory
+    # knob (BENCH_sf1 sixth decade — s11 at sf300 with 32 threads stacks
+    # one resident Arrow-worker peak per core and a Python worker dies;
+    # 16 ran clean). When every requested entry is in the streaming lane
+    # at decade >= 300, derive the worker count from the memory actually
+    # available to Python workers instead of requiring a hand-set
+    # SPARK_GRAFT_CPUS. Explicit env still wins.
+    if decade >= 300 and names_all_streaming(names, lanes):
+        default_cpus = min(default_cpus, streaming_worker_cap())
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or default_cpus
     if decade >= 30 and not os.environ.get("SPARK_DRIVER_MEMORY"):
         # past ~300x a 16g heap cannot hold one stage's execution memory at
