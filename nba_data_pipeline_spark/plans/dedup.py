@@ -129,13 +129,35 @@ def d5_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sh = hashed_shingle_sets(d).persist()
+    sh = _hashed_shingles_adaptive(sf_dir, d)
     return (
         jaccard_pairs(sh)
         .select("id_a", "id_b", "jaccard")
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(50)
     )
+
+
+
+#: below this many documents the hashed-shingle relation is persisted for
+#: its multiple consumers; above it the cache itself becomes the box/executor
+#: hazard (sf300: 2.3B exploded rows x 16B > one box's scratch) and the
+#: right trade is re-running the streaming shingle pass per consumer —
+#: exchange reuse already shares the expensive join-side exchange.
+HASHED_SHINGLE_PERSIST_DOCS = 2_000_000
+
+
+def _hashed_shingles_adaptive(sf_dir: str, d):
+    """hashed_shingle_sets over ``d``, persisted only while the footer
+    row count says the cache is an optimization rather than a liability
+    (the geo1 footer-probe discipline)."""
+    from nba_data_pipeline_spark.io import table_row_count
+
+    sh = hashed_shingle_sets(d)
+    n_docs = table_row_count(sf_dir, "documents")
+    if n_docs is None or n_docs <= HASHED_SHINGLE_PERSIST_DOCS:
+        sh = sh.persist()
+    return sh
 
 
 _NUM_HASHES = 12
@@ -496,7 +518,7 @@ def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted for the same reason as in d5_ngram_jaccard_topk: two
     # consumers, one Python shingling pass.
     # persisted in the 8-byte hashed form — see hashed_shingle_sets
-    sh = hashed_shingle_sets(d).persist()
+    sh = _hashed_shingles_adaptive(sf_dir, d)
     edges = (
         jaccard_pairs(sh, min_jaccard=0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -537,7 +559,7 @@ def d5_cc_clusters_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     # persisted in the 8-byte hashed form — see hashed_shingle_sets
-    sh = hashed_shingle_sets(d).persist()
+    sh = _hashed_shingles_adaptive(sf_dir, d)
     edges = (
         jaccard_pairs(sh, min_jaccard=0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -1137,7 +1159,7 @@ def d11_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     # persisted in the 8-byte hashed form — see hashed_shingle_sets
-    sh = hashed_shingle_sets(d.select("doc_id", "text")).persist()
+    sh = _hashed_shingles_adaptive(sf_dir, d.select("doc_id", "text"))
     edges = jaccard_pairs(sh, min_jaccard=0.5).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

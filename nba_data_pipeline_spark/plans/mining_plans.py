@@ -71,21 +71,24 @@ def mb1_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k(k-1)/2 pairs, so pathological mega-baskets are the one skew risk —
     cap k upstream (or salt orderkey) if baskets are unbounded.
     Lift = support·N / (s1·s2) reported rounded."""
-    # persist the distinct basket-item table (it feeds item supports, the
-    # basket count, and the frequent-subset join — uncached, the distinct
-    # shuffle re-ran per consumer) and the frequent subset (it feeds both
-    # sides of the pair self-join).
+    # Persist ONLY the part-grain frequent-item table (it feeds three
+    # broadcasts: the apriori prune and both lift joins — uncached, its
+    # 1.8B-row support aggregate would re-run per broadcast). The
+    # fact-grain relations stay UNPERSISTED: the distinct's exchange is
+    # reused by every downstream consumer (sup1, both pair-join sides, the
+    # basket count all read the same shuffle files), and the pair
+    # self-join's two sides canonicalize to one exchange. At sf300 the two
+    # former fact-grain persists were ~58 GB of cache on a box whose whole
+    # scratch budget is less than that — cache the contraction, never the
+    # fact (the r10 d5_cc/d5_minhash discipline).
     items = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .persist()
     )
     sup1 = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    freq = sup1.filter(F.col("s") >= MIN_ITEM_SUPPORT)
-    fitems = items.join(
-        F.broadcast(freq.select("l_partkey")), "l_partkey"
-    ).persist()
+    freq = sup1.filter(F.col("s") >= MIN_ITEM_SUPPORT).persist()
+    fitems = items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
     a = fitems.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1")
     )

@@ -54,77 +54,81 @@ def query(name: str, oracle: str | None = None):
 # Everything else — driver-green in r1/r2 and semantically unchanged — sits
 # after the prefix and stays covered by tools/check.py locally.
 _FRONT: tuple[str, ...] = (
-    # ROUND-9 ROTATION. Standing policy: head = entries whose
+    # ROUND-10 ROTATION. Standing policy: head = entries whose
     # implementation changed or that are new this round (they need
     # (re-)verification on the driver signal), then the prefix fills with
-    # the entries whose last driver check is OLDEST (here: r1/r2-only),
-    # so verification debt ages out instead of accumulating. Everything
-    # else is driver-green in a later round and semantically unchanged —
-    # covered locally by tools/check.py full sweeps at sf0.01 and sf1.
+    # the entries whose last driver check is OLDEST (the r2 cohort, now
+    # the stalest), so verification debt ages out instead of accumulating.
     #
-    # --- new r9: the dvp CLI's combined nested-document pipeline
-    # (X11 + W1 LA rule + S5 gate + the SNK4 envelope, end to end) ---
-    "snk14_dvp_matrix_tree",
-    # --- new r9: the lineup-table UDTF walk (UD3, lineup_scraper.py:31-114) ---
-    "ud3_lineup_parse",
-    # --- changed r9: running_extreme gained the size-adaptive single-task
-    # cutover (sky1 is its one catalog consumer) ---
-    "sky1_pareto_frontier",
-    # --- changed r9: geo1's partition pin is now derived from a footer-
-    # stats probe instead of a static value ---
-    "geo1_grid_distance_join",
-    # --- changed r9: write_team_stats_tree streams per-(team, table)
-    # partials instead of accumulating every envelope in driver memory ---
-    "snk13_bref_stats_tree",
-    # --- r9: the prompts CLI reuses this operator for its distributed
-    # prompt generation — re-pin it with the new consumer ---
-    "ud4_llm_prompt",
-    # --- oldest driver checks (r1) ---
-    "a11_onoff_split",
-    "a12_pricing_summary",
-    "a13_cube_order_mix",
-    "a13_rollup_revenue",
-    "a1_group_collect",
-    "a2_group_fanout_manifest",
-    "a3_count_metadata",
-    "a5_completeness_counts",
-    "a6_market_buckets",
-    "a7_argmax_order",
-    "a9_rolling_averages",
-    "a_pivot_matrix",
-    "d1_first_wins_dedup",
-    "d2_prefix_dedup",
-    "d3_full_row_distinct",
-    "d4_content_hash_dedup",
-    "d5_simhash_signatures",
-    "f2_keyword_length",
-    "f3_pattern_exclusion",
-    "f5_name_shape",
-    "f6_token_list_validate",
-    "f7_min_content",
-    "f8_skip_if_exists",
-    "j1_dim_enrichment",
-    "j3_anti_join_missing",
-    "j4_containment_match",
-    "j6_customer_revenue_topk",
-    "j7_asof_latest_event",
-    "j8_semi_join_selection",
-    "j9_time_range_join",
-    "n_normalize_pipeline",
-    "sim_topk_bruteforce",
-    "u1_union_dedupe",
-    "u2_multistrategy_union",
-    "u3_except_missing",
-    "u4_intersect_common",
-    "ud5_grouped_normalize",
-    # --- oldest driver checks (r2) ---
-    "a14_approx_distinct",
-    "a15_approx_percentile_bounded",
-    "a4_sum_group_sizes",
-    "d5_embedding_cosine_neardup",
+    # --- new r10: the flagship over a maintained suppkey-bucketed layout
+    # (bucketed_layout; per-supplier window exchange-free) ---
+    "flagship_hitrate_bucketed",
+    # --- changed r10: three chained total_order ranks -> multi_ntile_exact
+    # boundary selection (sf300 engine-only 514.5 s -> 255.5 s) ---
+    "a43_rfm_segmentation",
+    # --- changed r10: corpus-wide shingle-array persist removed; verify
+    # re-shingles only the LSH candidates (sf300: box-bound -> sampled
+    # oracle green, 530.5 s) ---
+    "d5_minhash_lsh_pairs",
+    # --- changed r10: hashed_shingle_sets + footer-probe-adaptive persist
+    # (16-byte cache rows; deep decades stream instead of caching) ---
+    "d5_cc_clusters",
+    "d5_cc_clusters_multipart",
+    "d11_survivor_selection",
     "d5_ngram_jaccard_topk",
-    "d6_semdedup_prune",
-    "d8_crossdoc_ngram_coverage",
+    # --- changed r10: fact-grain persists dropped for exchange reuse;
+    # only the part-grain frequent-item table is cached ---
+    "mb1_frequent_pairs",
+    # --- changed r10: foreachBatch state transitions factored into
+    # plan-testable functions (s9_batch_state / s11_batch_decisions);
+    # s11 also keys its landing cache by source mtime and ran the full
+    # sf300 oracle unattended at the derived 16-worker cap (1424.4 s) ---
+    "s9_foreach_batch_upsert",
+    "s11_stream_incremental_minhash",
+    # --- changed r10: sentinel/stability landings key on source mtime ---
+    "s13_stream_outer_join",
+    "s3_stability_tracker",
+    # --- changed r10: lineup rows tolerate >=3 cells (ADVICE r9) ---
+    "ud3_lineup_parse",
+    # --- oldest driver checks (r2 cohort) ---
+    "j10_bucketed_join",
+    "s1_stream_ingest_counts",
+    "s2_stream_arrival_dedupe",
+    "s6_tumbling_windows",
+    "s7_stream_static_join",
+    "sim_ivf_probe1",
+    "sim_kmeans_train",
+    "sim_quantize_int8",
+    "sim_recall_eval",
+    "skew_salted_agg",
+    "snk3_sink_modes",
+    "src_csv_roundtrip",
+    "src_html_roundtrip",
+    "src_json_props",
+    "ta_chunk_overlap",
+    "ta_decontaminate",
+    "ta_fingerprint_groups",
+    "ta_gopher_rules",
+    "ta_language_id",
+    "ta_mixture_weights",
+    "ta_pii_scrub",
+    "ta_quality_scores",
+    "ta_tfidf_top_terms",
+    "ta_token_budget_pack",
+    "ta_token_counts",
+    "ta_train_test_split",
+    "ta_vocab_topk",
+    "ud13_prop_line_walker",
+    "udaf_median_price",
+    "w1_ordinal_disambiguation",
+    "w2_rank_within_group",
+    "w3_longest_streak",
+    "w5_calendar_range_frame",
+    "w6_sessionize",
+    "x_prop_extraction",
+    # --- oldest r3 (fills the 50-slot prefix) ---
+    "a16_hll_sketch_rollup",
+    "a17_incremental_merge",
 )
 
 
