@@ -216,24 +216,38 @@ def d5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pinned to the scan's single row-group task
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    from nba_data_pipeline_spark.io import table_row_count
     from nba_data_pipeline_spark.operators.textops import distinct_word_shingles_fast
 
-    # ONE streaming corpus pass for signatures — the shingle arrays are
-    # consumed inline by the signature projection and never materialized.
-    # (The r9 form persisted (doc_id, sh_arr) for the whole corpus so the
-    # verify could reuse it; at sf300 that cache is ~70 GB of string arrays
-    # and was the entry's single-box wall. The verify below re-shingles
-    # only the CANDIDATE docs instead — the LSH-filtered candidate set is
-    # tiny relative to the corpus, so recomputing its shingles costs far
-    # less than materializing everyone's.)
+    # Size-adaptive shingle materialization (footer probe, the d5_cc /
+    # geo1 discipline): on a SMALL corpus the (doc_id, sh_arr) cache is an
+    # optimization — signatures and both verify sides share one Python
+    # shingling pass. Past HASHED_SHINGLE_PERSIST_DOCS the cache itself is
+    # the hazard (sf300: ~70 GB of string arrays was this entry's
+    # single-box wall), so the corpus pass STREAMS into the signature
+    # projection and the verify re-shingles only the LSH-filtered
+    # CANDIDATE docs — tiny relative to the corpus. Measured: sf0.1 keeps
+    # its ~1 s cached plan; sf300 flipped from box-bound to green
+    # (sampled oracle, 530.5 s).
     # Signatures straight off the arrays (array_min over transform): the
     # same min-of-md5 per seed, computed per-row in codegen — no explode
     # and no groupBy shuffle. (The r2 explode+agg form re-shuffled every
     # shingle row just to re-group what the array already groups; that was
     # the d5_minhash bench regression.)
-    sig = d.select(
-        "doc_id", distinct_word_shingles_fast(F.col("text")).alias("sh_arr")
-    ).select("doc_id", *minhash_signature(F.col("sh_arr"), _NUM_HASHES))
+    n_docs = table_row_count(sf_dir, "documents")
+    small = n_docs is not None and n_docs <= HASHED_SHINGLE_PERSIST_DOCS
+    docs = None
+    if small:
+        docs = d.select(
+            "doc_id", distinct_word_shingles_fast(F.col("text")).alias("sh_arr")
+        ).persist()
+        sig = docs.select(
+            "doc_id", *minhash_signature(F.col("sh_arr"), _NUM_HASHES)
+        )
+    else:
+        sig = d.select(
+            "doc_id", distinct_word_shingles_fast(F.col("text")).alias("sh_arr")
+        ).select("doc_id", *minhash_signature(F.col("sh_arr"), _NUM_HASHES))
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -253,35 +267,42 @@ def d5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        # consumed three times below (two id semi-joins + the pair attach);
-        # checkpoint so the sig/band lineage runs once. Tiny: LSH-filtered
-        # pair ids only.
-        .localCheckpoint(eager=False)
     )
-    # Verify ONLY the candidates: semi-join the raw corpus down to the docs
-    # that appear in some pair, re-shingle JUST those, and compute the
-    # exact Jaccard with array_intersect — no second all-pairs shingle join
-    # and no corpus-wide shingle materialization. (The SQL oracle computes
-    # inter via the generic join; values identical.) The candidate set is
-    # LSH-filtered and therefore tiny relative to the corpus — broadcast it
-    # (and the cand-sized intermediate) so the corpus is never shuffled for
-    # the verify.
-    sh_a = d.join(
-        F.broadcast(cand.select(F.col("id_a").alias("doc_id")).distinct()),
-        "doc_id",
-    ).select(
-        F.col("doc_id").alias("id_a"),
-        distinct_word_shingles_fast(F.col("text")).alias("sh_a"),
-    )
-    sh_b = d.join(
-        F.broadcast(cand.select(F.col("id_b").alias("doc_id")).distinct()),
-        "doc_id",
-    ).select(
-        F.col("doc_id").alias("id_b"),
-        distinct_word_shingles_fast(F.col("text")).alias("sh_b"),
-    )
-    with_a = sh_a.join(F.broadcast(cand), "id_a")
-    with_b = sh_b.join(F.broadcast(with_a), "id_b")
+    # Verify ONLY the candidates: exact Jaccard with array_intersect over
+    # the pair's two shingle sets — no second all-pairs shingle join. (The
+    # SQL oracle computes inter via the generic join; values identical.)
+    # The candidate set is LSH-filtered and therefore tiny relative to the
+    # corpus — broadcast it (and the cand-sized intermediate) so the
+    # corpus is never shuffled for the verify.
+    if small:
+        with_a = docs.select(
+            F.col("doc_id").alias("id_a"), F.col("sh_arr").alias("sh_a")
+        ).join(F.broadcast(cand), "id_a")
+        with_b = docs.select(
+            F.col("doc_id").alias("id_b"), F.col("sh_arr").alias("sh_b")
+        ).join(F.broadcast(with_a), "id_b")
+    else:
+        # streaming path: semi-join the raw corpus down to the docs that
+        # appear in some pair and re-shingle JUST those. cand is consumed
+        # three times (two id semi-joins + the pair attach) — checkpoint
+        # so the sig/band lineage runs once; tiny, pair ids only.
+        cand = cand.localCheckpoint(eager=False)
+        sh_a = d.join(
+            F.broadcast(cand.select(F.col("id_a").alias("doc_id")).distinct()),
+            "doc_id",
+        ).select(
+            F.col("doc_id").alias("id_a"),
+            distinct_word_shingles_fast(F.col("text")).alias("sh_a"),
+        )
+        sh_b = d.join(
+            F.broadcast(cand.select(F.col("id_b").alias("doc_id")).distinct()),
+            "doc_id",
+        ).select(
+            F.col("doc_id").alias("id_b"),
+            distinct_word_shingles_fast(F.col("text")).alias("sh_b"),
+        )
+        with_a = sh_a.join(F.broadcast(cand), "id_a")
+        with_b = sh_b.join(F.broadcast(with_a), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jacc = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
