@@ -3591,6 +3591,17 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (45M customers) the rank chain measured 514 s un-pinned / 439 s with
     the AQE-exempt partition pin; the boundary plan needs none of that
     window machinery."""
+    # The checkpoint's partition count is PINNED before it is written:
+    # AQE byte-targets the customer-grain aggregate's output to ~40 B·n /
+    # 64 MB partitions (10 at sf100, 18 at sf300), and every build-time
+    # pass below — the bucket-histogram aggregate and the boundary
+    # selects, whose per-row cost is the k-1 cut compares — would inherit
+    # that under-parallelization from the checkpoint blocks (measured at
+    # sf100: counts 34 s / boundary 18 s on 10 of 32 cores → 4.4 s / 1.8 s
+    # pinned). An explicit repartition is AQE-exempt; ~750k rows/task.
+    par = spark.sparkContext.defaultParallelism
+    n_cust = table_row_count(sf_dir, "customer") or 0
+    n_parts = max(par, -(-n_cust // 750_000))
     base = (
         read_table(spark, sf_dir, "orders")
         .select("o_custkey", "o_orderdate", "o_totalprice")
@@ -3602,6 +3613,7 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("monetary_cents"),
         )
+        .repartition(n_parts)
         .localCheckpoint(eager=False)
     )
     # The recency anchor — MAX(o_orderdate) over all orders — equals the
