@@ -139,23 +139,52 @@ def d5_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-#: below this many documents the hashed-shingle relation is persisted for
-#: its multiple consumers; above it the cache itself becomes the box/executor
-#: hazard (sf300: 2.3B exploded rows x 16B > one box's scratch) and the
-#: right trade is re-running the streaming shingle pass per consumer —
-#: exchange reuse already shares the expensive join-side exchange.
+#: below this many documents the hashed-shingle relation is always
+#: persisted (the cache is kilobytes-to-low-GB and strictly an
+#: optimization); above it the decision is RESOURCE-AWARE — see
+#: _shingle_cache_fits.
 HASHED_SHINGLE_PERSIST_DOCS = 2_000_000
+
+#: estimated hashed-shingle cache bytes per document: ~150 distinct
+#: 3-shingles per synthetic doc x 16 B (doc_id, hash) per exploded row.
+_SHINGLE_CACHE_BYTES_PER_DOC = 150 * 16
+
+#: the cache may claim at most this share of the scratch volume's free
+#: space — the rest belongs to the join exchange it coexists with (the
+#: sf100 probe measured persist+exchange together overrunning the disk
+#: that either alone would fit).
+_SHINGLE_CACHE_DISK_SHARE = 0.2
+
+
+def _shingle_cache_fits(n_docs: int) -> bool:
+    """Would the hashed-shingle cache fit comfortably beside its own join
+    exchange on the scratch volume? On a cluster this is per-executor
+    storage headroom; locally it is free space under the Spark local dir.
+    Measured both ways at sf100 (5M docs, ~12 GB cache): with ~27 GB free
+    the cached run beat streaming 242 s vs 445 s (r8 box state); with the
+    cache + exchange overrunning a 39 GB-free disk it OOS-failed — so the
+    probe, not a fixed doc count, decides."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    try:
+        free = _shutil.disk_usage(_tempfile.gettempdir()).free
+    except Exception:  # noqa: BLE001
+        return False
+    return n_docs * _SHINGLE_CACHE_BYTES_PER_DOC <= free * _SHINGLE_CACHE_DISK_SHARE
 
 
 def _hashed_shingles_adaptive(sf_dir: str, d):
     """hashed_shingle_sets over ``d``, persisted only while the footer
-    row count says the cache is an optimization rather than a liability
-    (the geo1 footer-probe discipline)."""
+    row count / free-scratch probe says the cache is an optimization
+    rather than a liability (the geo1 footer-probe discipline). Past the
+    cutover the streaming shingle pass re-runs per consumer — exchange
+    reuse already shares the expensive join-side exchange."""
     from nba_data_pipeline_spark.io import table_row_count
 
     sh = hashed_shingle_sets(d)
     n_docs = table_row_count(sf_dir, "documents")
-    if n_docs is None or n_docs <= HASHED_SHINGLE_PERSIST_DOCS:
+    if n_docs is None or n_docs <= HASHED_SHINGLE_PERSIST_DOCS or _shingle_cache_fits(n_docs):
         sh = sh.persist()
     return sh
 
