@@ -13,10 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
-from nba_data_pipeline_spark.operators.totalorder import (
-    ntile_from_rank,
-    total_order,
-)
+from nba_data_pipeline_spark.operators.totalorder import ntile_exact
 from nba_data_pipeline_spark.plans.exact import dsum, sql_dsum
 from nba_data_pipeline_spark.plans.registry import query
 
@@ -381,18 +378,17 @@ def w8_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedules and quality-stratified mixing. The tile order carries
     doc_id as tiebreaker so bucket membership is deterministic.
 
-    Scale note: the global NTILE runs on the distributed total-order
-    primitive (operators/totalorder.py): sampled bucket cuts, one hash
-    shuffle, per-bucket local ranks plus broadcast offsets — no stage
-    ever holds more than one bucket, so the decile labeling survives a
-    100x corpus. For per-epoch resharding the md5 shuffle-shard
+    Scale note: the global NTILE runs on the boundary-selection primitive
+    (operators/totalorder.ntile_exact, r10): exact bucket histogram →
+    nine boundary tuples selected by sorting only the buckets that hold
+    one → decile as a pure projection. The corpus is never globally
+    sorted or re-shuffled (the r9 form paid a full-frame hash shuffle +
+    window + broadcast-offset join for a rank it immediately collapsed to
+    a tile), so the labeling survives a 100x corpus with only bounded
+    passes. For per-epoch resharding the md5 shuffle-shard
     (ta_global_shuffle_shard) composes downstream of the decile label."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    ranked = total_order(
-        d, ["n_chars", "doc_id"], rank_col="__rnk", n_col="__n"
-    ).withColumn(
-        "decile", ntile_from_rank(F.col("__rnk"), F.col("__n"), 10)
-    )
+    ranked = ntile_exact(d, ["n_chars", "doc_id"], 10, tile_col="decile")
     return (
         ranked.groupBy("decile")
         .agg(
