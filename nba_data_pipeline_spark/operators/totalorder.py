@@ -320,6 +320,16 @@ def _py_sort_key(info: Sequence[tuple[str, str]]):
     NULLS LAST) order, for cut SELECTION only (see module docstring)."""
 
     class _Rev:
+        # __eq__ matters, not just __lt__: Python tuple comparison consults
+        # the NEXT element only when the current ones are EQUAL, so without
+        # it a desc key with tied values (zipfy frequencies, repeated
+        # prices) would stop the compare at the tie and never reach the
+        # tiebreaker — the cut list would come out not-fully-sorted. That
+        # costs tree balance / cut dedup, never rank correctness (see
+        # _bucket_expr), but the sort should simply be right. NaN stays
+        # NaN-ish: NaN != NaN, so ties-with-NaN don't advance to the
+        # tiebreaker — same as Spark's sort treating NaN as a largest
+        # value, close enough for cut SELECTION (cuts are advisory).
         __slots__ = ("v",)
 
         def __init__(self, v):
@@ -327,6 +337,9 @@ def _py_sort_key(info: Sequence[tuple[str, str]]):
 
         def __lt__(self, other):  # descending compare
             return other.v < self.v
+
+        def __eq__(self, other):
+            return self.v == other.v
 
     def key(row):
         ks = []
@@ -375,10 +388,14 @@ def _bucket_expr(cuts, info: Sequence[tuple[str, str]]) -> Column:
     base: Column = F.coalesce(F.length(lead.cast("string")), F.lit(0)) % 1
 
     # BINARY SEARCH over the sorted cuts, not a sum of all k-1 compares:
-    # bucket id = #{cuts <= row}, and because the cut list is sorted in
-    # the window's own order (cut_i <= cut_mid <= row chains by
-    # lexicographic transitivity), a balanced WHEN-tree evaluates only
-    # ~log2(k) tuple-compares per row where the old sum form evaluated
+    # bucket id = #{cuts <= row}. CORRECTNESS does not actually require
+    # the cut list to be sorted — the WHEN-tree is monotone in the
+    # per-cut `cut <= row` predicate vector, so a mis-ordered cut only
+    # unbalances the tree (some rows take longer paths), never changes
+    # #{cuts <= row}. _cuts_from_rows sorts them (including through desc
+    # ties — _Rev.__eq__) so the tree stays balanced and adjacent
+    # duplicate cuts dedupe, giving the ~log2(k) evaluated
+    # tuple-compares per row where the old sum form evaluated
     # all k-1. Measured at sf100 (15M customer rows, k=32): the
     # bucket-histogram pass dropped ~4x. Expression SIZE is unchanged
     # (every compare appears once in the tree) — only the evaluated path

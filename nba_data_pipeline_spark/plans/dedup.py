@@ -156,19 +156,44 @@ _SHINGLE_CACHE_BYTES_PER_DOC = 150 * 16
 _SHINGLE_CACHE_DISK_SHARE = 0.2
 
 
+def _spark_scratch_dir() -> str:
+    """The directory Spark actually spills persists/exchanges to: the
+    first entry of SPARK_LOCAL_DIRS / spark.local.dir if set (they may
+    point at a different volume than the system tempdir — probing tempdir
+    there would read the wrong disk), else the system tempdir, which is
+    Spark's own default for local mode."""
+    import os as _os
+    import tempfile as _tempfile
+
+    env = _os.environ.get("SPARK_LOCAL_DIRS", "")
+    if env:
+        return env.split(",")[0]
+    try:  # active session's spark.local.dir, if one is up
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            conf = s.conf.get("spark.local.dir", "")
+            if conf:
+                return conf.split(",")[0]
+    except Exception:  # noqa: BLE001
+        pass
+    return _tempfile.gettempdir()
+
+
 def _shingle_cache_fits(n_docs: int) -> bool:
     """Would the hashed-shingle cache fit comfortably beside its own join
     exchange on the scratch volume? On a cluster this is per-executor
-    storage headroom; locally it is free space under the Spark local dir.
-    Measured both ways at sf100 (5M docs, ~12 GB cache): with ~27 GB free
-    the cached run beat streaming 242 s vs 445 s (r8 box state); with the
-    cache + exchange overrunning a 39 GB-free disk it OOS-failed — so the
-    probe, not a fixed doc count, decides."""
+    storage headroom; locally it is free space under the Spark scratch dir
+    (spark.local.dir / SPARK_LOCAL_DIRS when configured — see
+    _spark_scratch_dir). Measured both ways at sf100 (5M docs, ~12 GB
+    cache): with ~27 GB free the cached run beat streaming 242 s vs 445 s
+    (r8 box state); with the cache + exchange overrunning a 39 GB-free
+    disk it OOS-failed — so the probe, not a fixed doc count, decides."""
     import shutil as _shutil
-    import tempfile as _tempfile
 
     try:
-        free = _shutil.disk_usage(_tempfile.gettempdir()).free
+        free = _shutil.disk_usage(_spark_scratch_dir()).free
     except Exception:  # noqa: BLE001
         return False
     return n_docs * _SHINGLE_CACHE_BYTES_PER_DOC <= free * _SHINGLE_CACHE_DISK_SHARE

@@ -33,11 +33,25 @@ _LANDING_CACHE: dict[tuple[str, str, int], str] = {}
 
 
 def _source_mtime_ns(sf_dir: str, table: str) -> int:
+    """Change stamp of the source table for the landing-cache key. For a
+    single-file table this is its mtime. For a DIRECTORY table the
+    directory's own mtime only moves when entries are added/removed —
+    rewriting a part-file in place keeps it — so hash the contained
+    files' (name, size, mtime) listing instead; any in-place rewrite
+    changes the stamp and forces a re-land."""
     import os as _os
 
     from nba_data_pipeline_spark.io import table_path
 
-    return _os.stat(table_path(sf_dir, table)).st_mtime_ns
+    p = table_path(sf_dir, table)
+    st = _os.stat(p)
+    if not _os.path.isdir(p):
+        return st.st_mtime_ns
+    h = 0
+    for name in sorted(_os.listdir(p)):
+        fs = _os.stat(_os.path.join(p, name))
+        h = hash((h, name, fs.st_size, fs.st_mtime_ns))
+    return h
 
 
 def _land(prefix: str, sf_dir: str, copies: int) -> str:

@@ -339,7 +339,16 @@ def write_prompt_tree(
     exercised by the ``ud4_llm_prompt`` catalog entry.
 
     ``timestamp`` is injected (the reference stamps ``datetime.now()``;
-    :468) so reruns are deterministic. Returns the landed file paths."""
+    :468) so reruns are deterministic. Returns the landed file paths.
+
+    ``source`` feeds the envelope's ``metadata.source`` ONLY. The prompt
+    body hardcodes 'Hard Rock Bet' because the template is
+    reference-VERBATIM (hardrock_scraper.py:467-505 has no source
+    placeholder) — a caller passing a different ``source`` gets envelopes
+    whose metadata names their source while the prompt prose still says
+    'Hard Rock Bet'. That is the reference's own behavior, kept
+    deliberately; thread a template parameter here if a non-Hard-Rock
+    prompt consumer ever materializes, and break byte-parity knowingly."""
     env = _envelope(df, [matchup_col, proptype_col], order_col)
     staging = os.path.join(base_dir, "_staging_prompts")
 

@@ -33,7 +33,8 @@ Round-10 addition — RUN-CLASS normalization: r9's only breach was
 ~205 s close-run class and then auditing a 218 s driver-run class. The
 budget file now records the reference run's total under ``__total__`` at
 rebase time; the audit scales every budget by the ratio of the audited
-run's total to that reference (clamped to [1, 1.25] — only ever LOOSENS,
+run's total to that reference, pro-rated to the query set shared by both
+runs (clamped to [1, 1.25] — only ever LOOSENS,
 and never by more than the plausible scheduler-noise band), so a
 uniformly slower run class cannot manufacture per-query breaches while a
 genuine single-query regression still fires. A small absolute epsilon
@@ -135,10 +136,18 @@ def main() -> int:
     if ref_total:
         shared = [k for k in timings if k in budgets]
         cur_total = sum(timings[k] for k in shared)
-        # per-query reference ≈ budget/HEADROOM (exact except the handful
-        # floored at FLOOR_SEC), restricted to the shared set so added or
-        # removed queries don't skew the class ratio
-        ref_shared = sum(budgets[k] for k in shared) / HEADROOM
+        # Reference for the shared set = the RECORDED __total__ (the actual
+        # reference run's seconds, per the docstring contract), pro-rated
+        # to the shared set by budget mass so added/removed queries don't
+        # skew the class ratio. Pro-rating by budget mass (rather than
+        # summing budget/HEADROOM directly) keeps FLOOR_SEC-floored
+        # sub-0.33 s entries from inflating the reference: the floor
+        # inflation appears in numerator and denominator of the shared
+        # fraction and cancels to second order, while the absolute scale
+        # comes from __total__, which the floor never touched.
+        mass_all = sum(budgets.values())
+        mass_shared = sum(budgets[k] for k in shared)
+        ref_shared = ref_total * (mass_shared / max(mass_all, 1e-9))
         ratio = max(1.0, min(cur_total / max(ref_shared, 1e-9), CLASS_RATIO_CAP))
 
     breaches = {
