@@ -214,6 +214,68 @@ def _hashed_shingles_adaptive(sf_dir: str, d):
     return sh
 
 
+#: the sliced edge miner may claim this share of free scratch per slice
+#: (both join sides of one slice land together; the rest of the volume
+#: belongs to the staged pair partials and whatever else the session holds).
+_CC_SLICE_DISK_SHARE = 0.25
+
+#: estimated prefix-relation bytes per document, one join side: ~75 prefix
+#: rows (half the ~150 distinct 3-shingles, +r) × 32 B (did, sz, pos, h).
+_CC_PREFIX_BYTES_PER_DOC = 75 * 32
+
+
+def _cc_slice_count(n_docs: int) -> int:
+    """Slice count for the spill-bounded edge miner: enough slices that
+    one slice's two-sided prefix exchange fits the scratch budget."""
+    import math
+    import shutil as _shutil
+
+    est = n_docs * _CC_PREFIX_BYTES_PER_DOC  # one join side's bytes
+    try:
+        free = _shutil.disk_usage(_spark_scratch_dir()).free
+    except Exception:  # noqa: BLE001
+        free = 8 << 30
+    budget = max(free * _CC_SLICE_DISK_SHARE, 1 << 30)
+    return min(32, max(1, math.ceil(2 * est / budget)))
+
+
+def cc_edges(spark: SparkSession, sf_dir: str, d: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """Near-dup edge mining for the D6 closure entries (and their sampled
+    checker): exact Jaccard ≥ ``min_jaccard`` (a dyadic rational — 0.5
+    here) over hashed 3-word shingles, as (src, dst) with src < dst.
+
+    Size-adaptive in the footer-probe discipline: while the hashed-shingle
+    cache fits beside its own join exchange (``_shingle_cache_fits``) the
+    persisted single-join plan runs (the measured-fast path through small
+    corpora — the any-shared-shingle fan-out IS the candidate generator
+    there and the whole graph fits one shuffle); past it the miner
+    switches to ``prefix_jaccard_pairs`` — the r-generalized prefix filter
+    over the shingle-hash order (zero-shuffle prefixes, sequential
+    hash-range slices sized by the free-scratch probe, exact array verify
+    on the candidate set). Identical edge sets either way: the prefix
+    filter is lossless at the threshold and the verify recomputes exact
+    Jaccard."""
+    from fractions import Fraction
+
+    from nba_data_pipeline_spark.io import table_row_count
+    from nba_data_pipeline_spark.operators.dedup import prefix_jaccard_pairs
+
+    n_docs = table_row_count(sf_dir, "documents")
+    if (
+        n_docs is None
+        or n_docs <= HASHED_SHINGLE_PERSIST_DOCS
+        or _shingle_cache_fits(n_docs)
+    ):
+        sh = _hashed_shingles_adaptive(sf_dir, d)
+        pairs = jaccard_pairs(sh, min_jaccard=min_jaccard)
+    else:
+        t = Fraction(min_jaccard).limit_denominator(1024)
+        pairs = prefix_jaccard_pairs(
+            d, t.numerator, t.denominator, n_slices=_cc_slice_count(n_docs)
+        )
+    return pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+
 _NUM_HASHES = 12
 _ROWS_PER_BAND = 3
 _SQL_SIG = ",\n    ".join(
@@ -590,14 +652,9 @@ def d5_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    # Persisted for the same reason as in d5_ngram_jaccard_topk: two
-    # consumers, one Python shingling pass.
-    # persisted in the 8-byte hashed form — see hashed_shingle_sets
-    sh = _hashed_shingles_adaptive(sf_dir, d)
-    edges = (
-        jaccard_pairs(sh, min_jaccard=0.5)
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    # Size-adaptive edge miner (persisted single join vs spill-bounded
+    # sequential slices) — see cc_edges.
+    edges = cc_edges(spark, sf_dir, d)
     # DSU treats edges as undirected — no symmetrize union needed.
     labels = connected_components(edges, num_partitions=1)
     from pyspark.sql import Window as W
@@ -633,12 +690,9 @@ def d5_cc_clusters_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    # persisted in the 8-byte hashed form — see hashed_shingle_sets
-    sh = _hashed_shingles_adaptive(sf_dir, d)
-    edges = (
-        jaccard_pairs(sh, min_jaccard=0.5)
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    # Size-adaptive edge miner (persisted single join vs spill-bounded
+    # sequential slices) — see cc_edges.
+    edges = cc_edges(spark, sf_dir, d)
     labels = connected_components(edges, num_partitions=4)
     from pyspark.sql import Window as W
 

@@ -1041,7 +1041,14 @@ def g8_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .persist()
+        # nation-pair grain (≤ 25×24 rows) consumed by SIX downstream
+        # stages — small layout + lazy pin (the g7 discipline) instead of
+        # a 32-partition persist, so each HITS half-step is a 1-task
+        # stage (measured 2.1 → 1.83 s at sf0.1; the same treatment
+        # REGRESSED g4/g5, whose per-round repartition exchange costs
+        # more than the small layout saves, so it stays local to g8).
+        .repartition(1)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("u").alias("n"))

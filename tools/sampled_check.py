@@ -365,20 +365,19 @@ def check_d5_cc(spark, con, sf_dir: str, k_pairs: int, k_anchors: int) -> list[s
     from pyspark.sql import functions as F
 
     from nba_data_pipeline_spark.io import read_table
-    from nba_data_pipeline_spark.operators.dedup import jaccard_pairs, shingle_sets
-    from nba_data_pipeline_spark.plans.dedup import _SQL_SH_REL
+    from nba_data_pipeline_spark.plans.dedup import _SQL_SH_REL, cc_edges
 
-    # Same edge construction as the entry (plans/dedup.py
-    # d5_cc_clusters_multipart): shingle equi-join, exact Jaccard >= 0.5.
+    # Same edge construction as the entry (plans/dedup.py cc_edges): the
+    # size-adaptive miner — persisted hashed-shingle equi-join on small
+    # corpora, spill-bounded sequential slices past the scratch probe (the
+    # checker's former unsliced string-shingle persist was itself the
+    # sf300 wall; the checker must scale wherever the entry does).
     d = (
         read_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sh = shingle_sets(d).persist()
-    edges_df = jaccard_pairs(sh, min_jaccard=0.5).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    edges_df = cc_edges(spark, sf_dir, d)
     edges = edges_df.toPandas()
 
     # --- 1. closure: exact union-find over the engine's edges -------------
@@ -487,7 +486,6 @@ def check_d5_cc(spark, con, sf_dir: str, k_pairs: int, k_anchors: int) -> list[s
             f"{sorted(want - got_anchor)[:3]} "
             f"(engine {len(got_anchor)} vs expected {len(want)})"
         )
-    sh.unpersist()
     return problems
 
 
