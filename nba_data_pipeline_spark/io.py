@@ -107,6 +107,43 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
     return None
 
 
+def table_col_minmax(sf_dir: str, name: str, col: str) -> tuple[int, int] | None:
+    """(min, max) of ``col`` from parquet FOOTER statistics — a driver-side
+    probe, zero data scan (same discipline as :func:`table_row_count`; on a
+    warehouse this is catalog column stats). Used by chunked layout builds
+    to derive key-range chunk bounds without a pre-pass over the fact.
+    Returns None when any row group lacks statistics for the column."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = table_path(sf_dir, name)
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        )
+        lo: int | None = None
+        hi: int | None = None
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        return lo, hi
+    except Exception:
+        return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one landed table. Plain parquet scan → Catalyst gets pushdown +
     pruning for free; callers must select/filter declaratively.

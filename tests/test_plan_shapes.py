@@ -112,6 +112,48 @@ def test_flagship_bucketed_window_is_exchange_free(spark):
     assert "Bucketed: true" in phys[scan_pos : scan_pos + 400]
 
 
+def test_flagship_bucketed_chunked_build_same_result_still_exchange_free(
+    spark, monkeypatch
+):
+    """The phase-wise layout build (sequential join-key-range chunks, the
+    sf300 scratch remedy) must land byte-identical RESULTS and keep the
+    window's Exchange-free contract — multi-file buckets cost an
+    in-partition Sort, never a shuffle."""
+    import nba_data_pipeline_spark.plans.analytics as A
+    from nba_data_pipeline_spark.plans import joins as J
+
+    specs = load_all()
+    want = {
+        tuple(r)
+        for r in specs["flagship_hitrate_last10"].fn(spark, SF_DIR).collect()
+    }
+
+    monkeypatch.setattr(A, "_flagship_build_chunk_count", lambda _sf: 3)
+    # evict any layout a previous test built so the chunked build runs
+    from nba_data_pipeline_spark.plans.joins import sf_label
+
+    J._BUCKETED.discard(f"bkt_flagship_{sf_label(SF_DIR)}")
+    df = specs["flagship_hitrate_bucketed"].fn(spark, SF_DIR)
+    got = {tuple(r) for r in df.collect()}
+    assert got == want
+
+    phys = plan_string(df).split("== Physical Plan ==")[-1]
+    win_pos = phys.rindex("Window")
+    scan_pos = phys.index("bkt_flagship", win_pos)
+    assert "Exchange" not in phys[win_pos:scan_pos]
+    assert "Bucketed: true" in phys[scan_pos : scan_pos + 400]
+    # and the chunked table must hold >1 file per bucket (the append path
+    # actually ran) — otherwise this test silently re-checked the one-shot
+    import glob
+    import tempfile
+
+    tname = f"bkt_flagship_{sf_label(SF_DIR)}"
+    files = glob.glob(f"{tempfile.gettempdir()}/spark_graft_bucketed/{tname}/*.parquet")
+    assert len(files) > J._N_BUCKETS
+    # leave a fresh one-shot layout behind for any later test in the session
+    J._BUCKETED.discard(tname)
+
+
 # The 12 r4-session additions (plans/registry.py r5-queue note): never
 # driver-checked until their r5 rotation slot, so each holds the same
 # structural contract — plan-clean + a fingerprint naming the node that
