@@ -31,6 +31,10 @@ from nba_data_pipeline_spark.plans.registry import query
 # would consider the files already processed.
 _LANDING_CACHE: dict[tuple[str, str, int], str] = {}
 
+#: landing dir -> inferred stream schema (landings are immutable; see
+#: _stream_events)
+_LANDING_SCHEMA: dict[str, object] = {}
+
 
 def _source_mtime_ns(sf_dir: str, table: str) -> int:
     """Change stamp of the source table for the landing-cache key. For a
@@ -87,8 +91,12 @@ def _stream_events(
     if land_dir is None:
         land_dir = _land(prefix, sf_dir, copies)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(land_dir).schema
-    reader = spark.readStream.format("parquet").schema(batch_schema)
+    # Landings are immutable once written (the cache key already folds in
+    # the SOURCE mtime), so the schema-inference batch read — one driver
+    # job per call, two for the dual-sided joins — caches per landing dir.
+    if land_dir not in _LANDING_SCHEMA:
+        _LANDING_SCHEMA[land_dir] = spark.read.parquet(land_dir).schema
+    reader = spark.readStream.format("parquet").schema(_LANDING_SCHEMA[land_dir])
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     sdf = reader.load(land_dir)
@@ -853,8 +861,21 @@ def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     store_dir = session_tmpdir("s11_store_")
     out_dir = session_tmpdir("s11_out_")
 
+    # One arrival file = ONE scan partition, which would serialize the
+    # shingling/minhash Arrow UDF on a single core; spread the batch
+    # before the UDF, sized to the batch (~half the corpus here), capped
+    # at the session's cores. At sf0.1 this halved the entry (7.6 -> 3.4 s
+    # with the scoped small-shuffle drain); at deep decades the cap wins
+    # and the spread equals defaultParallelism.
+    from nba_data_pipeline_spark.io import table_row_count
+
+    n_docs = table_row_count(sf_dir, "documents") or 0
+    udf_spread = min(
+        spark.sparkContext.defaultParallelism, max(2, n_docs // 500)
+    )
+
     def bands_of(bdf):
-        sig = bdf.select(
+        sig = bdf.repartition(udf_spread).select(
             "doc_id",
             distinct_word_shingles_fast(_F.col("text")).alias("sh_arr"),
         ).select("doc_id", *minhash_signature(_F.col("sh_arr"), 12))
@@ -912,20 +933,28 @@ def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
         )
         bands.unpersist()
 
-    schema = spark.read.parquet(land).schema
+    if land not in _LANDING_SCHEMA:
+        _LANDING_SCHEMA[land] = spark.read.parquet(land).schema
     stream = (
         spark.readStream.format("parquet")
-        .schema(schema)
+        .schema(_LANDING_SCHEMA[land])
         .option("maxFilesPerTrigger", "1")
         .load(land)
     )
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", streaming_checkpoint_dir("s11_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # foreachBatch's inner jobs (band build, store join, the two parquet
+    # writes) run during awaitTermination, so the scoped small-shuffle
+    # override reaches them too: a KB-scale batch gains nothing from the
+    # session's 32-way exchanges, and the store join's task-scheduling
+    # floor dominated this entry's wall-clock. At real scale the batch
+    # volume sizes this knob instead (same note as _small_state_shuffle).
+    with _small_state_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", streaming_checkpoint_dir("s11_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Single-path read here too; partition discovery adds a `batch` column
     # that the select drops.
     return (
