@@ -3651,7 +3651,10 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall clock — the catalog is replayable), all three metrics are exact
     integers (cents, counts, day diffs), and every NTILE carries
     o_custkey as tiebreaker so tile membership is bit-stable on both
-    engines. Segment labels are a shared integer CASE.
+    engines. Segment labels are a shared integer CASE. The engine never
+    materializes the anchor: recency DESC with a fixed anchor orders
+    identically to last_order ASC, so r_score rides the date column
+    directly (the oracle keeps the datediff form — same tiles).
 
     Scale shape: orders collapse to customer grain in one partially
     aggregated shuffle (localCheckpointed — every later pass reads the
@@ -3693,25 +3696,19 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_parts)
         .localCheckpoint(eager=False)
     )
-    # The recency anchor — MAX(o_orderdate) over all orders — equals the
-    # max of the per-customer maxes, so it comes from the (already
-    # checkpointed) customer-grain frame instead of a second full pass
-    # over the fact table. Collected to a literal (one bounded scalar,
-    # and it ALSO materializes the checkpoint) rather than riding as a
-    # broadcast subquery: a subquery re-executes as an extra job inside
-    # every build-time pass below.
-    anchor_date = base.agg(F.max("last_order")).collect()[0][0]
-    cust = base.select(
-        "o_custkey",
-        F.datediff(F.lit(anchor_date), "last_order").alias("recency_days"),
-        "frequency",
-        "monetary_cents",
-    )
-    ord_r = [("recency_days", "desc"), ("o_custkey", "asc")]
+    # No recency-anchor job: r_score is NTILE over recency DESC, and
+    # recency = datediff(anchor, last_order) with a FIXED anchor is a
+    # strictly decreasing bijection of last_order — so ordering by
+    # last_order ASC yields the identical tile assignment (same ties,
+    # same o_custkey tiebreak) without ever computing the anchor. The
+    # scalar collect that used to fetch MAX(o_orderdate) (one full
+    # bounded job) disappears; the cut-sample job below is now the
+    # checkpoint's first consumer and pays its materialization.
+    ord_r = [("last_order", "asc"), ("o_custkey", "asc")]
     ord_f = [("frequency", "asc"), ("o_custkey", "asc")]
     ord_m = [("monetary_cents", "asc"), ("o_custkey", "asc")]
     scored = multi_ntile_exact(
-        cust,
+        base,
         [(ord_r, 5, "r_score"), (ord_f, 5, "f_score"), (ord_m, 5, "m_score")],
     ).select("o_custkey", "monetary_cents", "r_score", "f_score", "m_score")
     segment = (
