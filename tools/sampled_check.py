@@ -835,7 +835,10 @@ SELECT DISTINCT a.doc_id, b.doc_id FROM bands a JOIN bands b
     return problems
 
 
-def check_flagship(spark, con, sf_dir: str, k_supps: int) -> list[str]:
+def check_flagship(
+    spark, con, sf_dir: str, k_supps: int,
+    entry: str = "flagship_hitrate_last10",
+) -> list[str]:
     """flagship_hitrate_last10 joins the sampled-oracle set at sf300: the
     full DuckDB oracle sorts the whole lineitem⋈orders stream through one
     window (~90 GB spill at 1.8 B rows — past the box, the defect-10
@@ -851,10 +854,15 @@ def check_flagship(spark, con, sf_dir: str, k_supps: int) -> list[str]:
       lineitem⋈orders restricted to those suppliers (predicate pushdown
       keeps it linear in K·rows-per-supplier). The rank column is covered
       by (2) once the sampled hit_rates are proven, because rank is a
-      pure function of the hit_rate ordering."""
+      pure function of the hit_rate ordering.
+
+    ``entry`` selects which flagship twin supplies the ENGINE side —
+    ``flagship_hitrate_bucketed`` runs the identical contract over the
+    maintained bucketed layout (its sf300 "done" check: the phase-wise
+    chunked build + exchange-free window, verified sampled)."""
     problems: list[str] = []
     qs = entrymod.queries()
-    eng = qs["flagship_hitrate_last10"](spark, sf_dir).toPandas()
+    eng = qs[entry](spark, sf_dir).toPandas()
 
     n_supp = con.sql(
         "SELECT COUNT(DISTINCT l_suppkey) FROM lineitem"
@@ -948,6 +956,7 @@ def main() -> int:
         ("d5_cc_clusters_multipart", lambda: check_d5_cc(spark, con, sf_dir, args.pairs, args.anchors)),
         ("mb1_frequent_pairs", lambda: check_mb1(spark, con, sf_dir, args.pairs, args.anchors)),
         ("flagship_hitrate_last10", lambda: check_flagship(spark, con, sf_dir, max(args.anchors, 64))),
+        ("flagship_hitrate_bucketed", lambda: check_flagship(spark, con, sf_dir, max(args.anchors, 64), entry="flagship_hitrate_bucketed")),
         ("d5_minhash_lsh_pairs", lambda: check_d5_minhash(spark, con, sf_dir, args.pairs, args.anchors)),
     ]
     if args.only:
