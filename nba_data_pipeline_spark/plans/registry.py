@@ -54,81 +54,76 @@ def query(name: str, oracle: str | None = None):
 # Everything else — driver-green in r1/r2 and semantically unchanged — sits
 # after the prefix and stays covered by tools/check.py locally.
 _FRONT: tuple[str, ...] = (
-    # ROUND-10 ROTATION. Standing policy: head = entries whose
+    # ROUND-11 ROTATION. Standing policy: head = entries whose
     # implementation changed or that are new this round (they need
     # (re-)verification on the driver signal), then the prefix fills with
-    # the entries whose last driver check is OLDEST (the r2 cohort, now
-    # the stalest), so verification debt ages out instead of accumulating.
+    # the entries whose last driver check is OLDEST (the r3 cohort — 39
+    # entries, 36 fit this round, the alphabetical tail rolls to r12), so
+    # verification debt ages out instead of accumulating.
     #
-    # --- new r10: the flagship over a maintained suppkey-bucketed layout
-    # (bucketed_layout; per-supplier window exchange-free) ---
-    "flagship_hitrate_bucketed",
-    # --- changed r10: three chained total_order ranks -> multi_ntile_exact
-    # boundary selection (sf300 engine-only 514.5 s -> 255.5 s) ---
-    "a43_rfm_segmentation",
-    # --- changed r10: corpus-wide shingle-array persist removed; verify
-    # re-shingles only the LSH candidates (sf300: box-bound -> sampled
-    # oracle green, 530.5 s) ---
-    "d5_minhash_lsh_pairs",
-    # --- changed r10: hashed_shingle_sets + footer-probe-adaptive persist
-    # (16-byte cache rows; deep decades stream instead of caching) ---
+    # --- changed r11: size-adaptive cc edge miner (persisted shingle
+    # equi-join below the scratch probe, spill-bounded r-generalized
+    # prefix-filter slices past it — operators/dedup.prefix_jaccard_pairs) ---
     "d5_cc_clusters",
     "d5_cc_clusters_multipart",
-    "d11_survivor_selection",
-    "d5_ngram_jaccard_topk",
-    # --- changed r10: fact-grain persists dropped for exchange reuse;
-    # only the part-grain frequent-item table is cached ---
-    "mb1_frequent_pairs",
-    # --- changed r10: foreachBatch state transitions factored into
-    # plan-testable functions (s9_batch_state / s11_batch_decisions);
-    # s11 also keys its landing cache by source mtime and ran the full
-    # sf300 oracle unattended at the derived 16-worker cap (1424.4 s) ---
-    "s9_foreach_batch_upsert",
-    "s11_stream_incremental_minhash",
-    # --- changed r10: sentinel/stability landings key on source mtime ---
-    "s13_stream_outer_join",
-    "s3_stability_tracker",
-    # --- changed r10: lineup rows tolerate >=3 cells (ADVICE r9) ---
-    "ud3_lineup_parse",
-    # --- oldest driver checks (r2 cohort) ---
+    # --- changed r11: phase-wise bucketed-layout build (join-key-range
+    # chunks, overwrite-then-append past the scratch probe); j10 shares
+    # bucketed_layout ---
+    "flagship_hitrate_bucketed",
     "j10_bucketed_join",
+    # --- changed r11: g7 small-layout/lazy-pin discipline on the edge list ---
+    "g8_hits_hubs_authorities",
+    # --- changed r11: recency-anchor job removed (NTILE rides last_order
+    # ASC — identical tiles, one fewer full pass) ---
+    "a43_rfm_segmentation",
+    # --- changed r11: batch-UDF spread + scoped small-shuffle drain +
+    # landing-schema cache (s11); schema cache touches every
+    # _stream_events consumer ---
+    "s11_stream_incremental_minhash",
     "s1_stream_ingest_counts",
     "s2_stream_arrival_dedupe",
-    "s6_tumbling_windows",
+    "s3_stability_tracker",
     "s7_stream_static_join",
-    "sim_ivf_probe1",
-    "sim_kmeans_train",
-    "sim_quantize_int8",
-    "sim_recall_eval",
-    "skew_salted_agg",
-    "snk3_sink_modes",
-    "src_csv_roundtrip",
-    "src_html_roundtrip",
-    "src_json_props",
-    "ta_chunk_overlap",
-    "ta_decontaminate",
-    "ta_fingerprint_groups",
-    "ta_gopher_rules",
-    "ta_language_id",
-    "ta_mixture_weights",
-    "ta_pii_scrub",
-    "ta_quality_scores",
-    "ta_tfidf_top_terms",
-    "ta_token_budget_pack",
-    "ta_token_counts",
-    "ta_train_test_split",
-    "ta_vocab_topk",
-    "ud13_prop_line_walker",
-    "udaf_median_price",
-    "w1_ordinal_disambiguation",
-    "w2_rank_within_group",
-    "w3_longest_streak",
-    "w5_calendar_range_frame",
-    "w6_sessionize",
-    "x_prop_extraction",
-    # --- oldest r3 (fills the 50-slot prefix) ---
-    "a16_hll_sketch_rollup",
-    "a17_incremental_merge",
+    "s8_stream_stream_join",
+    "s10_dedupe_within_watermark",
+    "s13_stream_outer_join",
+    # --- oldest driver checks (r3 cohort; 36 of 39, alphabetical) ---
+    "a18_bitmap_distinct",
+    "a19_windowed_mode",
+    "corpus_curation_pipeline",
+    "f4_multi_dim_selection",
+    "j11_salted_skew_join",
+    "j12_bloom_runtime_filter",
+    "mm_decode_features",
+    "mm_real_codec_roundtrip",
+    "nba_fixture_normalize",
+    "s6_session_windows",
+    "s6_sliding_windows",
+    "sim_ivf_batch_topk",
+    "sim_pq_codebook",
+    "sim_pq_topk",
+    "snk7_xlsx_roundtrip",
+    "src_http_get",
+    "src_xml_roundtrip",
+    "ta_bloom_url_dedup",
+    "ta_bpe_merge_round",
+    "ta_domain_quota_sample",
+    "ta_dup_line_prefix",
+    "ta_entropy_quality",
+    "ta_global_shuffle_shard",
+    "ta_perplexity_score",
+    "ta_quality_percentiles",
+    "ta_repetition_ratio",
+    "ta_stratified_sample",
+    "ta_utf8_sanitize",
+    "ta_winnow_fingerprint",
+    "w4_latest_per_key",
+    "w7_funnel_sequence",
+    "x12_team_mentions",
+    "x18_event_mining",
+    "x21_odds_math",
+    "x22_fuzzy_match",
+    "x4_game_time",
 )
 
 
