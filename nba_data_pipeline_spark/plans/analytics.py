@@ -228,12 +228,18 @@ def flagship_hitrate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _chunk(lo0 + i * step, lo0 + (i + 1) * step)
                 for i in range(n_chunks)
             ]
+    # Bucket count is the parallelism of every later window run — size it
+    # to the fact (~30M rows ≈ 1 GB per bucket sort task), floored at the
+    # fixture-scale 8 so small-SF plans are unchanged; production would
+    # match executors × a small factor (the j10 note).
+    n_li = table_row_count(sf_dir, "lineitem") or 0
     staged = bucketed_layout(
         spark,
         _chunk(),
         f"bkt_flagship_{sf_label(sf_dir)}",
         "l_suppkey",
         sort_cols=["l_suppkey", "o_orderdate", "l_orderkey", "l_linenumber"],
+        n_buckets=max(8, min(64, n_li // 30_000_000)),
         build_chunks=chunks,
     )
     supplier = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
