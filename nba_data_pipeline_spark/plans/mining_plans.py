@@ -214,8 +214,26 @@ def mb1_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup1 = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
     freq = sup1.filter(F.col("s") >= MIN_ITEM_SUPPORT).persist()
-    fitems = items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
     n_slices = _mb1_slice_count(sf_dir)
+    if n_slices > 1:
+        # The support pass's full-fact distinct exchange stays pinned on
+        # disk as long as freq's LINEAGE references it — ~10 GB of shuffle
+        # files coexisting with the staging build was the sf300 no-space
+        # failure. A reliable checkpoint of the PART-GRAIN freq (<1 GB)
+        # truncates that lineage; the GC nudge lets the ContextCleaner
+        # drop the fact exchange before the staging write needs the space.
+        from nba_data_pipeline_spark.io import session_tmpdir
+
+        if spark.sparkContext.getCheckpointDir() is None:
+            spark.sparkContext.setCheckpointDir(
+                session_tmpdir("mb1_slices_ckpt_")
+            )
+        freq = freq.checkpoint(eager=True)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+    fitems = items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
     if n_slices == 1:
         a = fitems.select(
             F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1")

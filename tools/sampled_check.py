@@ -946,7 +946,21 @@ def main() -> int:
     sf_dir = resolve_sf(args.sf)
     print(f"# sampled oracle at {sf_dir}", flush=True)
 
-    spark = get_spark("sampled_check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # Deep-decade session sizing, mirroring tools/check.py: zstd shuffle
+    # (the mb1 sf300 staging build ran out of disk under this harness's
+    # lz4 default while the same plan fit zstd'd) and a 48g heap past 30x.
+    import re as _re
+
+    m = _re.search(r"sf(\d+)$", sf_dir)
+    decade = int(m.group(1)) if m else 0
+    if decade >= 30 and not os.environ.get("SPARK_DRIVER_MEMORY"):
+        os.environ["SPARK_DRIVER_MEMORY"] = "48g"
+    extra = {"spark.io.compression.codec": "zstd"} if decade >= 30 else {}
+    spark = get_spark(
+        "sampled_check",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+        extra_conf=extra,
+    )
     con = duck_connect(sf_dir)
     failed = []
     entries = [
