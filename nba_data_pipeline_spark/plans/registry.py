@@ -58,7 +58,7 @@ _FRONT: tuple[str, ...] = (
     # implementation changed or that are new this round (they need
     # (re-)verification on the driver signal), then the prefix fills with
     # the entries whose last driver check is OLDEST (the r3 cohort — 39
-    # entries, 36 fit this round, the alphabetical tail rolls to r12), so
+    # entries, 35 fit this round, the alphabetical tail rolls to r12), so
     # verification debt ages out instead of accumulating.
     #
     # --- changed r11: size-adaptive cc edge miner (persisted shingle
@@ -76,6 +76,9 @@ _FRONT: tuple[str, ...] = (
     # --- changed r11: recency-anchor job removed (NTILE rides last_order
     # ASC — identical tiles, one fewer full pass) ---
     "a43_rfm_segmentation",
+    # --- changed r11: spill-bounded pair mining past the scratch probe
+    # (bucketed fitems staging + sequential p1-hash pair-agg slices) ---
+    "mb1_frequent_pairs",
     # --- changed r11: batch-UDF spread + scoped small-shuffle drain +
     # landing-schema cache (s11); schema cache touches every
     # _stream_events consumer ---
@@ -87,7 +90,7 @@ _FRONT: tuple[str, ...] = (
     "s8_stream_stream_join",
     "s10_dedupe_within_watermark",
     "s13_stream_outer_join",
-    # --- oldest driver checks (r3 cohort; 36 of 39, alphabetical) ---
+    # --- oldest driver checks (r3 cohort; 35 of 39, alphabetical) ---
     "a18_bitmap_distinct",
     "a19_windowed_mode",
     "corpus_curation_pipeline",
@@ -123,7 +126,6 @@ _FRONT: tuple[str, ...] = (
     "x18_event_mining",
     "x21_odds_math",
     "x22_fuzzy_match",
-    "x4_game_time",
 )
 
 
