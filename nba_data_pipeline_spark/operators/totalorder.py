@@ -76,6 +76,7 @@ from pyspark.sql import Column, DataFrame, Window as W, WindowSpec
 from pyspark.sql import functions as F
 
 __all__ = [
+    "TOTAL_ORDER_SMALL_ROWS",
     "bounded_window",
     "multi_ntile_exact",
     "multi_order_cuts",
@@ -91,6 +92,22 @@ _LPOS = "__to_lpos"
 
 #: sample rows collected per requested bucket; 32k-row ceiling at k=1024.
 SAMPLE_PER_BUCKET = 32
+
+#: below this many input rows the sampled-cut machinery's extra build jobs
+#: (sample collect + stats aggregate + broadcast-offset join — each a real
+#: Spark job at ~0.13 s scheduling floor, measured) cost more than the
+#: audited single-task :func:`bounded_window` sweep, which at this size is
+#: one task sorting ≤ ~250k narrow rows (~0.3 s measured). The same
+#: count-then-branch posture as RUNNING_EXTREME_SMALL_ROWS below and d9's
+#: broadcast→shuffle verify crossover. The bound arrives two ways: callers
+#: pass ``small_hint_rows`` from parquet-footer/catalog stats (the geo1
+#: probe discipline — e.g. a customer-grain aggregate is bounded by the
+#: customer table's footer row count), and the cut-sample job detects
+#: UNDERFLOW for free (it collects ≤ SAMPLE_PER_BUCKET×k rows; returning
+#: fewer proves the frame is exactly that small — e.g. ta_zipf's 31-word
+#: vocabulary). Both paths compute identical values: the bounded sweep is
+#: the same row_number/prefix-sum algebra over the same total order.
+TOTAL_ORDER_SMALL_ROWS = 250_000
 
 OrderSpec = Sequence[str | tuple[str, str]]
 
@@ -138,12 +155,70 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     return F.when(rk <= boundary, in_first).otherwise(in_rest).cast("int")
 
 
+def _total_order_bounded(
+    df: DataFrame,
+    info: Sequence[tuple[str, str]],
+    part: Sequence[str],
+    rank_col: str | None,
+    cum: Mapping[str, str],
+    totals: Mapping[str, str],
+    n_col: str | None,
+) -> DataFrame:
+    """Small-frame twin of :func:`total_order`: the same rank / inclusive
+    prefix-sum / whole-frame algebra over the same total order, as plain
+    window expressions over the audited :func:`bounded_window` (or the
+    caller's ``part_cols``). One exchange, zero build-time jobs. Only
+    reached when the frame is proven ≤ TOTAL_ORDER_SMALL_ROWS."""
+    anchor = info[0][0]
+    if part:
+        whole: WindowSpec = W.partitionBy(*part)
+        ow = whole.orderBy(*_order_exprs(info))
+    else:
+        whole = bounded_window(anchor=anchor)
+        ow = bounded_window(*_order_exprs(info), anchor=anchor)
+    ocw = ow.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cols = [F.col(c) for c in df.columns]
+    if rank_col:
+        cols.append(F.row_number().over(ow).cast("bigint").alias(rank_col))
+    for out, src in cum.items():
+        cols.append(F.sum(F.col(src)).over(ocw).alias(out))
+    for out, src in totals.items():
+        cols.append(F.sum(F.col(src)).over(whole).alias(out))
+    if n_col:
+        cols.append(F.count(F.lit(1)).over(whole).cast("bigint").alias(n_col))
+    return df.select(*cols)
+
+
+def _multi_ntile_bounded(
+    df: DataFrame,
+    specs: Sequence[tuple[OrderSpec, int, str]],
+    infos: Sequence[Sequence[tuple[str, str]]],
+) -> DataFrame:
+    """Small-frame twin of :func:`multi_ntile_exact`: exact NTILE(k) per
+    metric as ``ntile_from_rank(row_number, n, k)`` over the audited
+    :func:`bounded_window`. All metrics share one single-partition exchange
+    (same anchored key); each metric adds one in-partition sort. Zero
+    build-time jobs. Identical tiles by construction — ntile_from_rank is
+    the property-tested standard-semantics NTILE."""
+    anchor = infos[0][0][0]
+    whole = bounded_window(anchor=anchor)
+    n = F.count(F.lit(1)).over(whole)
+    cols = [F.col(c) for c in df.columns]
+    for (_, k_tiles, tile_col), info in zip(specs, infos):
+        rn = F.row_number().over(
+            bounded_window(*_order_exprs(info), anchor=anchor)
+        )
+        cols.append(ntile_from_rank(rn, n, k_tiles).alias(tile_col))
+    return df.select(*cols)
+
+
 def multi_ntile_exact(
     df: DataFrame,
     specs: Sequence[tuple[OrderSpec, int, str]],
     *,
     cuts: Sequence[Sequence[tuple]] | None = None,
     num_partitions: int | None = None,
+    small_hint_rows: int | None = None,
 ) -> DataFrame:
     """Attach exact ``NTILE(k)`` columns over one or more total orders
     WITHOUT ranking any row — the boundary-selection plan:
@@ -186,9 +261,20 @@ def multi_ntile_exact(
             raise ValueError("k_tiles must be >= 1")
     infos = [_norm_order(order) for order, _, _ in specs]
     k = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if (
+        small_hint_rows is not None
+        and small_hint_rows <= TOTAL_ORDER_SMALL_ROWS
+    ):
+        return _multi_ntile_bounded(df, specs, infos)
     if cuts is None:
-        cuts = multi_order_cuts(df, [order for order, _, _ in specs],
-                                num_partitions=k)
+        cuts, exact_n = _multi_order_cuts_probe(
+            df, [order for order, _, _ in specs], k
+        )
+        if exact_n is not None and exact_n <= TOTAL_ORDER_SMALL_ROWS:
+            # the sample returned the whole frame — its exact size is known
+            # for free and it is small; take the bounded sweep instead of
+            # the stats + per-metric boundary jobs
+            return _multi_ntile_bounded(df, specs, infos)
     bkts = [_bucket_expr(c, inf) for c, inf in zip(cuts, infos)]
     # one pass, all metrics: explode to (metric, bucket) micro-structs —
     # the partial aggregate collapses them to ≤ metrics×k rows map-side
@@ -285,6 +371,7 @@ def ntile_exact(
     tile_col: str,
     cuts: Sequence[tuple] | None = None,
     num_partitions: int | None = None,
+    small_hint_rows: int | None = None,
 ) -> DataFrame:
     """Single-metric form of :func:`multi_ntile_exact`."""
     return multi_ntile_exact(
@@ -292,6 +379,7 @@ def ntile_exact(
         [(order, k_tiles, tile_col)],
         cuts=None if cuts is None else [cuts],
         num_partitions=num_partitions,
+        small_hint_rows=small_hint_rows,
     )
 
 
@@ -460,6 +548,18 @@ def multi_order_cuts(
     the results to ``total_order(..., cuts=...)``. Sample quality is
     unchanged — the hash sample is uniform in every ordering's key space."""
     k = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cuts, _ = _multi_order_cuts_probe(df, orders, k)
+    return cuts
+
+
+def _multi_order_cuts_probe(
+    df: DataFrame, orders: Sequence[OrderSpec], k: int
+) -> tuple[list[list[tuple]], int | None]:
+    """:func:`multi_order_cuts` plus the free smallness probe: when the
+    bounded sample comes back UNDER its limit, the frame's exact row count
+    is the sample length (the TakeOrderedAndProject saw every row) —
+    returned as ``exact_n`` so callers can cut over to the bounded sweep
+    without any extra job. ``None`` means the frame is at least limit-sized."""
     infos = [_norm_order(o) for o in orders]
     names: list[str] = []
     for inf in infos:
@@ -467,12 +567,13 @@ def multi_order_cuts(
             if n not in names:
                 names.append(n)
     samp = _sample_rows(df, names, k)
+    exact_n = len(samp) if len(samp) < SAMPLE_PER_BUCKET * k else None
     pos = {n: i for i, n in enumerate(names)}
     out = []
     for inf in infos:
         proj = [tuple(row[pos[n]] for n, _ in inf) for row in samp]
         out.append(_cuts_from_rows(proj, inf, k))
-    return out
+    return out, exact_n
 
 
 def total_order(
@@ -488,6 +589,7 @@ def total_order(
     materialize: bool = False,
     cuts: Sequence[tuple] | None = None,
     pin: bool = False,
+    small_hint_rows: int | None = None,
 ) -> DataFrame:
     """Attach exact global-order columns to ``df`` with no single-partition
     stage.
@@ -513,6 +615,17 @@ def total_order(
         bucket balance, never rank correctness (bucket membership is decided
         by the Spark-side comparisons), so any cut list sampled from the
         same frame is valid.
+    small_hint_rows : an UPPER BOUND on the input's row count from catalog
+        stats (parquet footer counts — the geo1 probe discipline). At or
+        below :data:`TOTAL_ORDER_SMALL_ROWS` the rank/cum/totals algebra
+        runs as one audited :func:`bounded_window` sweep with ZERO
+        build-time jobs (no sample, no stats pass, no broadcast join) —
+        identical values, single-task execution that a ≤250k-row frame
+        sorts in ~0.3 s. Independently, the cut-sample job detects
+        underflow (sample smaller than its limit ⇒ the frame is exactly
+        that small) and takes the same path for free — so e.g. a 31-row
+        vocabulary never pays the machinery even with no hint. Ignored
+        when ``pin=True`` (pin callers are by definition at fact scale).
     pin : insert an explicit ``repartition(num_partitions, bucket, part)``
         before the per-bucket window. An explicit numPartitions repartition
         is exempt from AQE coalescing — without it AQE byte-targets the
@@ -541,11 +654,31 @@ def total_order(
     k = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     part = list(part_cols)
 
+    if (
+        small_hint_rows is not None
+        and small_hint_rows <= TOTAL_ORDER_SMALL_ROWS
+        and not pin
+    ):
+        # stats-bounded frame: the bounded sweep needs no sample job and
+        # no materialize checkpoint (it reads the input exactly once)
+        return _total_order_bounded(
+            df, info, part, rank_col, cum, totals, n_col
+        )
+
     if materialize:
         df = df.localCheckpoint(eager=False)
 
     if cuts is None:
-        cuts = _collect_cuts(df, info, k)
+        names = [n for n, _ in info]
+        samp = _sample_rows(df, names, k)
+        if len(samp) < SAMPLE_PER_BUCKET * k and not pin:
+            # the sample returned the whole frame (see
+            # _multi_order_cuts_probe): it is exactly this small, and the
+            # checkpoint it just materialized feeds the bounded sweep
+            return _total_order_bounded(
+                df, info, part, rank_col, cum, totals, n_col
+            )
+        cuts = _cuts_from_rows(samp, info, k)
     tagged = df.withColumn(_BKT, _bucket_expr(cuts, info))
     if pin:
         # AQE-exempt exchange: both the window branch and the stats

@@ -21,6 +21,7 @@ from nba_data_pipeline_spark.io import (
     table_row_count,
 )
 from nba_data_pipeline_spark.operators.totalorder import (
+    TOTAL_ORDER_SMALL_ROWS,
     bounded_window,
     multi_ntile_exact,
     total_order,
@@ -2163,7 +2164,9 @@ def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = total_order(
-        c, ["cents", "o_custkey"], rank_col="i", materialize=True
+        c, ["cents", "o_custkey"], rank_col="i", materialize=True,
+        # customer-grain frame: bounded by the customer footer count
+        small_hint_rows=table_row_count(sf_dir, "customer"),
     ).select("cents", "i")
     # Σ(i·wᵢ) accumulates in DECIMAL(38,0): at 30× data the bigint form
     # overflowed (rank ~4.5e5 × lifetime cents ~5e8 summed over all
@@ -2968,6 +2971,8 @@ def a36_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = total_order(
         rev, [("rev", "desc"), "l_partkey"],
         cum={"cum": "rev"}, totals={"total": "rev"}, materialize=True,
+        # part-grain frame: bounded by the part footer count
+        small_hint_rows=table_row_count(sf_dir, "part"),
     ).select("l_partkey", "rev", "cum", "total")
     abc = (
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
@@ -3072,7 +3077,11 @@ def a37_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("t1"),
     )
-    cumd = total_order(cells, ["x"], cum={"cumt": "t"}, materialize=True)
+    cumd = total_order(
+        cells, ["x"], cum={"cumt": "t"}, materialize=True,
+        # distinct-price grain: bounded by the orders footer count
+        small_hint_rows=table_row_count(sf_dir, "orders"),
+    )
     # min-rank of the tied block = exclusive prefix + 1; average rank of
     # the block = min-rank + (t-1)/2 (exact halves).
     ar = F.col("cumt") - F.col("t") + 1 + (F.col("t") - 1) / 2.0
@@ -3476,6 +3485,8 @@ def a41_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum={"cum1": "c1", "cum2": "c2"},
         totals={"n1": "c1", "n2": "c2"},
         materialize=True,
+        # distinct-price grain: bounded by the orders footer count
+        small_hint_rows=table_row_count(sf_dir, "orders"),
     )
     # cross-multiplied ECDF gap in DECIMAL(38,0): cum·n products pass 2^63
     # once each group holds ~5e9 rows (the a29 overflow class); decimal
@@ -3699,9 +3710,15 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("monetary_cents"),
         )
-        .repartition(n_parts)
-        .localCheckpoint(eager=False)
     )
+    # The customer-grain frame is bounded by the customer table's footer
+    # row count. Small frames take multi_ntile_exact's bounded sweep (zero
+    # build jobs), where the pinned checkpoint would only add an exchange
+    # + a materialization job for passes that no longer exist; at scale the
+    # pin + checkpoint discipline is unchanged.
+    small = 0 < n_cust <= TOTAL_ORDER_SMALL_ROWS
+    if not small:
+        base = base.repartition(n_parts).localCheckpoint(eager=False)
     # No recency-anchor job: r_score is NTILE over recency DESC, and
     # recency = datediff(anchor, last_order) with a FIXED anchor is a
     # strictly decreasing bijection of last_order — so ordering by
@@ -3716,6 +3733,7 @@ def a43_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = multi_ntile_exact(
         base,
         [(ord_r, 5, "r_score"), (ord_f, 5, "f_score"), (ord_m, 5, "m_score")],
+        small_hint_rows=n_cust or None,
     ).select("o_custkey", "monetary_cents", "r_score", "f_score", "m_score")
     segment = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.io import read_table, table_row_count
 from nba_data_pipeline_spark.operators.textops import ws_tokens
 from nba_data_pipeline_spark.operators.totalorder import (
     bounded_window,
@@ -687,7 +687,9 @@ def ta_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string").cast("binary")).alias("ord"),
     )
     cum = total_order(
-        d, ["ord", "doc_id"], cum={"cum": "w"}, totals={"total": "w"}
+        d, ["ord", "doc_id"], cum={"cum": "w"}, totals={"total": "w"},
+        # document-grain frame: exactly the documents footer count
+        small_hint_rows=table_row_count(sf_dir, "documents"),
     ).select("doc_id", "source", "w", "cum", "total")
     stepped = cum.withColumn(
         "step", F.greatest(F.expr(f"total div {_WS_TARGET}"), F.lit(1).cast("bigint"))

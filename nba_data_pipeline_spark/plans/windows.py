@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.io import read_table, table_row_count
 from nba_data_pipeline_spark.operators.totalorder import ntile_exact
 from nba_data_pipeline_spark.plans.exact import dsum, sql_dsum
 from nba_data_pipeline_spark.plans.registry import query
@@ -388,7 +388,11 @@ def w8_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes. For per-epoch resharding the md5 shuffle-shard
     (ta_global_shuffle_shard) composes downstream of the decile label."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    ranked = ntile_exact(d, ["n_chars", "doc_id"], 10, tile_col="decile")
+    ranked = ntile_exact(
+        d, ["n_chars", "doc_id"], 10, tile_col="decile",
+        # document-grain frame: exactly the documents footer count
+        small_hint_rows=table_row_count(sf_dir, "documents"),
+    )
     return (
         ranked.groupBy("decile")
         .agg(

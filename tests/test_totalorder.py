@@ -426,3 +426,94 @@ def test_ntile_exact_small_and_degenerate_frames(spark):
         df, ["key"], 1, tile_col="t", num_partitions=4
     ).collect()
     assert all(r["t"] == 1 for r in one)
+
+
+def test_small_hint_bounded_path_matches_machinery(spark):
+    """small_hint_rows <= TOTAL_ORDER_SMALL_ROWS must route to the bounded
+    single-task sweep and produce IDENTICAL rank/cum/totals/n and NTILE
+    values as the sampled-cut machinery (hint absent), including desc
+    orders, nulls and part_cols."""
+    from nba_data_pipeline_spark.operators.totalorder import (
+        TOTAL_ORDER_SMALL_ROWS,
+        multi_ntile_exact,
+    )
+
+    df, _rows = _mkdf(spark, n=700, with_nulls=True)
+    assert 700 <= TOTAL_ORDER_SMALL_ROWS
+    kw = dict(
+        rank_col="rnk", cum={"cw": "w"}, totals={"tw": "w"}, n_col="n"
+    )
+    # machinery path: small k so the sample does NOT underflow (32*4 < 700)
+    base = {
+        r["key"]: (r["rnk"], r["cw"], r["tw"], r["n"])
+        for r in total_order(
+            df, [("x", "desc"), "key"], num_partitions=4, **kw
+        ).collect()
+    }
+    hinted = {
+        r["key"]: (r["rnk"], r["cw"], r["tw"], r["n"])
+        for r in total_order(
+            df, [("x", "desc"), "key"], small_hint_rows=700, **kw
+        ).collect()
+    }
+    assert hinted == base
+    # the hinted plan must carry no sampled-cut machinery (no broadcast join)
+    plan = total_order(
+        df, [("x", "desc"), "key"], small_hint_rows=700, **kw
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+
+    # part_cols variant
+    base_p = {
+        r["key"]: (r["rnk"], r["n"])
+        for r in total_order(
+            df, ["x", "key"], part_cols=["grp"], rank_col="rnk",
+            n_col="n", num_partitions=4,
+        ).collect()
+    }
+    hint_p = {
+        r["key"]: (r["rnk"], r["n"])
+        for r in total_order(
+            df, ["x", "key"], part_cols=["grp"], rank_col="rnk",
+            n_col="n", small_hint_rows=700,
+        ).collect()
+    }
+    assert hint_p == base_p
+
+    # multi_ntile_exact: hinted bounded sweep == boundary-selection tiles
+    specs = [
+        ([("x", "asc"), ("key", "asc")], 5, "t1"),
+        ([("w", "desc"), ("key", "asc")], 7, "t2"),
+    ]
+    base_t = {
+        r["key"]: (r["t1"], r["t2"])
+        for r in multi_ntile_exact(df, specs, num_partitions=4).collect()
+    }
+    hint_t = {
+        r["key"]: (r["t1"], r["t2"])
+        for r in multi_ntile_exact(
+            df, specs, small_hint_rows=700
+        ).collect()
+    }
+    assert hint_t == base_t
+
+
+def test_sample_underflow_routes_to_bounded_path(spark):
+    """With no hint, a frame smaller than the sample limit is detected from
+    the sample itself and produces identical values (the k=2000 case in
+    test_rank_matches_reference_across_partitionings also covers ranks)."""
+    df, rows = _mkdf(spark, n=200)
+    # limit = 32*32 = 1024 > 200 -> underflow -> bounded sweep
+    got = {
+        r["key"]: (r["rnk"], r["cw"])
+        for r in total_order(
+            df, ["x", "key"], rank_col="rnk", cum={"cw": "w"},
+            num_partitions=32,
+        ).collect()
+    }
+    srt = sorted(rows, key=lambda r: (r[1], r[0]))
+    run, exp = 0, {}
+    for i, r in enumerate(srt):
+        run += r[3]
+        exp[r[0]] = (i + 1, run)
+    assert got == exp
