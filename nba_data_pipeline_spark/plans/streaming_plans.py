@@ -116,13 +116,49 @@ def _small_state_shuffle(spark: SparkSession, n: int = 8):
     streaming aggregation halves wall-clock at sf0.1 (measured 2.5 s ->
     1.35 s). At real scale the partition count must instead match state
     volume — this scoped override models 'size state partitions to the
-    stream', which local[32] defaults don't."""
+    stream', which local[32] defaults don't. Callers should derive ``n``
+    from the landed stream's byte volume via :func:`_state_partitions`
+    rather than hardcoding a local-mode constant."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+#: target landed bytes per streaming state partition. Stateful operators
+#: pay a fixed per-partition per-micro-batch cost (one state-store delta +
+#: commit file each, ~10-30 ms here) that dwarfs the data work when the
+#: stream is small, so partitions are sized to the stream like any shuffle
+#: (guide §2.2's 100 MB-1 GB rule, scaled down one notch because state
+#: rows are keys, not payloads). Overridable for cluster deployments.
+_STATE_PARTITION_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_STATE_PARTITION_BYTES", 32 << 20)
+)
+
+
+def _state_partitions(land_dir: str, floor: int = 2, cap: int = 32) -> int:
+    """State partition count derived from the landed stream volume: enough
+    partitions that each holds ≤ _STATE_PARTITION_BYTES of landed input,
+    never fewer than ``floor`` (keeps the plan honestly distributed and the
+    state store exercised across partitions) and capped at ``cap`` (a
+    cluster overrides via SPARK_GRAFT_STATE_PARTITION_BYTES or session
+    shuffle-partition config). Replaces the fixed n=8/n=4 constants, which
+    were tuned to local[32] fixture scale: measured at sf0.1, the
+    stream-stream joins drop ~2 s (n=4 -> 2, two state stores each) and the
+    streaming aggregates ~0.5-1 s (n=8 -> 2) with byte-identical results —
+    partitioning never changes aggregate/join values."""
+    import math
+    import os as _os
+
+    try:
+        total = sum(
+            e.stat().st_size for e in _os.scandir(land_dir) if e.is_file()
+        )
+    except OSError:
+        total = 0
+    return max(floor, min(cap, math.ceil(total / _STATE_PARTITION_BYTES)))
 
 
 @query(
@@ -281,7 +317,8 @@ def s1_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (run_scraper.py:62-134). Complete-mode results equal the batch
     aggregate bit-for-bit, which is exactly what the oracle checks."""
 
-    sdf = _stream_events(spark, sf_dir, "s1", copies=1)
+    land = _land("s1", sf_dir, 1)
+    sdf = _stream_events(spark, sf_dir, "s1", land_dir=land)
     agg = (
         sdf.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -290,7 +327,7 @@ def s1_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
-    with _small_state_shuffle(spark):
+    with _small_state_shuffle(spark, n=_state_partitions(land)):
         q = (
             agg.writeStream.format("memory")
             .queryName("s1_stream_counts_mem")
@@ -330,10 +367,11 @@ def s2_stream_arrival_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-type counts must equal the batch aggregate over the single
     copy, which is what the oracle checks."""
 
-    sdf = _stream_events(spark, sf_dir, "s2", copies=2)
+    land = _land("s2", sf_dir, 2)
+    sdf = _stream_events(spark, sf_dir, "s2", land_dir=land)
     deduped = sdf.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
-    with _small_state_shuffle(spark):
+    with _small_state_shuffle(spark, n=_state_partitions(land)):
         q = (
             agg.writeStream.format("memory")
             .queryName("s2_dedupe_mem")
@@ -370,7 +408,8 @@ def s7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join; the stream side never re-shuffles per batch."""
 
     # Reuses s1's landing key: identical single-copy landing of events.
-    sdf = _stream_events(spark, sf_dir, "s1", copies=1)
+    land = _land("s1", sf_dir, 1)
+    sdf = _stream_events(spark, sf_dir, "s1", land_dir=land)
     dim = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
@@ -379,7 +418,7 @@ def s7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
-    with _small_state_shuffle(spark):
+    with _small_state_shuffle(spark, n=_state_partitions(land)):
         q = (
             agg.writeStream.format("memory")
             .queryName("s7_stream_static_mem")
@@ -504,8 +543,9 @@ def s8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     history. Joined pairs drain append-mode through availableNow; the
     per-user attribution counts are a batch aggregate over the drained
     pairs, and the oracle recomputes everything from the static table."""
-    sdf_c = _stream_events(spark, sf_dir, "s8", copies=1)
-    sdf_p = _stream_events(spark, sf_dir, "s8", copies=1)
+    land = _land("s8", sf_dir, 1)
+    sdf_c = _stream_events(spark, sf_dir, "s8", land_dir=land)
+    sdf_p = _stream_events(spark, sf_dir, "s8", land_dir=land)
     clicks = (
         sdf_c.filter(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
@@ -524,9 +564,10 @@ def s8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # Stream-stream join state doubles the per-partition store-commit cost
-    # (each side keeps its own store); 4 partitions instead of the default
-    # 8 measured 3.2 s -> 2.5 s at sf0.1 with identical results.
-    with _small_state_shuffle(spark, n=4):
+    # (each side keeps its own store), so the size-derived count matters
+    # twice here: n=4 -> 2 measured ~1.5 s off the drain at sf0.1 (min of
+    # 3) with identical results.
+    with _small_state_shuffle(spark, n=_state_partitions(land)):
         q = (
             pairs.writeStream.format("memory")
             .queryName("s8_pairs_mem")
@@ -604,7 +645,10 @@ def s9_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-counting)."""
     import os
 
-    sdf = _stream_events(spark, sf_dir, "s9", copies=3, max_files_per_trigger=1)
+    land = _land("s9", sf_dir, 3)
+    sdf = _stream_events(
+        spark, sf_dir, "s9", land_dir=land, max_files_per_trigger=1
+    )
     state_root = session_tmpdir("s9_state_")
     latest: dict[str, str] = {}
 
@@ -614,7 +658,7 @@ def s9_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         s9_batch_state(batch_df, prev).write.mode("overwrite").parquet(out)
         latest["path"] = out
 
-    with _small_state_shuffle(spark):
+    with _small_state_shuffle(spark, n=_state_partitions(land)):
         q = (
             sdf.writeStream.foreachBatch(upsert)
             .option("checkpointLocation", streaming_checkpoint_dir("s9_ckpt_"))
@@ -706,7 +750,7 @@ def s10_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique_events")
     )
-    with _small_state_shuffle(spark):
+    with _small_state_shuffle(spark, n=_state_partitions(land)):
         q = (
             agg.writeStream.format("memory")
             .queryName("s10_dedupe_mem")
@@ -946,8 +990,9 @@ def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     # override reaches them too: a KB-scale batch gains nothing from the
     # session's 32-way exchanges, and the store join's task-scheduling
     # floor dominated this entry's wall-clock. At real scale the batch
-    # volume sizes this knob instead (same note as _small_state_shuffle).
-    with _small_state_shuffle(spark):
+    # volume sizes this knob instead (same note as _small_state_shuffle) —
+    # which is what _state_partitions computes from the landed bytes.
+    with _small_state_shuffle(spark, n=_state_partitions(land)):
         q = (
             stream.writeStream.foreachBatch(handle)
             .option("checkpointLocation", streaming_checkpoint_dir("s11_ckpt_"))
@@ -1056,7 +1101,7 @@ def s12_custom_pystream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("bigint").alias("sum_event_id"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
-    with _small_state_shuffle(spark):
+    with _small_state_shuffle(spark, n=_state_partitions(land)):
         q = (
             agg.writeStream.format("memory")
             .queryName("s12_poll_mem")
@@ -1186,7 +1231,7 @@ def s13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     )
-    with _small_state_shuffle(spark, n=4):
+    with _small_state_shuffle(spark, n=_state_partitions(land)):
         q = (
             pairs.writeStream.format("memory")
             .queryName("s13_pairs_mem")
