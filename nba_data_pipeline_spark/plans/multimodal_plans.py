@@ -310,33 +310,28 @@ def mm_real_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.unhex(content_hex)).alias("expected_hash"),
     )
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for mt, content in zip(pdf["media_type"], pdf["content"]):
-                b = bytes(content)
-                if mt == "image":
-                    payloads.append(encode_png(8, 4, b))
-                elif mt == "audio":
-                    payloads.append(encode_wav(8000, 1, b))
-                else:
-                    payloads.append(encode_nvid([(8, 4, b)]))
-            out = pdf[["doc_id", "media_type", "expected_hash"]].copy()
-            out["payload"] = payloads
-            yield out
-
-    encoded = src.mapInPandas(
-        encode,
-        schema="doc_id long, media_type string, expected_hash string, payload binary",
-    )
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # ONE fused Arrow lane for encode→decode (guide §4: control how many
+    # columns/rows cross the JVM↔Python boundary). The old two-lane form
+    # shipped every encoded payload Python→JVM→Python between two
+    # MapInPandas nodes purely to mirror mm_decode_features' shape; the
+    # container bytes are produced and consumed inside the same task here,
+    # so the fused lane crosses the boundary once and the payload column
+    # never exists JVM-side (plan: 2 MapInPandas → 1). The codecs still
+    # run in full — encode_png/wav/nvid output feeds real_decode verbatim.
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for did, mt, exp, payload in zip(
-                pdf["doc_id"], pdf["media_type"], pdf["expected_hash"], pdf["payload"]
+            for did, mt, content, exp in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"], pdf["expected_hash"]
             ):
-                f = real_decode(mt, bytes(payload))
+                b = bytes(content)
+                if mt == "image":
+                    payload = encode_png(8, 4, b)
+                elif mt == "audio":
+                    payload = encode_wav(8000, 1, b)
+                else:
+                    payload = encode_nvid([(8, 4, b)])
+                f = real_decode(mt, payload)
                 feats.append(
                     {
                         "doc_id": did,
@@ -350,8 +345,8 @@ def mm_real_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(feats)
 
-    return encoded.mapInPandas(
-        decode,
+    return src.mapInPandas(
+        roundtrip,
         schema=(
             "doc_id long, media_type string, width int, height int, "
             "n_frames int, duration_ms long, roundtrip_ok boolean"
