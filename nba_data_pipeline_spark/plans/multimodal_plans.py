@@ -278,7 +278,7 @@ def mm_real_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-only onto the correctness gate.
 
     Scale shape unchanged from mm_decode_features: encode and decode are
-    one Arrow ``mapInPandas`` lane each; payloads never leave executors."""
+    one fused Arrow ``mapInPandas`` lane; payloads never leave the task."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -396,11 +396,11 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     little-endian int16 in SQL), so the whole codec + DSP lane is
     value-checked, not just row-counted.
 
-    Scale shape: two Arrow ``mapInPandas`` lanes (encode, decode+window);
-    payloads stay on executors; the per-window math is numpy-vectorized
-    per batch. Window aggregation happens inside the decode pass (each
-    doc's samples are local to its row), so no shuffle at all until the
-    final presentation sort."""
+    Scale shape: ONE fused Arrow ``mapInPandas`` lane (encode→decode→
+    window); payloads never cross the Python boundary; the per-window math
+    is numpy-vectorized per batch. Window aggregation happens inside the
+    decode pass (each doc's samples are local to its row), so no shuffle
+    at all until the final presentation sort."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -419,22 +419,16 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     content_hex = F.repeat(F.md5(F.col("doc_id").cast("string").cast("binary")), 6)
     src = d.select("doc_id", F.unhex(content_hex).alias("content"))
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf[["doc_id"]].copy()
-            out["payload"] = [
-                encode_wav(8000, 1, bytes(c)) for c in pdf["content"]
-            ]
-            yield out
-
-    encoded = src.mapInPandas(encode, schema="doc_id long, payload binary")
-
+    # Fused encode→decode→window lane (same §4 boundary-crossing argument
+    # as mm_real_codec_roundtrip: the WAV payload is produced and consumed
+    # in the same task, so it never crosses to the JVM; 2 MapInPandas → 1).
     def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         win = 16
         for pdf in batches:
             rows = []
-            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                _rate, _ch, _bits, pcm = decode_wav(bytes(payload))
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = encode_wav(8000, 1, bytes(content))
+                _rate, _ch, _bits, pcm = decode_wav(payload)
                 s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
                 for w in range(len(s) // win):
                     seg = s[w * win : (w + 1) * win]
@@ -451,7 +445,7 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return encoded.mapInPandas(
+    return src.mapInPandas(
         analyze,
         schema="doc_id long, win int, n_samples long, rms double, peak long",
     ).orderBy("doc_id", "win")
@@ -504,8 +498,8 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference natively from the same md5 chains (hex → byte in SQL), so
     codec, demux, and the diff math are all value-checked.
 
-    Scale shape: encode and decode+diff are one Arrow ``mapInPandas``
-    lane each; frame pairs are local to their row (no shuffle until the
+    Scale shape: one fused Arrow ``mapInPandas`` lane (encode→demux→
+    diff); frame pairs are local to their row (no shuffle until the
     presentation sort); the diff is numpy-vectorized per batch."""
     from collections.abc import Iterator
 
@@ -538,24 +532,18 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     src = d.select("doc_id", *frame_cols)
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf[["doc_id"]].copy()
-            out["payload"] = [
-                encode_nvid(
-                    [(8, 4, bytes(pdf[f"fr{f}"][i])) for f in range(_SC_FRAMES)]
-                )
-                for i in pdf.index
-            ]
-            yield out
-
-    encoded = src.mapInPandas(encode, schema="doc_id long, payload binary")
-
+    # Fused encode→demux→diff lane (the mm_real_codec_roundtrip boundary
+    # argument: the NVID container is produced and consumed in-task, so it
+    # never crosses to the JVM; 2 MapInPandas → 1).
     def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                _w, _h, n_frames, pixels = decode_nvid(bytes(payload))
+            for i in pdf.index:
+                did = pdf["doc_id"][i]
+                payload = encode_nvid(
+                    [(8, 4, bytes(pdf[f"fr{f}"][i])) for f in range(_SC_FRAMES)]
+                )
+                _w, _h, n_frames, pixels = decode_nvid(payload)
                 per = len(pixels) // n_frames
                 frames = [
                     np.frombuffer(pixels[i * per : (i + 1) * per], dtype=np.uint8)
@@ -576,7 +564,7 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return encoded.mapInPandas(
+    return src.mapInPandas(
         analyze,
         schema="doc_id long, frame_pair int, mean_abs_diff double, is_cut boolean",
     ).orderBy("doc_id", "frame_pair")
@@ -848,21 +836,14 @@ def mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     content_hex = F.repeat(F.md5(F.col("doc_id").cast("string").cast("binary")), 6)
     src = d.select("doc_id", F.unhex(content_hex).alias("content"))
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf[["doc_id"]].copy()
-            out["payload"] = [
-                encode_wav(8000, 1, bytes(c)) for c in pdf["content"]
-            ]
-            yield out
-
-    encoded = src.mapInPandas(encode, schema="doc_id long, payload binary")
-
+    # Fused encode→decode→run-detect lane (the mm_real_codec_roundtrip
+    # boundary argument: the WAV payload is produced and consumed in-task
+    # and never crosses to the JVM; 2 MapInPandas → 1).
     def runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                decoded = decode_wav(bytes(payload))
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                decoded = decode_wav(encode_wav(8000, 1, bytes(content)))
                 s = np.frombuffer(decoded[-1], dtype="<i2").astype(np.int64)
                 quiet = np.abs(s) < _SILENCE_THRESHOLD
                 # run boundaries: indices where the quiet flag changes
@@ -879,6 +860,6 @@ def mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).astype({"doc_id": "int64", "run_start": "int32", "run_len": "int64"})
 
     return (
-        encoded.mapInPandas(runs, schema="doc_id long, run_start int, run_len long")
+        src.mapInPandas(runs, schema="doc_id long, run_start int, run_len long")
         .orderBy("doc_id", "run_start")
     )
