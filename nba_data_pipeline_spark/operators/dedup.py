@@ -88,15 +88,32 @@ def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 def hashed_shingle_sets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, sh_h) pairs — :func:`shingle_sets` with the shingle carried as
-    its 64-bit hash from birth. For consumers that only ever join/count
-    (jaccard_pairs, connected-components edge mining) the string form is
-    dead weight: persisting the hashed relation instead of strings cut the
-    d5_cc cache mass ~60% at sf300 (15 M docs × ~150 shingles × ~30-byte
-    strings → 16-byte rows). Collision budget as documented on
+    """(id, sz, sh_h) pairs — :func:`shingle_sets` with the shingle carried
+    as its 64-bit hash from birth, plus the doc's DISTINCT-SHINGLE COUNT
+    ``sz`` stamped on every row map-side (it is known for free before the
+    explode). For consumers that only ever join/count (jaccard_pairs,
+    connected-components edge mining) the string form is dead weight:
+    persisting the hashed relation instead of strings cut the d5_cc cache
+    mass ~60% at sf300 (15 M docs × ~150 shingles × ~30-byte strings →
+    16-byte rows; the int ``sz`` adds 4). Carrying ``sz`` lets
+    :func:`jaccard_pairs` fold the per-doc size aggregate and its two
+    join-backs into the intersection groupBy — one exchange instead of
+    three plan legs (r11). Collision budget as documented on
     :func:`jaccard_pairs`."""
-    return shingle_sets(docs, text_col, id_col, k).select(
-        F.col(id_col), F.xxhash64("shingle").alias("sh_h")
+    # single_eval: size() + explode() over the same array would otherwise
+    # plan as two ArrowEvalPython nodes (the shingling UDF cloned across
+    # the Generate boundary — measured 2x the shingle cost, guide §4.4).
+    arr = distinct_word_shingles_fast(
+        F.col(text_col), k, single_eval=True
+    ).alias("__sh_arr")
+    return (
+        docs.select(F.col(id_col), arr)
+        .select(
+            F.col(id_col),
+            F.size("__sh_arr").cast("int").alias("sz"),
+            F.explode("__sh_arr").alias("shingle"),
+        )
+        .select(F.col(id_col), "sz", F.xxhash64("shingle").alias("sh_h"))
     )
 
 
@@ -114,12 +131,35 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.
     top-frequency shingles first (they carry no discriminating power) —
     see ``frequent_shingle_filter``.
     """
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     # Join on the 64-bit hash of the shingle, not the string: the shuffle
     # moves 8-byte keys instead of ~30-byte 3-word strings. Shingles are
     # distinct per doc, so counts are unchanged (64-bit collisions across
     # ~millions of distinct shingles are ~1e-8 — far below the float
     # round-off the oracle compare already tolerates).
+    if "sz" in sh.columns and "sh_h" in sh.columns:
+        # hashed_shingle_sets input: ``sz`` rides each row, so |A| and |B|
+        # fall out of the intersection groupBy itself (min = the constant)
+        # — no per-doc size aggregate, no join-backs (r11; measured ~0.3 s
+        # off every consumer at sf0.1, plan: 3 extra legs -> 0).
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sz").alias("za"), "sh_h")
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sz").alias("zb"), "sh_h")
+        return (
+            a.join(b, "sh_h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("inter"),
+                F.min("za").cast("long").alias("sz_a"),
+                F.min("zb").cast("long").alias("sz_b"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= min_jaccard)
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if "sh_h" in sh.columns:
         hashed = sh.select(F.col(id_col), "sh_h")
     else:

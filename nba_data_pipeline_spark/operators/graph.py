@@ -112,9 +112,35 @@ def connected_components(
     cur_parts = num_partitions
     sharded_rounds = 0
     while True:
-        g = (
-            g.repartition(cur_parts, "src") if cur_parts > 1 else g.repartition(1)
-        ).persist()
+        if cur_parts == 1:
+            # The finishing round: the residual conflict graph is the
+            # PREVIOUS round's persisted contraction and fits one task by
+            # the cutover test, so a single DSU pass over it is the exact
+            # fixpoint. coalesce(1), not repartition(1): folding the read
+            # of the cached blocks into one task skips a whole exchange,
+            # and there is no un-materialized upstream stage left to
+            # accidentally serialize (r11 — this round previously paid the
+            # generic round body's repartition + two persists for frames
+            # with exactly one consumer each).
+            m1 = (
+                g.coalesce(1)
+                .mapInPandas(_dsu_partition, "node long, root long")
+                .groupBy("node")
+                .agg(F.min("root").alias("root"))
+            )
+            relabeled = (
+                labels.join(m1, labels["component_id"] == m1["node"], "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("root", "component_id").alias("component_id"),
+                )
+                .persist()
+            )
+            relabeled.count()
+            labels.unpersist()
+            labels = relabeled
+            break
+        g = g.repartition(cur_parts, "src").persist()
         m = g.mapInPandas(_dsu_partition, "node long, root long").persist()
         # A node whose edges hash to several partitions gets one (node, root)
         # row PER partition. The contraction join below needs all of them
@@ -127,58 +153,53 @@ def connected_components(
         # appearing as a node of a later round's m until the relabel walks
         # it down to the component minimum.
         m1 = m.groupBy("node").agg(F.min("root").alias("root"))
+        old_labels = labels
         if labels is None:
             labels = m1.select(
                 F.col("node").alias("doc_id"), F.col("root").alias("component_id")
             ).persist()
         else:
-            relabeled = (
-                labels.join(m1, labels["component_id"] == m1["node"], "left")
+            labels = (
+                old_labels.join(m1, old_labels["component_id"] == m1["node"], "left")
                 .select(
                     "doc_id",
                     F.coalesce("root", "component_id").alias("component_id"),
                 )
                 .persist()
             )
-            labels.unpersist()
-            labels = relabeled
-        # Materialize labels NOW, while this round's g and m are cached:
-        # persist() is lazy, and without an action here the final collect
-        # would replay every round's relabel join and contraction against
-        # long-unpersisted intermediates (measured ~6x slower on the catalog
-        # multi-partition query). This one action also materializes g and m,
-        # which is what lets the previous round's caches go.
-        labels.count()
-        for c in prev_caches:
-            c.unpersist()
-        prev_caches = [g, m]
-        if cur_parts == 1:
-            # The finishing round: one task held the whole residual graph,
-            # so its DSU output is already the exact fixpoint and the
-            # relabel above walked every label down to it — no contraction
-            # or emptiness probe needed.
-            break
+        g_round = g
         # Contract: rewrite both endpoints to their local roots; intra-
         # component edges become self-loops and drop out, so the next
         # round's graph only carries the conflicts BETWEEN partitions.
         # (m, not the deduped m1: a node's root-combinations across
         # partitions are what link its local trees together next round.)
         g = (
-            g.join(m.withColumnsRenamed({"node": "src", "root": "rs"}), "src")
+            g_round.join(m.withColumnsRenamed({"node": "src", "root": "rs"}), "src")
             .join(m.withColumnsRenamed({"node": "dst", "root": "rd"}), "dst")
             .select(F.col("rs").alias("src"), F.col("rd").alias("dst"))
             .where(F.col("src") != F.col("dst"))
             .distinct()
             .persist()
         )
-        prev_caches.append(g)
-        # count(), not isEmpty(): the emptiness probe doubles as the action
-        # that materializes the contracted graph into its cache, so the next
-        # round starts from cached edges instead of replaying the joins —
-        # and its value drives the hybrid cutover to the 1-partition
-        # finishing round.
         sharded_rounds += 1
+        # Materialize labels FIRST: this one action computes this round's
+        # g and m into their caches and pins the relabel result while they
+        # are hot (without it the final collect would replay every round's
+        # joins — measured ~6x slower). The contraction count then runs
+        # over cached inputs and doubles as the emptiness/cutover probe.
+        # (r11 note: submitting the two counts as concurrent driver-thread
+        # jobs — guide §2.6 — was measured and REVERTED: before anything
+        # is cached the two jobs race to compute the same un-materialized
+        # upstream, and the duplicated work cost far more than the saved
+        # job latency. §2.6 overlap pays off for independent lineages, not
+        # for two actions over one cold cache.)
+        labels.count()
         n_conflict = g.count()
+        if old_labels is not None:
+            old_labels.unpersist()
+        for c in prev_caches:
+            c.unpersist()
+        prev_caches = [g_round, m, g]
         if n_conflict == 0:
             break
         if n_conflict <= finish_threshold:

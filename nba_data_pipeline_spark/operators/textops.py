@@ -117,7 +117,9 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(ws_tokens(text))), " "))
 
 
-def distinct_word_shingles_fast(text: Column, k: int = 3) -> Column:
+def distinct_word_shingles_fast(
+    text: Column, k: int = 3, single_eval: bool = False
+) -> Column:
     """Arrow-vectorized distinct k-word shingles.
 
     The pure-expression form (``word_shingles``) is interpreted per row
@@ -126,7 +128,15 @@ def distinct_word_shingles_fast(text: Column, k: int = 3) -> Column:
     when shingling feeds every dedup operator. Whitespace ``str.split()``
     matches the engine's trim+regex-split tokenization on whitespace-
     separated text, so downstream hashes are unchanged.
-    """
+
+    ``single_eval=True`` marks the UDF non-deterministic (it is in fact
+    pure, so results are unchanged) to stop the optimizer CLONING the call
+    when two consumers reference it across a Project/Generate boundary —
+    e.g. ``size(arr)`` beside ``explode(arr)`` in
+    ``dedup.hashed_shingle_sets`` planned as TWO ArrowEvalPython nodes,
+    doubling the shingling cost (guide §4.4). Off by default: the flag
+    also blocks legitimate reorderings (filter pushdown past the UDF), so
+    callers opt in only where the duplication is real."""
 
     @F.pandas_udf("array<string>")
     def _shingles(s: pd.Series) -> pd.Series:
@@ -141,7 +151,8 @@ def distinct_word_shingles_fast(text: Column, k: int = 3) -> Column:
 
         return s.map(f)
 
-    return _shingles(text)
+    fn = _shingles.asNondeterministic() if single_eval else _shingles
+    return fn(text)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:

@@ -146,8 +146,9 @@ def d5_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 HASHED_SHINGLE_PERSIST_DOCS = 2_000_000
 
 #: estimated hashed-shingle cache bytes per document: ~150 distinct
-#: 3-shingles per synthetic doc x 16 B (doc_id, hash) per exploded row.
-_SHINGLE_CACHE_BYTES_PER_DOC = 150 * 16
+#: 3-shingles per synthetic doc x 20 B (doc_id, sz, hash) per exploded row
+#: (r11: +4 B for the map-side size column — see hashed_shingle_sets).
+_SHINGLE_CACHE_BYTES_PER_DOC = 150 * 20
 
 #: the cache may claim at most this share of the scratch volume's free
 #: space — the rest belongs to the join exchange it coexists with (the

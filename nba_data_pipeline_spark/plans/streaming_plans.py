@@ -1115,15 +1115,16 @@ def s12_custom_pystream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _land_with_sentinel(spark: SparkSession, sf_dir: str, prefix: str) -> str:
-    """Land the events file plus two later 'watermark sentinel' files, each
-    carrying one far-future event (user_id = -1). With
-    maxFilesPerTrigger=1 the sentinels arrive as their own micro-batches:
-    the first advances the watermark past every real row's join window,
-    the second gives the engine a subsequent batch in which the passed
-    watermark evicts outer-join state — so every unmatched left row is
-    flushed deterministically before the availableNow drain terminates.
-    This is the land-a-heartbeat pattern for closing event-time windows on
-    a bounded replay of an unbounded stream."""
+    """Land the events file plus one 'watermark sentinel' file carrying a
+    single far-future (+60d) event (user_id = -1). Processed in the same
+    batch as the arrival, the sentinel advances the end-of-batch watermark
+    past every real row's join window; the engine's no-data micro-batch
+    then evicts outer-join state, so every unmatched left row is flushed
+    deterministically before the availableNow drain terminates. This is
+    the land-a-heartbeat pattern for closing event-time windows on a
+    bounded replay of an unbounded stream (r11: was two sentinels + a
+    maxFilesPerTrigger=1 batch-per-file drain — same rows out, double the
+    fixed per-batch machinery)."""
     import os as _os
     import shutil
 
@@ -1140,7 +1141,10 @@ def _land_with_sentinel(spark: SparkSession, sf_dir: str, prefix: str) -> str:
         _os.utime(f"{land_dir}/arrival_1.parquet", (1_700_000_000, 1_700_000_000))
         base = spark.read.parquet(f"{land_dir}/arrival_1.parquet")
         ts_type = dict(base.dtypes).get("ts")
-        for i, days in ((2, 30), (3, 60)):
+        # ONE sentinel at +60 days (r11: was two, at +30/+60, with
+        # maxFilesPerTrigger=1 — four micro-batches where two suffice; see
+        # s13's drain for the watermark math that makes one enough).
+        for i, days in ((2, 60),):
             sent = base.agg(F.max("ts").alias("ts")).select(
                 F.lit(-1 - i).cast("long").alias("event_id"),
                 (
@@ -1199,14 +1203,22 @@ def s13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay — on a true unbounded stream the next real event plays that
     role. The oracle recomputes matched and unmatched counts per user from
     the static table; equality proves no unmatched click was dropped or
-    double-emitted by eviction."""
+    double-emitted by eviction.
+
+    Batch economics (r11): each micro-batch costs ~1 s of fixed machinery
+    here (re-planning + state-store load/commit per partition + sink
+    collect) regardless of rows, so the drain runs the MINIMUM batches the
+    semantics need: one data batch (arrival + the +60d sentinel together —
+    matches emit here; the watermark computed at its END covers every real
+    click's 10-minute window) and the engine's no-data batch, which
+    performs the final eviction and emits the unmatched rows. The no-data
+    batch is load-bearing, so the drain pins
+    ``spark.sql.streaming.noDataMicroBatches.enabled=true`` (its default)
+    explicitly. Was: two sentinels + maxFilesPerTrigger=1 = four batches
+    for the same result set (measured 4.4 s -> see OPTIMIZATION_r11.md)."""
     land = _land_with_sentinel(spark, sf_dir, "s13")
-    sdf_c = _stream_events(
-        spark, sf_dir, "s13", land_dir=land, max_files_per_trigger=1
-    )
-    sdf_p = _stream_events(
-        spark, sf_dir, "s13", land_dir=land, max_files_per_trigger=1
-    )
+    sdf_c = _stream_events(spark, sf_dir, "s13", land_dir=land)
+    sdf_p = _stream_events(spark, sf_dir, "s13", land_dir=land)
     # The sentinel rows must flow THROUGH the watermark operator to
     # advance event time (a type filter excluding them would be pushed
     # below the watermark node by the optimizer, and the watermark
@@ -1231,16 +1243,27 @@ def s13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     )
-    with _small_state_shuffle(spark, n=_state_partitions(land)):
-        q = (
-            pairs.writeStream.format("memory")
-            .queryName("s13_pairs_mem")
-            .outputMode("append")
-            .option("checkpointLocation", streaming_checkpoint_dir("s13_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        with _small_state_shuffle(spark, n=_state_partitions(land)):
+            q = (
+                pairs.writeStream.format("memory")
+                .queryName("s13_pairs_mem")
+                .outputMode("append")
+                .option(
+                    "checkpointLocation", streaming_checkpoint_dir("s13_ckpt_")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
         )
-        q.awaitTermination()
     drained = spark.table("s13_pairs_mem").filter(F.col("c_user") >= 0)
     return (
         drained.groupBy(F.col("c_user").alias("user_id"))

@@ -48,6 +48,35 @@ def test_jaccard_pairs(docs):
     assert (1, 3) not in pairs
 
 
+def test_jaccard_pairs_hashed_sz_fast_path(docs):
+    """r11: hashed_shingle_sets carries the per-doc distinct-shingle count
+    map-side, and jaccard_pairs folds |A|/|B| into the intersection groupBy
+    (no size aggregate, no join-backs). The fast path must agree with the
+    string-relation fallback exactly, and the plan must evaluate the
+    shingling UDF once (the size+explode duplication regression)."""
+    from nba_data_pipeline_spark.operators.dedup import hashed_shingle_sets
+
+    sh_h = hashed_shingle_sets(docs)
+    assert set(sh_h.columns) == {"doc_id", "sz", "sh_h"}
+    # one ArrowEvalPython: size() beside explode() must not clone the UDF
+    plan = sh_h._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    # sz == the doc's distinct shingle count on every exploded row
+    sizes = {
+        (r.doc_id, r.sz) for r in sh_h.select("doc_id", "sz").distinct().collect()
+    }
+    assert sizes == {(1, 7), (2, 7), (3, 4)}  # doc 4 has no shingles
+    fast = {
+        (r.id_a, r.id_b): (r.inter, r.sz_a, r.sz_b, r.jaccard)
+        for r in jaccard_pairs(sh_h).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b): (r.inter, r.sz_a, r.sz_b, r.jaccard)
+        for r in jaccard_pairs(shingle_sets(docs)).collect()
+    }
+    assert fast == slow and (1, 2) in fast
+
+
 def test_prefix_jaccard_pairs_matches_plain(spark):
     """The prefix-filtered miner must reproduce jaccard_pairs-at-threshold
     exactly for every slice count and r — the r-prefix filter is lossless

@@ -216,9 +216,10 @@ R4_SESSION_FINGERPRINTS = {
     "ta_kneser_ney_bigram": "HashAggregate",        # mergeable count tables
     "mm_video_scene_cut": "MapInPandas",            # Arrow codec/diff lane
     "a33_share_of_parent": "Window",                # grain-contracted shares
-    # ta_greedy_set_cover checkpoints each round; fingerprint the in-plan
-    # coverage-total join of the final assembled output
-    "ta_greedy_set_cover": "BroadcastNestedLoopJoin",
+    # ta_greedy_set_cover checkpoints each pick; r11 replaced the per-round
+    # coverage-count crossJoin with the running-sum-of-gains window over
+    # the 5 assembled pick rows — fingerprint that window
+    "ta_greedy_set_cover": "Window",
     "ta_quantile_normalize": "BroadcastHashJoin",   # 101-row grid broadcast
     "w14_theil_sen_slope": "Window",                # bounded pair ranking
     "dq9_functional_dependencies": "HashAggregate", # per-pair group contraction
