@@ -939,20 +939,19 @@ def s11_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
         ).select("doc_id", "band.band_idx", "band.band_key")
 
     def handle(bdf, batch_id: int):
-        # limit(2): the invariant is "exactly one parity per batch", so two
-        # distinct values already falsify it — the collect stays O(1) no
-        # matter how wide a batch gets.
-        parities = [
-            r[0]
-            for r in bdf.select((_F.col("doc_id") % 2))
-            .distinct()
-            .limit(2)
-            .collect()
-        ]
-        if len(parities) != 1:
-            raise RuntimeError(f"s11 expected one arrival file per batch, got {parities}")
-        arrival = int(parities[0])
         bands = bands_of(bdf).persist()
+        # One-parity-per-batch invariant, folded into the SAME action that
+        # materializes the bands cache (r11: was a separate bdf-scan job
+        # per batch): bands carries doc_id, so min==max of doc_id%2 over
+        # bands is the invariant, and this 1-row first() is what computes
+        # the persisted bands the decisions/store writes then reuse.
+        par = _F.pmod(_F.col("doc_id"), _F.lit(2))
+        lo, hi = bands.agg(_F.min(par), _F.max(par)).first()
+        if lo is None or lo != hi:
+            raise RuntimeError(
+                f"s11 expected one arrival file per batch, got {(lo, hi)}"
+            )
+        arrival = int(lo)
         # Store read is ONE listing path: partition discovery walks the
         # batch=N subdirectories executor-side. The old form globbed every
         # part-file on the driver and passed one path per file — with
