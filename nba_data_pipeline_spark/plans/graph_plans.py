@@ -17,6 +17,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.io import read_table
+from nba_data_pipeline_spark.operators.graph_iter import (
+    bfs_kernel,
+    fold_contracted,
+    hits_kernel,
+    pagerank_kernel,
+    sssp_kernel,
+)
 from nba_data_pipeline_spark.operators.totalorder import bounded_window
 from nba_data_pipeline_spark.plans.registry import ROUND_DIGITS, query
 
@@ -87,47 +94,21 @@ def g1_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", F.col("s_nationkey").alias("v"))
     )
-    # The contracted summary is nation-pair-sized (≤ N² ≪ the facts), so
-    # localCheckpoint it onto ONE partition: the fact⋈fact mining runs
-    # exactly once and its lineage is truncated, and every iteration join
-    # below becomes a single-task local op instead of a 32-partition
-    # shuffle stage — the r3 bench breach was ~12 such stages of pure
-    # scheduling overhead, not data. (repartition, not coalesce(1):
-    # coalesce would fold the wide mining join itself into one task.)
+    # Contract-then-iterate, fused (r11): the fact⋈fact mining stays the
+    # one distributed stage; the 3-round integer fixpoint then runs as a
+    # SINGLE mapInPandas task over the ≤ N² nation-pair summary
+    # (operators/graph_iter.py — exact same recurrence, bit-equal). The
+    # previous relational unroll cost ~3 scheduler round-trips per round
+    # (broadcast build + join + agg on ≤25-row frames) plus an eager
+    # checkpoint and a node-count job — ~2.3 s of fixed machinery at
+    # sf0.1, invariant in data size.
     edges = (
         eo.join(ls, eo["o_orderkey"] == ls["l_orderkey"])
         .where(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .repartition(1)
-        .localCheckpoint()
     )
-    nodes = (
-        edges.select(F.col("u").alias("n"))
-        .union(edges.select(F.col("v").alias("n")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n_nodes = nodes.count()  # dimension-sized; reads the checkpointed blocks
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    base = (15 * _SCALE) // (100 * n_nodes)
-    pr = nodes.withColumn("pr", F.lit(_SCALE // n_nodes))
-    for _ in range(3):
-        # broadcast the dimension-sized rank/degree frames: each round is a
-        # map-local hash join on the 1-partition edge summary, and only the
-        # per-round groupBy shuffles (AQE coalesces it to one reducer).
-        contrib = (
-            edges.join(F.broadcast(pr.withColumnRenamed("n", "u")), "u")
-            .join(F.broadcast(deg), "u")
-            .groupBy(F.col("v").alias("n"))
-            .agg(
-                F.sum(F.expr("(85 * pr) div (100 * d)")).cast("long").alias("contrib")
-            )
-        )
-        pr = nodes.join(F.broadcast(contrib), "n", "left").select(
-            "n",
-            (F.lit(base) + F.coalesce("contrib", F.lit(0))).alias("pr"),
-        )
+    pr = fold_contracted(edges, pagerank_kernel, "n long, pr long")
     nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     out = pr.join(
         F.broadcast(nation), pr["n"] == nation["n_nationkey"]
@@ -355,42 +336,16 @@ def g3_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    edges = (
-        # symmetrize by EXPLODING each edge into (u,v)+(v,u) instead of a
-        # union with a flipped re-select: the union form re-executed the
-        # whole fact-join lineage once PER BRANCH (r11, plan-verified: 2
-        # SortMergeJoin / 11 Exchange → 1 / 6; edge build 1.4 → 0.8 s at
-        # sf0.1)
-        edir.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u"), F.col("v")),
-                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-        # contract-then-iterate (same as g1/g4): the edge mining join runs
-        # ONCE here and the dimension-bounded summary is pinned; without
-        # this every unrolled round re-planned the whole fact lineage and
-        # the query was floor-dominated (measured 3.95 s -> 2.7 s at sf0.1;
-        # unchanged at the 30x tiling where edge mining dominates, because
-        # the iteration itself runs on <= nations^2 rows)
-        .localCheckpoint()
+    # Contract-then-iterate, fused (r11): the mining join is the one
+    # distributed stage; symmetrize + the 6 unrolled frontier rounds run
+    # as ONE mapInPandas task over the ≤ N² directed nation pairs
+    # (operators/graph_iter.py, recurrence bit-equal to the relational
+    # unroll). The previous loop paid an eager checkpoint + a join + an
+    # aggregate job PER ROUND on ≤25-row frames — fixed machinery,
+    # invariant in data size.
+    dist = fold_contracted(
+        edir, lambda df: bfs_kernel(df, _BFS_ROUNDS), "n long, lvl int"
     )
-    dist = edges.sparkSession.createDataFrame([(0, 0)], "n long, lvl int")
-    for _ in range(_BFS_ROUNDS):
-        frontier = (
-            dist.join(edges, dist["n"] == edges["u"])
-            .select(F.col("v").alias("n"), (F.col("lvl") + 1).alias("lvl"))
-        )
-        dist = (
-            dist.unionByName(frontier)
-            .groupBy("n")
-            .agg(F.min("lvl").alias("lvl"))
-            .localCheckpoint()
-        )
     nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         dist.join(nation, dist["n"] == nation["n_nationkey"])
@@ -491,55 +446,16 @@ def g4_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.min("w").cast("long").alias("w"))
     )
-    edges = (
-        # explode-symmetrize (not union-of-flip): the union form ran the
-        # dedges fact aggregation once per branch — see g3 (r11)
-        dedges.select(
-            F.explode(
-                F.array(
-                    F.struct("u", "v", "w"),
-                    F.struct(
-                        F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v", "e.w")
-        .groupBy("u", "v")
-        .agg(F.min("w").alias("w"))
-        # the contracted graph is dimension-bounded (≤ nations²) — pin it
-        # so each relaxation round reuses one materialization
-        .localCheckpoint()
+    # Contract-then-iterate, fused (r11): the fact aggregation is the one
+    # distributed stage; symmetrize + MIN-merge + the 4 unrolled
+    # relaxation rounds run as ONE mapInPandas task over the ≤ N²
+    # MIN-weighted nation pairs (operators/graph_iter.py, recurrence
+    # bit-equal to the relational unroll). The previous loop paid an
+    # eager checkpoint + a broadcast + a join + an aggregate PER ROUND on
+    # ≤25-row frames — fixed machinery, invariant in data size.
+    dist = fold_contracted(
+        dedges, lambda df: sssp_kernel(df, _G4_ROUNDS, _G4_INF), "n long, dist long"
     )
-    nodes = edges.select(F.col("u").alias("n")).distinct()
-    dist = nodes.select(
-        "n",
-        F.when(F.col("n") == 0, F.lit(0))
-        .otherwise(F.lit(_G4_INF))
-        .cast("long")
-        .alias("dist"),
-    )
-    for _ in range(_G4_ROUNDS):
-        relaxed = (
-            edges.join(
-                dist.filter(F.col("dist") < _G4_INF).select(
-                    F.col("n").alias("u"), F.col("dist").alias("du")
-                ),
-                "u",
-            )
-            .groupBy(F.col("v").alias("n"))
-            .agg(F.min(F.col("du") + F.col("w")).alias("best"))
-        )
-        dist = (
-            dist.join(F.broadcast(relaxed), "n", "left")
-            .select(
-                "n",
-                F.least(
-                    F.col("dist"), F.coalesce(F.col("best"), F.lit(_G4_INF))
-                ).alias("dist"),
-            )
-            .localCheckpoint()
-        )
     nation = read_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
@@ -1069,47 +985,23 @@ def g8_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        # nation-pair grain (≤ 25×24 rows) consumed by SIX downstream
-        # stages — small layout + lazy pin (the g7 discipline) instead of
-        # a 32-partition persist, so each HITS half-step is a 1-task
-        # stage (measured 2.1 → 1.83 s at sf0.1; the same treatment
-        # REGRESSED g4/g5, whose per-round repartition exchange costs
-        # more than the small layout saves, so it stays local to g8).
-        .repartition(1)
-        .localCheckpoint(eager=False)
     )
-    nodes = (
-        edges.select(F.col("u").alias("n"))
-        .union(edges.select(F.col("v").alias("n")))
-        .distinct()
-    )
-    h1 = edges.groupBy(F.col("u").alias("n")).agg(
-        F.count(F.lit(1)).cast("long").alias("h")
-    )
-    a1 = (
-        edges.join(F.broadcast(h1), edges["u"] == h1["n"])
-        .groupBy(edges["v"].alias("n"))
-        .agg(F.sum("h").cast("long").alias("a"))
-    )
-    h2 = (
-        edges.join(F.broadcast(a1), edges["v"] == a1["n"])
-        .groupBy(edges["u"].alias("n"))
-        .agg(F.sum("a").cast("long").alias("h"))
-    )
-    a2 = (
-        edges.join(F.broadcast(h2), edges["u"] == h2["n"])
-        .groupBy(edges["v"].alias("n"))
-        .agg(F.sum("h").cast("long").alias("a"))
+    # Contract-then-iterate, fused (r11): the mining join is the one
+    # distributed stage; both HITS mutual-reinforcement rounds run as ONE
+    # mapInPandas task over the ≤ 25×24 nation pairs
+    # (operators/graph_iter.py, recurrence bit-equal to the four
+    # relational half-steps, which each cost a broadcast + join + agg
+    # round-trip — fixed machinery, invariant in data size).
+    scores = fold_contracted(
+        edges, hits_kernel, "n long, hub_score long, auth_score long"
     )
     nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     scored = (
-        nodes.join(F.broadcast(nation), nodes["n"] == nation["n_nationkey"])
-        .join(F.broadcast(h2.withColumnRenamed("n", "hn")), F.col("n") == F.col("hn"), "left")
-        .join(F.broadcast(a2.withColumnRenamed("n", "an")), F.col("n") == F.col("an"), "left")
+        scores.join(F.broadcast(nation), scores["n"] == nation["n_nationkey"])
         .select(
             F.col("n_name").alias("nation"),
-            F.coalesce("h", F.lit(0).cast("long")).alias("hub_score"),
-            F.coalesce("a", F.lit(0).cast("long")).alias("auth_score"),
+            "hub_score",
+            "auth_score",
         )
     )
     return scored.select(
