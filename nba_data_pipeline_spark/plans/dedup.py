@@ -1418,6 +1418,8 @@ def d12_dupspan_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus tokens × k. The true suffix-array algorithm finds
     maximal spans ≥ k with the same output for spans ≥ 2k-1; the shingle
     form trades that tightness for pure relational ops."""
+    from pyspark.sql import Window as W
+
     d = (
         read_table(spark, sf_dir, "documents")
         .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
@@ -1428,69 +1430,74 @@ def d12_dupspan_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(toks)") >= k,
         F.expr(f"sequence(1, size(toks) - {k - 1})"),
     ).otherwise(F.expr("array()").cast("array<int>"))
-    # the shingle stream feeds BOTH the df detection and the occurrence
-    # join; persist its xxhash64 contraction (the dedup-lane discipline:
-    # 8-byte keys instead of k-token strings) so the tokenize + explode
-    # pass runs once — without this the plan re-derived it per consumer.
-    sh = (
-        d.select(
-            "doc_id",
-            "toks",
-            F.explode(starts_arr).alias("start"),
-        )
-        .select(
+    # xxhash64 contraction of each shingle (the dedup-lane discipline:
+    # 8-byte keys instead of k-token strings).
+    sh = d.select(
+        "doc_id",
+        "toks",
+        F.explode(starts_arr).alias("start"),
+    ).select(
+        "doc_id",
+        "start",
+        F.xxhash64(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), k))
+        ).alias("sh_h"),
+    )
+    # Cross-doc df >= 2 ⟺ min(doc_id) ≠ max(doc_id) within the shingle
+    # group — one window pass over ONE shuffle of the 16-byte occurrence
+    # rows (r11, guide §2.4): the previous groupBy-countDistinct + join-back
+    # consumed the shingle stream twice and needed an unconditional
+    # token-grain persist to avoid re-deriving it.
+    wdup = W.partitionBy("sh_h")
+    occ = (
+        sh.select(
             "doc_id",
             "start",
-            F.xxhash64(
-                F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), k))
-            ).alias("sh_h"),
+            (
+                F.min("doc_id").over(wdup) != F.max("doc_id").over(wdup)
+            ).alias("is_dup"),
         )
-        .persist()
+        .where("is_dup")
+        .select("doc_id", "start")
     )
-    dup = (
-        sh.groupBy("sh_h")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
-        .select("sh_h")
+    # Rewrite per doc with native array ops on the UNEXPLODED token rows
+    # (r11, guide §2.3 "shuffle keys and metadata instead of payloads"):
+    # covered spans travel as one int array per doc; the token payload is
+    # never exploded through a shuffle. Replaces the (doc, pos)-grain
+    # anti-join + collect_list reassembly (two token-grain exchanges).
+    spans = occ.groupBy("doc_id").agg(F.collect_set("start").alias("starts"))
+    cov = F.array_distinct(
+        F.flatten(F.expr(f"transform(starts, s -> sequence(s, s + {k - 1}))"))
     )
-    occ = sh.join(dup, "sh_h").select("doc_id", "start")
-    cov = occ.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
-        ).alias("pos"),
-    ).distinct()
-    tok = d.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "token")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    kept = tok.join(cov, ["doc_id", "pos"], "left_anti")
-    clean = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, token))), "
-                "s -> s.token)"
-            ),
-        ).alias("cleaned"),
+    keptarr = F.expr(
+        "filter(transform(toks, (t, i) -> struct(t AS tk, i + 1 AS p)),"
+        " s -> NOT array_contains(cov, s.p))"
     )
-    base = d.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
     return (
-        base.join(clean, "doc_id", "left")
+        d.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            "toks",
+            F.coalesce(cov, F.expr("array()").cast("array<int>")).alias("cov"),
+        )
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
+            keptarr.alias("keptarr"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("keptarr")).cast("long").alias("n_removed"),
             F.round(
-                F.coalesce(F.col("n_kept"), F.lit(0)) * F.lit(1.0)
-                / F.col("n_tokens"),
-                4,
+                F.size("keptarr") * F.lit(1.0) / F.col("n_tokens"), 4
             ).alias("kept_ratio"),
-            F.md5(F.coalesce(F.col("cleaned"), F.lit("")).cast("binary")).alias(
-                "cleaned_md5"
-            ),
+            F.md5(
+                F.concat_ws(
+                    " ", F.expr("transform(keptarr, s -> s.tk)")
+                ).cast("binary")
+            ).alias("cleaned_md5"),
         )
         .orderBy("doc_id")
     )

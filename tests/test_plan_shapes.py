@@ -203,7 +203,10 @@ R4_SESSION_FINGERPRINTS = {
     "j18_interval_overlap_join": "Generate",        # week-cell explosion
     "lo4_skew_profiler": "HashAggregate",           # per-key count contraction
     "sim_hard_negatives": "BroadcastNestedLoopJoin",  # broadcast anchors
-    "d12_dupspan_rewrite": "LeftAnti",              # covered-position excision
+    # r11 rewrote the covered-position excision (token-grain anti-join +
+    # collect_list reassembly) as native array ops over unexploded docs;
+    # fingerprint the min/max-per-shingle duplicate-detection window
+    "d12_dupspan_rewrite": "Window",
     "mm_audio_energy": "MapInPandas",               # Arrow codec/DSP lane
     "ta_bm25_search": "BroadcastHashJoin",          # 3-row df broadcast
     "ts5_time_weighted_avg": "Window",              # LOCF lead chain
