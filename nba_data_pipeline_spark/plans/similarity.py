@@ -1663,22 +1663,46 @@ def sim_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable cosine fold), rounded on both engines."""
     from pyspark.sql import Window as W
 
+    from nba_data_pipeline_spark.operators.similarity import dot
+
     v = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
+    # r11 (§1.2-2/§2.4): (a) precompute each vector's sqrt(dot(e,e)) ONCE
+    # per sampled row — the per-pair cosine recomputed both norms for
+    # every pair (2016 pairs/label redo the same 64 norms 63× each);
+    # bit-identical because the per-pair value is the same fold divided in
+    # the same order, sqrt(na)·sqrt(nb). (b) localCheckpoint the two
+    # fixed-size samples so each self-join branch (and the broadcast
+    # build) reads ≤64·|labels| / 256 pinned rows instead of re-running
+    # the window / TakeOrdered scan per branch.
     wl = W.partitionBy("label").orderBy("vec_id")
     vs = (
         v.withColumn("rn", F.row_number().over(wl))
         .filter(F.col("rn") <= _AU_PER_LABEL)
-        .drop("rn")
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .localCheckpoint()
     )
     a = vs.select(
-        F.col("vec_id").alias("ida"), "label", F.col("embedding").alias("ea")
+        F.col("vec_id").alias("ida"),
+        "label",
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = vs.select(
-        F.col("vec_id").alias("idb"), "label", F.col("embedding").alias("eb")
+        F.col("vec_id").alias("idb"),
+        "label",
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    sqdist = 2.0 - 2.0 * cosine(F.col("ea"), F.col("eb"))
+    sqdist = 2.0 - 2.0 * (
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    )
     align = (
         a.join(b, "label")
         .filter(F.col("ida") < F.col("idb"))
@@ -1689,9 +1713,27 @@ def sim_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("sqdist").alias("alignment"),
         )
     )
-    s = v.select("vec_id", "embedding").orderBy("vec_id").limit(_AU_UNIF_N)
-    sa = s.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
-    sb = s.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    s = (
+        v.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_AU_UNIF_N)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .localCheckpoint()
+    )
+    sa = s.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    sb = s.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     u = (
         sa.join(F.broadcast(sb), F.col("ida") < F.col("idb"))
         .select(F.exp(-2.0 * sqdist).alias("pot"))
