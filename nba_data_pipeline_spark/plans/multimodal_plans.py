@@ -708,8 +708,14 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     ph = src.mapInPandas(lane, schema="doc_id long, phash long")
-    hashes = ph.groupBy("phash").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    # |distinct images|-sized contraction feeding THREE consumers (both
+    # band-join branches + the final report join) — pin it so the codec
+    # lane provably runs once (r11; exchange reuse almost covers this,
+    # but the pin also truncates the three-way plan)
+    hashes = (
+        ph.groupBy("phash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .localCheckpoint()
     )
     bands = hashes.select(
         "phash",
