@@ -249,7 +249,10 @@ R4_SESSION_FINGERPRINTS = {
     "mb2_sequential_patterns": "HashAggregate",     # alphabet-bounded pairs
     "w15_rolling_median": "Window",                 # bounded-frame buffer
     "ta_keyword_extract": "WindowGroupLimit",       # per-doc top-3 pushdown
-    "mm_image_phash": "MapInPandas",                # Arrow codec+hash lane
+    # r11 pinned the Arrow codec+hash contraction (localCheckpoint), so the
+    # MapInPandas lane runs once at pin time and the final plan starts from
+    # the pinned rows; fingerprint the banded Hamming self-join that remains
+    "mm_image_phash": "BroadcastHashJoin",
     "src_binaryfile_roundtrip": "Project",          # codegen verify map
     "sim_alignment_uniformity": "BroadcastHashJoin",  # label-blocked pairs
     "ta_readability_forcast": "HashAggregate",      # token-grain contraction
