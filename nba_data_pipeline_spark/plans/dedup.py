@@ -1005,19 +1005,39 @@ def d9_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.xxhash64("shingle").alias("h")
     ).persist()
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # One window stage (clustered by doc_id) yields both the rarity rank
-    # and the set size — no separate size join.
-    wdoc = W.partitionBy("doc_id")
-    ranked = (
+    # ONE groupBy-doc_id pass yields the rarity order, the set size, the
+    # prefix slice AND the verify array: array_sort over struct(df, h)
+    # orders each doc's shingles by (df asc, h asc) — exactly the
+    # row_number window this replaces (h is per-doc distinct, so the key
+    # is unique) — and the docset the verify joins need is the same array
+    # stripped of df. The window shuffle + the separate docsets
+    # aggregation (a second full shuffle of the shingle relation, run
+    # TWICE more as the two non-identical broadcast builds) collapse into
+    # this single exchange.
+    per_doc = (
         sh.join(dfreq, "h")
-        .withColumn("pos", F.row_number().over(wdoc.orderBy("df", "h")))
-        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("rk"))
+        .select(
+            "doc_id",
+            F.size("rk").alias("sz"),
+            F.expr("transform(rk, x -> x.h)").alias("hs"),
+        )
+        .persist()
     )
     # prefix length for t = num/den: L - ceil(L*num/den) + 1
     # (integer ceil: (L*num + den - 1) div den)
-    ceil_tl = F.expr(f"(sz * {_PF_T_NUM} + {_PF_T_DEN} - 1) div {_PF_T_DEN}")
-    prefix = ranked.filter(F.col("pos") <= F.col("sz") - ceil_tl + 1).select(
-        "doc_id", "h", "sz", "pos"
+    plen = F.expr(
+        f"sz - ((sz * {_PF_T_NUM} + {_PF_T_DEN} - 1) div {_PF_T_DEN}) + 1"
+    )
+    prefix = (
+        per_doc.select(
+            "doc_id",
+            "sz",
+            F.posexplode(F.slice("hs", F.lit(1), plen)),
+        )
+        .withColumnRenamed("col", "h")
+        .select("doc_id", "h", "sz", (F.col("pos") + 1).alias("pos"))
     )
     # POSITIONAL filter (PPJoin §3.2, same paper): a qualifying pair needs
     # inter >= alpha = ceil(t/(1+t) * (|A|+|B|)), and any shared prefix
@@ -1070,7 +1090,7 @@ def d9_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle joins) — the r8 sf30 (300×) probe measured the broadcast
     # variant OOMing the driver at 1.5M docsets (~GBs per broadcast),
     # exactly the crossover this docstring used to only predict.
-    docsets = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    docsets = per_doc.select("doc_id", "hs")
     paired = cand.repartition(
         spark.sparkContext.defaultParallelism, "id_a", "id_b"
     )
