@@ -800,35 +800,37 @@ def g7_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
     )
     edges0 = pairs.distinct().repartition(8).localCheckpoint(eager=False)
+    # Degrees via explode (one lineage leg over the checkpoint, not a
+    # union of two selects), and ONE broadcast build per table: the keep
+    # and degree broadcasts are joined twice under different conditions,
+    # but aliasing a single broadcast() frame leaves the two
+    # BroadcastExchange children plan-identical, so ReuseExchange builds
+    # each once (4 broadcast-build jobs → 2). deg additionally feeds the
+    # node-grain presentation leg, so it is pinned small.
     deg0 = (
-        edges0.select(F.col("u").alias("node"))
-        .unionAll(edges0.select(F.col("v").alias("node")))
+        edges0.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
-    keep = deg0.filter(F.col("d") <= _G7_DEGREE_CAP).select("node")
-    edges = edges0.join(
-        F.broadcast(keep.withColumnRenamed("node", "u")), "u"
-    ).join(F.broadcast(keep.withColumnRenamed("node", "v")), "v")
+    keep = F.broadcast(deg0.filter(F.col("d") <= _G7_DEGREE_CAP).select("node"))
+    edges = (
+        edges0.join(keep.alias("ku"), F.col("u") == F.col("ku.node"))
+        .join(keep.alias("kv"), F.col("v") == F.col("kv.node"))
+        .select("u", "v")
+    )
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .repartition(8)
+        .localCheckpoint(eager=False)
     )
+    degb = F.broadcast(deg)
     e = (
-        edges.join(
-            F.broadcast(
-                deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")
-            ),
-            "u",
-        )
-        .join(
-            F.broadcast(
-                deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")
-            ),
-            "v",
-        )
+        edges.join(degb.alias("dut"), F.col("u") == F.col("dut.node"))
+        .join(degb.alias("dvt"), F.col("v") == F.col("dvt.node"))
+        .withColumn("du", F.col("dut.d"))
+        .withColumn("dv", F.col("dvt.d"))
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))
