@@ -23,7 +23,7 @@ from nba_data_pipeline_spark.operators.totalorder import (
     bounded_window,
     total_order,
 )
-from nba_data_pipeline_spark.plans.registry import query
+from nba_data_pipeline_spark.plans.registry import pinned_sort, query
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 
@@ -816,7 +816,7 @@ def ta_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
     enc = wf.withColumn("encoded", encode(F.col("word")))
-    return enc.select(
+    out = enc.select(
         "word",
         "freq",
         "encoded",
@@ -827,7 +827,9 @@ def ta_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_pieces"),
-    ).orderBy("word")
+    )
+    # pinned: the range sampling would re-run the Arrow BPE-encode lane
+    return pinned_sort(out, "word")
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,7 @@ from nba_data_pipeline_spark.operators.multimodal import (
     resize_plan,
     sample_frames,
 )
-from nba_data_pipeline_spark.plans.registry import query
+from nba_data_pipeline_spark.plans.registry import pinned_sort, query
 
 _SQL_MEDIA = """
   SELECT doc_id,
@@ -62,7 +62,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration — is the production path)."""
     d = read_table(spark, sf_dir, "documents")
     media = media_catalog(d)
-    return decode_features(media).orderBy("doc_id")
+    return pinned_sort(decode_features(media), "doc_id")
 
 
 @query(
@@ -147,16 +147,17 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        resize_plan(feats, max_dim=32)
-        .select(
+        pinned_sort(
+            resize_plan(feats, max_dim=32).select(
+                "doc_id",
+                "width",
+                "height",
+                "out_width",
+                "out_height",
+                (F.col("feat_hash") == expected).alias("decoded_ok"),
+            ),
             "doc_id",
-            "width",
-            "height",
-            "out_width",
-            "out_height",
-            (F.col("feat_hash") == expected).alias("decoded_ok"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -239,11 +240,15 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return frames.select(
+    return pinned_sort(
+        frames.select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_hash") == expected).alias("frame_ok"),
+        ),
         "doc_id",
         "frame_idx",
-        (F.col("frame_hash") == expected).alias("frame_ok"),
-    ).orderBy("doc_id", "frame_idx")
+    )
 
 
 @query(
@@ -345,13 +350,16 @@ def mm_real_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(feats)
 
-    return src.mapInPandas(
-        roundtrip,
-        schema=(
-            "doc_id long, media_type string, width int, height int, "
-            "n_frames int, duration_ms long, roundtrip_ok boolean"
+    return pinned_sort(
+        src.mapInPandas(
+            roundtrip,
+            schema=(
+                "doc_id long, media_type string, width int, height int, "
+                "n_frames int, duration_ms long, roundtrip_ok boolean"
+            ),
         ),
-    ).orderBy("doc_id")
+        "doc_id",
+    )
 
 
 @query(
@@ -445,10 +453,14 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(
-        analyze,
-        schema="doc_id long, win int, n_samples long, rms double, peak long",
-    ).orderBy("doc_id", "win")
+    return pinned_sort(
+        src.mapInPandas(
+            analyze,
+            schema="doc_id long, win int, n_samples long, rms double, peak long",
+        ),
+        "doc_id",
+        "win",
+    )
 
 
 _SC_FRAMES = 3
@@ -564,10 +576,14 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(
-        analyze,
-        schema="doc_id long, frame_pair int, mean_abs_diff double, is_cut boolean",
-    ).orderBy("doc_id", "frame_pair")
+    return pinned_sort(
+        src.mapInPandas(
+            analyze,
+            schema="doc_id long, frame_pair int, mean_abs_diff double, is_cut boolean",
+        ),
+        "doc_id",
+        "frame_pair",
+    )
 
 
 def _phash_lum_sql() -> tuple[str, str]:
@@ -865,7 +881,8 @@ def mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "run_start", "run_len"]
             ).astype({"doc_id": "int64", "run_start": "int32", "run_len": "int64"})
 
-    return (
-        src.mapInPandas(runs, schema="doc_id long, run_start int, run_len long")
-        .orderBy("doc_id", "run_start")
+    return pinned_sort(
+        src.mapInPandas(runs, schema="doc_id long, run_start int, run_len long"),
+        "doc_id",
+        "run_start",
     )

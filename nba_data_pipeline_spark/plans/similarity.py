@@ -19,7 +19,7 @@ from nba_data_pipeline_spark.operators.similarity import (
     num_planes_for,
     sql_hyperplane_weights,
 )
-from nba_data_pipeline_spark.plans.registry import query
+from nba_data_pipeline_spark.plans.registry import pinned_sort, query
 
 DIM = 64
 _SQL_COS = (
@@ -105,7 +105,8 @@ def sim_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     b = v.withColumn("bucket", lsh_bucket(F.col("embedding"), _NUM_PLANES, DIM))
-    return cosine_pairs_in_buckets(b, 0.25).orderBy("id_a", "id_b")
+    # pinned: the range sampling would re-run the grouped-pandas mine lane
+    return pinned_sort(cosine_pairs_in_buckets(b, 0.25), "id_a", "id_b")
 
 
 _NUM_CENTROIDS = 8

@@ -36,7 +36,7 @@ from nba_data_pipeline_spark.operators.textops import (
     token_count_ws,
     ws_tokens,
 )
-from nba_data_pipeline_spark.plans.registry import query
+from nba_data_pipeline_spark.plans.registry import pinned_sort, query
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 
@@ -148,12 +148,14 @@ def ta_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break, compared against the dataset's label column."""
     d = _docs_wide(spark, sf_dir)
     pred = predict_lang_fast(F.col("text"))
-    return d.select(
+    out = d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         pred.alias("predicted_lang"),
         (pred == F.col("lang")).alias("lang_match"),
-    ).orderBy("doc_id")
+    )
+    # pinned: the range sampling would re-run the Arrow predict lane
+    return pinned_sort(out, "doc_id")
 
 
 @query(
@@ -946,10 +948,15 @@ def ud13_prop_line_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
         (105 + k % 250).cast("string"),
     )
     o.withColumn("blob", blob).createOrReplaceTempView("__walker_blobs")
-    return spark.sql(
-        "SELECT b.o_orderkey, p.player, p.prop_type, p.prop_line, p.odds "
-        "FROM __walker_blobs b, LATERAL prop_line_walker(b.blob) p "
-        "ORDER BY b.o_orderkey, p.odds"
+    # Sort in DataFrame land above a pin: the SQL ORDER BY's range sampling
+    # would re-run the UDTF lane (see pinned_sort).
+    return pinned_sort(
+        spark.sql(
+            "SELECT b.o_orderkey, p.player, p.prop_type, p.prop_line, p.odds "
+            "FROM __walker_blobs b, LATERAL prop_line_walker(b.blob) p"
+        ),
+        "o_orderkey",
+        "odds",
     )
 
 
@@ -1051,11 +1058,17 @@ def ud3_lineup_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         *pos_rows,
     )
     o.withColumn("blob", blob).createOrReplaceTempView("__lineup_blobs")
-    return spark.sql(
-        "SELECT b.o_orderkey AS game_key, p.game, p.game_time, p.favorite, "
-        "p.spread, p.over_under, p.side, p.team, p.pos, p.pos_idx, p.player "
-        "FROM __lineup_blobs b, LATERAL lineup_table_walker(b.blob) p "
-        "ORDER BY game_key, p.pos_idx, p.side"
+    # Sort in DataFrame land above a pin: the SQL ORDER BY's range sampling
+    # would re-run the UDTF lane (see pinned_sort).
+    return pinned_sort(
+        spark.sql(
+            "SELECT b.o_orderkey AS game_key, p.game, p.game_time, p.favorite, "
+            "p.spread, p.over_under, p.side, p.team, p.pos, p.pos_idx, p.player "
+            "FROM __lineup_blobs b, LATERAL lineup_table_walker(b.blob) p"
+        ),
+        "game_key",
+        "pos_idx",
+        "side",
     )
 
 

@@ -207,7 +207,9 @@ R4_SESSION_FINGERPRINTS = {
     # collect_list reassembly) as native array ops over unexploded docs;
     # fingerprint the min/max-per-shingle duplicate-detection window
     "d12_dupspan_rewrite": "Window",
-    "mm_audio_energy": "MapInPandas",               # Arrow codec/DSP lane
+    # r11 pinned the Arrow codec lanes above the final sort (pinned_sort:
+    # range sampling re-ran the lane); the final plan reads the pinned rows
+    "mm_audio_energy": "ExistingRDD",
     "ta_bm25_search": "BroadcastHashJoin",          # 3-row df broadcast
     "ts5_time_weighted_avg": "Window",              # LOCF lead chain
     # g4's relaxation rounds are checkpointed away from the final plan
@@ -217,7 +219,7 @@ R4_SESSION_FINGERPRINTS = {
     "dq7_join_cardinality_estimate": "HashAggregate",  # histogram contraction
     "sim_ivf_hard_negatives": "WindowGroupLimit",   # per-anchor argmax pushdown
     "ta_kneser_ney_bigram": "HashAggregate",        # mergeable count tables
-    "mm_video_scene_cut": "MapInPandas",            # Arrow codec/diff lane
+    "mm_video_scene_cut": "ExistingRDD",            # pinned_sort (see above)
     "a33_share_of_parent": "Window",                # grain-contracted shares
     # ta_greedy_set_cover checkpoints each pick; r11 replaced the per-round
     # coverage-count crossJoin with the running-sum-of-gains window over
@@ -257,7 +259,7 @@ R4_SESSION_FINGERPRINTS = {
     "sim_alignment_uniformity": "BroadcastHashJoin",  # label-blocked pairs
     "ta_readability_forcast": "HashAggregate",      # token-grain contraction
     "a40_welch_ttest": "HashAggregate",             # mergeable moments
-    "mm_audio_silence": "MapInPandas",              # Arrow codec+RLE lane
+    "mm_audio_silence": "ExistingRDD",              # pinned_sort (see above)
     "ta_zipf_fit": "HashAggregate",                 # vocab-grain contraction
     "a41_ks_test": "Window",                        # distinct-value ECDF walk
     "g7_clustering_coefficient": "HashAggregate",   # node-grain contraction
