@@ -117,7 +117,13 @@ def ta_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    tri = d.select("doc_id", F.explode(_trigrams()).alias("term"))
+    # Terms travel as 64-bit hashes from birth (8-byte shuffle/join keys
+    # instead of ~25-byte trigram strings — no output column carries the
+    # term text, and tf/df are per-doc-distinct counts, so values are
+    # unchanged under the same collision budget jaccard_pairs documents).
+    tri = d.select("doc_id", F.explode(_trigrams()).alias("t0")).select(
+        "doc_id", F.xxhash64("t0").alias("term")
+    )
     # persist the contracted tf: it feeds BOTH the df re-aggregate and the
     # weight join, and column pruning makes the two subtrees non-identical
     # so ReuseExchange cannot share them — without this the tokenize +
