@@ -11,6 +11,8 @@ discipline in ``plans/exact.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -2435,6 +2437,15 @@ def a31_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a32's window-vs-crossing-bucket crossover: below this many lineitem
+#: rows (parquet footer count) the single per-group window wins (fewer
+#: jobs); above it the per-group sort tasks become the wall (145.3 s at
+#: sf10 vs 21.2 s bucketed, measured). Env-overridable for cluster tuning.
+_A32_WINDOW_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_A32_WINDOW_MAX_ROWS", str(2_000_000))
+)
+
+
 @query(
     "a32_weighted_median",
     oracle="""
@@ -2485,16 +2496,84 @@ def a32_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
+    # Size-adaptive on the parquet footer count (the d9 crossover
+    # discipline): below the threshold the single per-group window is
+    # cheapest (one pass, |groups| sort tasks over small rows); above it
+    # that window is the guide-§2.5 "per-key window" wall — |groups| = 3
+    # tasks each sort a third of the fact (measured 145.3 s at sf10 vs
+    # 21.2 s for the bucketed form below, results byte-identical).
+    from nba_data_pipeline_spark.io import table_row_count
+
+    n_rows = table_row_count(sf_dir, "lineitem")
+    if n_rows is not None and n_rows <= _A32_WINDOW_MAX_ROWS:
+        wcum_all = (
+            W.partitionBy("grp")
+            .orderBy("cents", "l_orderkey", "l_linenumber")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cum_all = w.select(
+            "grp",
+            "cents",
+            F.sum("wt").over(wcum_all).cast("bigint").alias("cw"),
+            F.sum("wt").over(W.partitionBy("grp")).cast("bigint").alias("total"),
+        )
+        return (
+            cum_all.groupBy(F.col("grp").alias("l_returnflag"))
+            .agg(
+                F.min("total").cast("bigint").alias("total_weight"),
+                F.min(F.when(2 * F.col("cw") >= F.col("total"), F.col("cents")))
+                .cast("bigint")
+                .alias("weighted_median_cents"),
+            )
+            .orderBy("l_returnflag")
+        )
+    w = w.persist()
+    # Crossing-bucket selection instead of one giant per-group window:
+    # (1) per-group totals + value range (map-side aggregate), (2) a
+    # width-bucketed weight histogram (map-side combined; the cumulative
+    # walk is over |groups|·NB rows), (3) the exact crossing found by
+    # sorting ONLY the crossing bucket's rows (~1/NB of the group).
+    # Bucketing is monotone in cents, so the first row with 2·cw ≥ total
+    # provably lies in the first bucket whose cumulative weight crosses
+    # half — MIN(cents) over that bucket's qualifying rows equals the
+    # full-sort answer (ties in cents collapse to the same cents value
+    # either way).
+    NB = 512
+    gstat = w.groupBy("grp").agg(
+        F.sum("wt").cast("bigint").alias("total"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    )
+    wb = w.join(F.broadcast(gstat), "grp").withColumn(
+        "b", F.expr(f"((cents - lo) * {NB}) div (hi - lo + 1)")
+    )
+    wcumb = (
+        W.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    hist = (
+        wb.groupBy("grp", "b")
+        .agg(F.sum("wt").cast("bigint").alias("bw"), F.any_value("total").alias("total"))
+        .withColumn("cum", F.sum("bw").over(wcumb).cast("bigint"))
+    )
+    crossing = (
+        hist.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("grp")
+        .agg(F.min_by(F.struct("b", (F.col("cum") - F.col("bw")).alias("cbefore")), "b").alias("x"))
+        .select("grp", F.col("x.b").alias("bstar"), F.col("x.cbefore").alias("cbefore"))
+    )
+    rows = wb.join(F.broadcast(crossing), "grp").filter(F.col("b") == F.col("bstar"))
     wcum = (
         W.partitionBy("grp")
         .orderBy("cents", "l_orderkey", "l_linenumber")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = w.select(
+    cum = rows.select(
         "grp",
         "cents",
-        F.sum("wt").over(wcum).cast("bigint").alias("cw"),
-        F.sum("wt").over(W.partitionBy("grp")).cast("bigint").alias("total"),
+        "total",
+        (F.col("cbefore") + F.sum("wt").over(wcum)).cast("bigint").alias("cw"),
     )
     return (
         cum.groupBy(F.col("grp").alias("l_returnflag"))
@@ -2565,11 +2644,21 @@ def dq7_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("b"),
         )
 
-    oc = keyed("orders", "o_orderkey").groupBy("k", "b").agg(
-        F.count(F.lit(1)).alias("c")
+    # Each per-key count table feeds TWO consumers (the exact keyed join
+    # and its per-bucket rollup); persist so each fact is scanned and
+    # aggregated once, not twice (the |keys|-row contraction is the thing
+    # a planner would maintain incrementally anyway).
+    oc = (
+        keyed("orders", "o_orderkey")
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    lc = keyed("lineitem", "l_orderkey").groupBy("k", "b").agg(
-        F.count(F.lit(1)).alias("c")
+    lc = (
+        keyed("lineitem", "l_orderkey")
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     exact = (
         oc.select("k", F.col("c").alias("co"))

@@ -1817,6 +1817,15 @@ def x23_deletion_neighborhood_join(spark: SparkSession, sf_dir: str) -> DataFram
     dict_ = cust.select(F.col("c_name").alias("b"))
 
     def variants(df: DataFrame, col: str) -> DataFrame:
+        # NOTE (r11, measured and kept as-is): replacing this
+        # union + DISTINCT with an in-plan array_distinct-before-explode
+        # looked like a free shuffle removal and was a wash at sf0.1
+        # (1.52 → 1.43 s), but at sf10 it regressed 12 s → 1027 s — the
+        # post-DISTINCT relation carries real size/row statistics the
+        # planner needs to pick the variant-join strategy, and the bare
+        # Generate's estimates sent it down a catastrophic plan. The
+        # per-side DISTINCT stays: it is load-bearing for the join, not
+        # just dedup.
         ident = df.select(col, F.col(col).alias("var"))
         deleted = (
             df.select(col, F.explode(F.sequence(F.lit(1), F.length(col))).alias("i"))

@@ -1071,10 +1071,18 @@ def ts11_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.unix_timestamp("ts") / _TS11_BUCKET_SEC).cast("long").alias("b"),
     )
-    agg = pts.groupBy("b").agg(
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+    # persisted: the bucket-grain contraction feeds THREE broadcast builds
+    # (prev-neighbor, next-neighbor, bounds) whose shifted projections are
+    # plan-distinct, so without the pin each build re-runs the groupBy
+    # over the raw events.
+    agg = (
+        pts.groupBy("b")
+        .agg(
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .persist()
     )
     bounds = agg.agg(F.min("b").alias("bmin"), F.max("b").alias("bmax"))
     pa = F.broadcast(
