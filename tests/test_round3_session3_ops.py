@@ -234,9 +234,10 @@ def test_minhash_signature_seeds_are_stable(spark):
 
 
 def test_polldir_reader_offsets_and_replay(tmp_path):
-    """The polldir stream reader's offset contract: read() consumes only
-    unseen files and advances the offset; readBetweenOffsets() replays a
-    committed range identically (exactly-once on immutable files)."""
+    """The polldir stream reader's offset contract: latestOffset() admits
+    only stable files, partitions() maps a committed (start, end] range to
+    one partition per new file, and read() re-parses those immutable files
+    identically on replay (exactly-once on immutable files)."""
     import json
 
     from nba_data_pipeline_spark.sources.poll_datasource import PollDirStreamReader
@@ -246,29 +247,48 @@ def test_polldir_reader_offsets_and_replay(tmp_path):
             for r in rows:
                 f.write(json.dumps(r) + "\n")
 
+    def drain(r, start):
+        end = r.latestOffset()
+        rows = []
+        for part in r.partitions(start, end):
+            for batch in r.read(part):
+                rows.extend(
+                    tuple(col[i].as_py() for col in batch.columns)
+                    for i in range(batch.num_rows)
+                )
+        return rows, end
+
     land("a.jsonl", [{"event_id": 1, "user_id": 10, "event_type": "x", "value": 1.5}])
     r = PollDirStreamReader({"path": str(tmp_path)})
     o0 = r.initialOffset()
-    it1, o1 = r.read(o0)
-    first = list(it1)
+    first, o1 = drain(r, o0)
     assert first == [(1, 10, "x", 1.5)] and o1 == {"files": ["a.jsonl"]}
     land("b.jsonl", [{"event_id": 2, "user_id": 20, "event_type": "y", "value": 2.0}])
-    it2, o2 = r.read(o1)
-    second = list(it2)
+    second, o2 = drain(r, o1)
     assert second == [(2, 20, "y", 2.0)] and o2 == {"files": ["a.jsonl", "b.jsonl"]}
-    # replay of each committed range is bit-identical
-    assert list(r.readBetweenOffsets(o0, o1)) == first
-    assert list(r.readBetweenOffsets(o1, o2)) == second
-    # caught-up read returns nothing and a stable offset
-    it3, o3 = r.read(o2)
-    assert list(it3) == [] and o3 == o2
+    # replay of each committed range is bit-identical (fresh reader, as a
+    # restarted executor would see it)
+    r2 = PollDirStreamReader({"path": str(tmp_path)})
+    assert [p.path for p in r2.partitions(o0, o1)] == [str(tmp_path / "a.jsonl")]
+    replay1 = []
+    for part in r2.partitions(o0, o1):
+        for batch in r2.read(part):
+            replay1.extend(
+                tuple(col[i].as_py() for col in batch.columns)
+                for i in range(batch.num_rows)
+            )
+    assert replay1 == first
+    # caught-up poll returns no new partitions and a stable offset
+    third, o3 = drain(r, o2)
+    assert third == [] and o3 == o2
 
 
 def test_polldir_reader_skips_midwrite_file_until_stable(tmp_path, monkeypatch):
     """Regression (ADVICE r3): a file still being appended when the poll
-    fires must NOT enter the offset with only its partial rows — the reader
-    re-stats after reading and defers still-growing files to the next poll,
-    which then consumes them in full."""
+    fires must NOT enter the offset — latestOffset stats twice and defers
+    still-growing files to the next poll, which then admits them in full
+    (r11: the check moved from read-then-restat to stat-twice when the
+    reader went partitioned; the committed-offset guarantee is the same)."""
     import json
     import os
 
@@ -284,8 +304,8 @@ def test_polldir_reader_skips_midwrite_file_until_stable(tmp_path, monkeypatch):
     calls = {"n": 0}
 
     def growing_getsize(p):
-        # simulate a writer appending between the pre-read stat and the
-        # post-read stat: the SECOND stat of grow.jsonl sees more bytes
+        # simulate a writer appending between the first and second stat:
+        # the SECOND stat of grow.jsonl sees more bytes
         if os.path.basename(str(p)) == "grow.jsonl":
             calls["n"] += 1
             if calls["n"] == 2:
@@ -295,10 +315,17 @@ def test_polldir_reader_skips_midwrite_file_until_stable(tmp_path, monkeypatch):
 
     monkeypatch.setattr(pdmod.os.path, "getsize", growing_getsize)
     r = PollDirStreamReader({"path": str(tmp_path)})
-    it1, o1 = r.read(r.initialOffset())
-    # partial rows dropped, file NOT committed
-    assert list(it1) == [] and o1 == {"files": []}
+    o1 = r.latestOffset()
+    # still-growing file NOT committed, no partitions to read
+    assert o1 == {"files": []} and r.partitions(r.initialOffset(), o1) == []
     monkeypatch.setattr(pdmod.os.path, "getsize", real_getsize)
-    it2, o2 = r.read(o1)
-    assert list(it2) == [(1, 10, "x", 1.0), (2, 20, "y", 2.0)]
+    o2 = r.latestOffset()
     assert o2 == {"files": ["grow.jsonl"]}
+    rows = []
+    for part in r.partitions(o1, o2):
+        for batch in r.read(part):
+            rows.extend(
+                tuple(col[i].as_py() for col in batch.columns)
+                for i in range(batch.num_rows)
+            )
+    assert rows == [(1, 10, "x", 1.0), (2, 20, "y", 2.0)]
