@@ -556,25 +556,37 @@ def g5_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.u", "e.v")
         .localCheckpoint()
     )
-    surv = sym.select(F.col("u").alias("n")).distinct().localCheckpoint()
+    # Peel over the SHRINKING induced edge set (r11, guide §1.2-1): since
+    # surv_r ⊆ surv_{r-1}, inducing by surv_r over the previous round's
+    # induced graph equals inducing over full sym — so each round joins
+    # cur (monotonically shrinking), never the full symmetric edge list,
+    # and the pinned cur serves BOTH this round's core-edge count and the
+    # next round's degree pass (the old form computed that same induced
+    # subgraph twice: once eagerly for the next survivor set, once lazily
+    # for core_edges in the final plan). Degrees need no distinct-node
+    # seed: every node of cur has degree ≥ 1 and nodes outside cur have
+    # degree 0 < k, so groupBy(u) over cur IS the survivor test.
+    cur = sym
     out = None
     for r in range(1, _G5_ROUNDS + 1):
-        induced = (
-            sym.join(surv.select(F.col("n").alias("u")), "u")
-            .join(surv.select(F.col("n").alias("v")), "v")
-        )
-        deg = induced.groupBy(F.col("u").alias("n")).agg(
+        deg = cur.groupBy(F.col("u").alias("n")).agg(
             F.count(F.lit(1)).alias("d")
         )
         surv = deg.filter(F.col("d") >= _G5_K).select("n").localCheckpoint()
-        core_edges = (
-            sym.join(surv.select(F.col("n").alias("u")), "u")
+        cur = (
+            cur.join(surv.select(F.col("n").alias("u")), "u")
             .join(surv.select(F.col("n").alias("v")), "v")
-            .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"))
+            .localCheckpoint()
         )
         row = (
             surv.agg(F.count(F.lit(1)).alias("n_survivors"))
-            .crossJoin(F.broadcast(core_edges))
+            .crossJoin(
+                F.broadcast(
+                    cur.agg(
+                        (F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges")
+                    )
+                )
+            )
             .select(
                 F.lit(r).alias("round"),
                 F.col("n_survivors").cast("long"),
