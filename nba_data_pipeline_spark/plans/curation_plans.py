@@ -538,10 +538,18 @@ def ta_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.explode(winnow_minima_fast(F.col("text"), _WIN_K, _WIN_W)).alias("wmin"),
     )
-    freq = fp.groupBy("wmin").agg(F.count(F.lit(1)).alias("df"))
+    # df via COUNT OVER (PARTITION BY wmin), not aggregate + join-back
+    # (r11, guide §4.4/§2.4): fp is an Arrow-UDF lane, and referencing it
+    # from both the freq aggregate and the join ran the winnowing UDF
+    # TWICE (plan: 2 ArrowEvalPython subtrees; 1.74 -> 1.06 s at sf0.1).
+    # The window shuffles fp by wmin once — the same bytes the join form
+    # pays at scale once freq outgrows the broadcast threshold, minus the
+    # second UDF pass. If fingerprint df ever turns heavy-tailed
+    # (corpus-wide boilerplate), split the hot keys with a salted
+    # two-phase count before the window (guide §2.5).
+    wdf = fp.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("wmin")))
     return (
-        fp.join(freq, "wmin")
-        .groupBy("doc_id")
+        wdf.groupBy("doc_id")
         .agg(
             F.max("n_kgrams").cast("bigint").alias("n_kgrams"),
             F.count(F.lit(1)).alias("n_fingerprints"),
