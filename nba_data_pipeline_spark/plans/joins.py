@@ -171,9 +171,10 @@ ORDER BY o_orderkey
 def j7_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (J7 — latest scrape ≤ game date, nba_props_scraper.py:837-840):
     for each order, the user's most recent event at or before the order date.
-    Implemented as range-join + latest-per-key window; the events side is
-    small enough to broadcast here, and at 100 TB the same plan works
-    bucketed by user_id (or via Spark's range-join optimization)."""
+    Implemented as the sorted-union merge (r11 — formerly range-join +
+    latest-per-key window, which j14's docstring correctly flagged as
+    quadratic per hot key; both inner-asof entries now share the n log n
+    union strategy, j16 keeps the broadcast-interval third)."""
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", (F.col("o_custkey") % 150).alias("user_id")
     )
@@ -819,10 +820,11 @@ def j14_asof_tolerance_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotes kind=0 and trades kind=1, union them, and one window per
     user_id ordered by (ts, kind) makes ``last(value, ignorenulls)`` at
     each trade row exactly the as-of match. ONE shuffle, ONE sort, zero
-    join fan-out — where j7's range-join form expands every order × all
+    join fan-out — where a range-join form would expand every order × all
     earlier events of the user before keeping rank 1 (quadratic per hot
     key at 100 TB; the union plan is n log n and is also precisely the
-    watermarked stream-stream state shape). Equal-ts quotes are deduped to
+    watermarked stream-stream state shape — j7 adopted it too in r11).
+    Equal-ts quotes are deduped to
     the max event_id first so both engines' as-of pick is deterministic;
     the DuckDB oracle uses its native ASOF LEFT JOIN with a post-hoc
     tolerance CASE."""
@@ -1036,9 +1038,9 @@ def j16_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     that didn't exist yet — the reference joins latest-snapshot dims,
     ctg_export_league.py:300-307, which silently leaks).
 
-    The physical plan is the THIRD as-of strategy in the catalog, chosen
-    by dimension size: j7 range-join+rank (small history), j14
-    sorted-union (both sides fact-sized), and here BROADCAST-interval —
+    The physical plan is the SECOND as-of strategy in the catalog, chosen
+    by dimension size: j7/j14 sorted-union (fact-sized sides), and here
+    BROADCAST-interval —
     an SCD2 dim is dim-cardinality × change-rate, so the whole version
     table broadcasts and the fact table is enriched with ZERO shuffle
     (validity intervals partition time per key, so each fact matches at
