@@ -565,18 +565,27 @@ def g5_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subgraph twice: once eagerly for the next survivor set, once lazily
     # for core_edges in the final plan). Degrees need no distinct-node
     # seed: every node of cur has degree ≥ 1 and nodes outside cur have
-    # degree 0 < k, so groupBy(u) over cur IS the survivor test.
+    # degree 0 < k, so groupBy(u) over cur IS the survivor test. The pins
+    # are LAZY (eager=False): an eager pin per frame put 6 sequential
+    # driver jobs on the wall (measured 2.4-2.6 s in-suite class); the
+    # lazy chain materializes the whole peel in dependency order under
+    # the final action and later consumers read the checkpoint blocks
+    # (steady 1.4-1.8 s, byte-identical results).
     cur = sym
     out = None
     for r in range(1, _G5_ROUNDS + 1):
         deg = cur.groupBy(F.col("u").alias("n")).agg(
             F.count(F.lit(1)).alias("d")
         )
-        surv = deg.filter(F.col("d") >= _G5_K).select("n").localCheckpoint()
+        surv = (
+            deg.filter(F.col("d") >= _G5_K)
+            .select("n")
+            .localCheckpoint(eager=False)
+        )
         cur = (
             cur.join(surv.select(F.col("n").alias("u")), "u")
             .join(surv.select(F.col("n").alias("v")), "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         row = (
             surv.agg(F.count(F.lit(1)).alias("n_survivors"))
