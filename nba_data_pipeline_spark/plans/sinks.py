@@ -888,26 +888,33 @@ def snk14_dvp_matrix_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = spark.read.option("multiLine", "true").json(
         os.path.join(root, "defense_vs_position_all.json")
     )
-    cells = []
-    for p in DVP_POSITIONS:
-        for t in DVP_TIMEFRAMES:
-            cells.append(
-                doc.select(
-                    F.explode(F.col(f"data.{p}.`{t}`")).alias("r")
-                ).select(
-                    F.col("r.Position").alias("position"),
-                    F.col("r.Timeframe").alias("timeframe"),
-                    F.col("r.Team").alias("team"),
-                    F.col("r.PTS").alias("pts"),
-                    F.col("r.REB").alias("reb"),
-                    F.col("r.AST").alias("ast"),
-                    F.col("r.`3PM`").alias("three_pm"),
-                    F.col("r.STL").alias("stl"),
-                    F.col("r.BLK").alias("blk"),
-                    F.col("r.TO").alias("to_stat"),
-                )
-            )
-    from functools import reduce
-
-    out = reduce(lambda a, b: a.unionByName(b), cells)
+    # ONE scan, two explodes (r11, guide §2.4): the readback was a 20-way
+    # union with one subtree per (position, timeframe) cell — 20 separate
+    # FileScans each re-parsing the whole multiLine JSON document
+    # (2.5 → 0.4 s warm at sf0.1, rows identical; every cell row already
+    # carries its own Position/Timeframe fields, so stacking the 20 cell
+    # arrays into one array-of-arrays loses nothing).
+    arr = F.array(
+        *[
+            F.col(f"data.{p}.`{t}`")
+            for p in DVP_POSITIONS
+            for t in DVP_TIMEFRAMES
+        ]
+    )
+    out = (
+        doc.select(F.explode(arr).alias("cell"))
+        .select(F.explode("cell").alias("r"))
+        .select(
+            F.col("r.Position").alias("position"),
+            F.col("r.Timeframe").alias("timeframe"),
+            F.col("r.Team").alias("team"),
+            F.col("r.PTS").alias("pts"),
+            F.col("r.REB").alias("reb"),
+            F.col("r.AST").alias("ast"),
+            F.col("r.`3PM`").alias("three_pm"),
+            F.col("r.STL").alias("stl"),
+            F.col("r.BLK").alias("blk"),
+            F.col("r.TO").alias("to_stat"),
+        )
+    )
     return out.orderBy("position", "timeframe", "team")
