@@ -65,6 +65,7 @@ def connected_components(
     num_partitions: int = 1,
     max_rounds: int = 16,
     finish_threshold: int = 2_000_000,
+    node_bound: int | None = None,
 ) -> DataFrame:
     """Labels every node of the undirected ``edges`` graph (columns
     ``src``, ``dst``, integral ids) with ``component_id`` = the smallest id
@@ -86,6 +87,23 @@ def connected_components(
     partition — exact fixpoint in a single pass — instead of paying
     further O(log P) sharded rounds of scheduling for a residual graph
     that is already tiny. Size it to edges-per-task at cluster scale.
+
+    ``node_bound``: a caller-known upper bound on the graph's node count
+    (e.g. the parquet footer row count of the table the ids come from —
+    the same hint discipline as ``totalorder.small_hint_rows``). When
+    ``node_bound * num_partitions <= finish_threshold`` the whole
+    per-partition pointer table provably fits one task, so the loop
+    collapses to the TWO-LEVEL form: one sharded local-DSU pass, then one
+    single-task DSU over the pointer rows *treated as edges*. A (node,
+    root) pointer is an edge of the node's component, and every original
+    edge (s, t) in partition p was locally merged there (root_p(s) ==
+    root_p(t)), so s and t stay connected through the shared root —
+    connectivity over the pointer rows equals connectivity over the
+    input, and the second DSU's min-root labels are the exact component
+    minima. Zero joins, zero persists, zero driver actions: the whole
+    closure is one lazy lineage the caller's action materializes. Past
+    the bound (or with no hint) the general contraction loop runs
+    unchanged.
     """
     labels: DataFrame | None = None
     g = edges.select(
@@ -105,6 +123,27 @@ def connected_components(
             _dsu_partition, "node long, root long"
         ).select(
             F.col("node").alias("doc_id"), F.col("root").alias("component_id")
+        )
+    if (
+        node_bound is not None
+        and node_bound * num_partitions <= finish_threshold
+    ):
+        # Two-level fast path (see docstring): sharded local DSU, then one
+        # single-task DSU over the pointer rows as edges. repartition(1),
+        # not coalesce(1): the level-2 exchange is what keeps level 1
+        # running as num_partitions parallel tasks (coalesce would fold
+        # them into the one finishing task).
+        m = g.repartition(num_partitions, "src").mapInPandas(
+            _dsu_partition, "node long, root long"
+        )
+        return (
+            m.select(F.col("node").alias("src"), F.col("root").alias("dst"))
+            .repartition(1)
+            .mapInPandas(_dsu_partition, "node long, root long")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.col("root").alias("component_id"),
+            )
         )
     # Caches from the PREVIOUS round must outlive the current round's label
     # materialization: this round's g is recomputed from them when persisted.

@@ -702,7 +702,18 @@ def d5_cc_clusters_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Size-adaptive edge miner (persisted single join vs spill-bounded
     # sequential slices) — see cc_edges.
     edges = cc_edges(spark, sf_dir, d)
-    labels = connected_components(edges, num_partitions=4)
+    # node_bound: every graph node is a doc_id, so the documents footer
+    # count bounds the per-partition pointer table. Below the threshold
+    # the closure is the TWO-LEVEL sharded DSU (4 parallel local DSUs,
+    # one single-task merge over the pointer rows — still the
+    # multi-partition path this entry exists to prove, with zero joins
+    # and zero driver actions); past it (sf30+, where 4×n_docs outgrows
+    # one task's DSU budget) the general contraction loop runs.
+    from nba_data_pipeline_spark.io import table_row_count
+
+    labels = connected_components(
+        edges, num_partitions=4, node_bound=table_row_count(sf_dir, "documents")
+    )
     from pyspark.sql import Window as W
 
     full = d.select("doc_id").join(F.broadcast(labels), "doc_id", "left").select(

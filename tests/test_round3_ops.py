@@ -44,6 +44,49 @@ def test_connected_components_cutover_on_final_round_still_finishes(spark):
     assert {r.component_id for r in rows} == {0}
 
 
+def test_connected_components_two_level_matches_general_loop(spark):
+    """r12: the node_bound two-level path (sharded local DSU → single-task
+    DSU over pointer rows as edges) must reach the exact fixpoint of the
+    general contraction loop — same label rows on graphs that stress
+    cross-partition merging: a long chain (diameter ≫ 1 round), a star
+    (maximal pointer fan-out), and a multi-component mix. Also pins that
+    the hint is only a fast path: past the bound the general loop runs."""
+    import random
+
+    from nba_data_pipeline_spark.operators.graph import connected_components
+
+    rng = random.Random(12)
+    cases = [
+        [(i, i + 1) for i in range(60)],  # chain
+        [(i, 0) for i in range(1, 31)],  # star
+        [(i, i + 1) for i in range(20)]
+        + [(100 + i, 100 + rng.randrange(i + 1)) for i in range(1, 25)]
+        + [(500, 501)],  # mixed components, random attachment
+    ]
+    for rows in cases:
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        general = {
+            (r.doc_id, r.component_id)
+            for r in connected_components(edges, num_partitions=4).collect()
+        }
+        two_level = {
+            (r.doc_id, r.component_id)
+            for r in connected_components(
+                edges, num_partitions=4, node_bound=1000
+            ).collect()
+        }
+        assert two_level == general
+        # a bound past the threshold must route to the general loop and
+        # still produce the same labels
+        routed = {
+            (r.doc_id, r.component_id)
+            for r in connected_components(
+                edges, num_partitions=4, node_bound=10**9
+            ).collect()
+        }
+        assert routed == general
+
+
 def test_bloom_url_dedup_flags_superset_of_blocklist(spark):
     """Bloom probes can false-positive but never false-negative: every truly
     blocked doc must be flagged, and flagged-but-not-blocked rows must carry
